@@ -1,0 +1,351 @@
+// Native helpers for sketchtpu: CRC32C, Snappy raw block codec, and the
+// order-dependent FASTQ k-mer count filter.
+//
+// These are the host-side runtime pieces that sit around the TPU compute
+// path: framed-Snappy container IO (.skm/.ski files are snappy-framed CBOR /
+// MessagePack, see /root/reference/src/sketch/multisketch.rs:80-103 and
+// src/inverted.rs:194-225) and the sequential read-filtering loop whose
+// result is order-dependent (src/sketch/mod.rs:198-208 with
+// src/hashing/bloom_filter.rs) and therefore cannot be expressed as a
+// data-parallel reduction.
+//
+// Formats are implemented from their public specifications
+// (https://github.com/google/snappy/blob/main/format_description.txt).
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -o _sketchtpu_native.so sketchtpu_native.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CRC32C (Castagnoli), slice-by-8 software implementation.
+// ---------------------------------------------------------------------------
+
+static uint32_t crc32c_table[8][256];
+static bool crc32c_init_done = false;
+
+static void crc32c_init() {
+    if (crc32c_init_done) return;
+    const uint32_t poly = 0x82F63B78u;  // reflected CRC32C polynomial
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t crc = i;
+        for (int j = 0; j < 8; j++)
+            crc = (crc >> 1) ^ ((crc & 1) ? poly : 0);
+        crc32c_table[0][i] = crc;
+    }
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t crc = crc32c_table[0][i];
+        for (int s = 1; s < 8; s++) {
+            crc = crc32c_table[0][crc & 0xFF] ^ (crc >> 8);
+            crc32c_table[s][i] = crc;
+        }
+    }
+    crc32c_init_done = true;
+}
+
+uint32_t stpu_crc32c(const uint8_t* data, size_t len, uint32_t seed) {
+    crc32c_init();
+    uint32_t crc = ~seed;
+    size_t i = 0;
+    while (len - i >= 8) {
+        uint32_t lo, hi;
+        memcpy(&lo, data + i, 4);
+        memcpy(&hi, data + i + 4, 4);
+        lo ^= crc;
+        crc = crc32c_table[7][lo & 0xFF] ^ crc32c_table[6][(lo >> 8) & 0xFF] ^
+              crc32c_table[5][(lo >> 16) & 0xFF] ^ crc32c_table[4][lo >> 24] ^
+              crc32c_table[3][hi & 0xFF] ^ crc32c_table[2][(hi >> 8) & 0xFF] ^
+              crc32c_table[1][(hi >> 16) & 0xFF] ^ crc32c_table[0][hi >> 24];
+        i += 8;
+    }
+    for (; i < len; i++)
+        crc = crc32c_table[0][(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+    return ~crc;
+}
+
+// ---------------------------------------------------------------------------
+// Snappy raw block format.
+// ---------------------------------------------------------------------------
+
+static size_t write_varint(uint8_t* out, uint64_t v) {
+    size_t n = 0;
+    while (v >= 0x80) {
+        out[n++] = (uint8_t)(v | 0x80);
+        v >>= 7;
+    }
+    out[n++] = (uint8_t)v;
+    return n;
+}
+
+// Maximum compressed size for `n` input bytes (worst case all literals).
+size_t stpu_snappy_max_compressed(size_t n) { return 32 + n + n / 6; }
+
+// Greedy LZ77 compressor emitting the snappy raw element stream.
+// Returns compressed size, or 0 on error (out buffer too small).
+size_t stpu_snappy_compress(const uint8_t* in, size_t n, uint8_t* out,
+                            size_t out_cap) {
+    if (out_cap < 16) return 0;
+    size_t op = write_varint(out, n);
+    if (n == 0) return op;
+
+    const size_t HASH_BITS = 14;
+    const size_t HASH_SIZE = 1u << HASH_BITS;
+    std::vector<int64_t> table(HASH_SIZE, -1);
+
+    auto hash4 = [&](size_t i) -> uint32_t {
+        uint32_t v;
+        memcpy(&v, in + i, 4);
+        return (v * 0x1E35A7BDu) >> (32 - HASH_BITS);
+    };
+
+    auto emit_literal = [&](size_t start, size_t len) -> bool {
+        while (len > 0) {
+            size_t chunk = len;  // literal length fits in 32 bits via extra bytes
+            size_t l = chunk - 1;
+            if (l < 60) {
+                if (op + 1 + chunk > out_cap) return false;
+                out[op++] = (uint8_t)(l << 2);
+            } else if (l < (1u << 8)) {
+                if (op + 2 + chunk > out_cap) return false;
+                out[op++] = (uint8_t)(60 << 2);
+                out[op++] = (uint8_t)l;
+            } else if (l < (1u << 16)) {
+                if (op + 3 + chunk > out_cap) return false;
+                out[op++] = (uint8_t)(61 << 2);
+                out[op++] = (uint8_t)l;
+                out[op++] = (uint8_t)(l >> 8);
+            } else if (l < (1ull << 24)) {
+                if (op + 4 + chunk > out_cap) return false;
+                out[op++] = (uint8_t)(62 << 2);
+                out[op++] = (uint8_t)l;
+                out[op++] = (uint8_t)(l >> 8);
+                out[op++] = (uint8_t)(l >> 16);
+            } else {
+                if (op + 5 + chunk > out_cap) return false;
+                out[op++] = (uint8_t)(63 << 2);
+                out[op++] = (uint8_t)l;
+                out[op++] = (uint8_t)(l >> 8);
+                out[op++] = (uint8_t)(l >> 16);
+                out[op++] = (uint8_t)(l >> 24);
+            }
+            memcpy(out + op, in + start, chunk);
+            op += chunk;
+            start += chunk;
+            len -= chunk;
+        }
+        return true;
+    };
+
+    auto emit_copy = [&](size_t offset, size_t len) -> bool {
+        // Emit copies; len >= 4 guaranteed by caller. Type-2 copies support
+        // lengths 1..64, so any chunking is valid; type-1 (2-byte) copies are
+        // a size optimisation for short near copies.
+        while (len > 0) {
+            if (len >= 4 && len < 12 && offset < 2048) {
+                if (op + 2 > out_cap) return false;
+                out[op++] =
+                    (uint8_t)(1 | (((len - 4) & 7) << 2) | ((offset >> 8) << 5));
+                out[op++] = (uint8_t)(offset & 0xFF);
+                return true;
+            }
+            size_t l = len > 64 ? 64 : len;
+            if (offset < (1u << 16)) {
+                if (op + 3 > out_cap) return false;
+                out[op++] = (uint8_t)(2 | ((l - 1) << 2));
+                out[op++] = (uint8_t)(offset & 0xFF);
+                out[op++] = (uint8_t)(offset >> 8);
+            } else {
+                if (op + 5 > out_cap) return false;
+                out[op++] = (uint8_t)(3 | ((l - 1) << 2));
+                out[op++] = (uint8_t)(offset & 0xFF);
+                out[op++] = (uint8_t)((offset >> 8) & 0xFF);
+                out[op++] = (uint8_t)((offset >> 16) & 0xFF);
+                out[op++] = (uint8_t)((offset >> 24) & 0xFF);
+            }
+            len -= l;
+        }
+        return true;
+    };
+
+    size_t ip = 0, lit_start = 0;
+    if (n >= 15) {
+        size_t limit = n - 15;
+        while (ip < limit) {
+            uint32_t h = hash4(ip);
+            int64_t cand = table[h];
+            table[h] = (int64_t)ip;
+            uint32_t cur, prev;
+            memcpy(&cur, in + ip, 4);
+            if (cand >= 0 && (size_t)(ip - cand) < (1u << 16)) {
+                memcpy(&prev, in + cand, 4);
+                if (cur == prev) {
+                    // extend match
+                    size_t m = 4;
+                    while (ip + m < n && in[cand + m] == in[ip + m]) m++;
+                    if (!emit_literal(lit_start, ip - lit_start)) return 0;
+                    if (!emit_copy(ip - cand, m)) return 0;
+                    ip += m;
+                    lit_start = ip;
+                    continue;
+                }
+            }
+            ip++;
+        }
+    }
+    if (!emit_literal(lit_start, n - lit_start)) return 0;
+    return op;
+}
+
+// Decompresses a snappy raw block. Returns the uncompressed size, or
+// (size_t)-1 on malformed input / output overflow.
+size_t stpu_snappy_decompress(const uint8_t* in, size_t n, uint8_t* out,
+                              size_t out_cap) {
+    size_t ip = 0;
+    // read uncompressed-length varint
+    uint64_t ulen = 0;
+    int shift = 0;
+    while (true) {
+        if (ip >= n || shift > 63) return (size_t)-1;
+        uint8_t b = in[ip++];
+        ulen |= (uint64_t)(b & 0x7F) << shift;
+        if (!(b & 0x80)) break;
+        shift += 7;
+    }
+    if (ulen > out_cap) return (size_t)-1;
+    size_t op = 0;
+    while (ip < n) {
+        uint8_t tag = in[ip++];
+        uint32_t kind = tag & 3;
+        if (kind == 0) {  // literal
+            size_t len = (tag >> 2) + 1;
+            if (len > 60) {
+                size_t extra = len - 60;
+                if (ip + extra > n) return (size_t)-1;
+                len = 0;
+                for (size_t i = 0; i < extra; i++) len |= (size_t)in[ip + i] << (8 * i);
+                len += 1;
+                ip += extra;
+            }
+            if (ip + len > n || op + len > ulen) return (size_t)-1;
+            memcpy(out + op, in + ip, len);
+            ip += len;
+            op += len;
+        } else {
+            size_t len, offset;
+            if (kind == 1) {
+                len = ((tag >> 2) & 7) + 4;
+                if (ip >= n) return (size_t)-1;
+                offset = ((size_t)(tag >> 5) << 8) | in[ip++];
+            } else if (kind == 2) {
+                len = (tag >> 2) + 1;
+                if (ip + 2 > n) return (size_t)-1;
+                offset = (size_t)in[ip] | ((size_t)in[ip + 1] << 8);
+                ip += 2;
+            } else {
+                len = (tag >> 2) + 1;
+                if (ip + 4 > n) return (size_t)-1;
+                offset = (size_t)in[ip] | ((size_t)in[ip + 1] << 8) |
+                         ((size_t)in[ip + 2] << 16) | ((size_t)in[ip + 3] << 24);
+                ip += 4;
+            }
+            if (offset == 0 || offset > op || op + len > ulen) return (size_t)-1;
+            // byte-by-byte copy handles overlapping (RLE) copies
+            for (size_t i = 0; i < len; i++) {
+                out[op] = out[op - offset];
+                op++;
+            }
+        }
+    }
+    return op == ulen ? op : (size_t)-1;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ min-count filter + bin minimum (order-dependent sequential loop).
+//
+// Mirrors Sketch::bin_sign with a KmerFilter
+// (/root/reference/src/sketch/mod.rs:198-208,
+//  /root/reference/src/hashing/bloom_filter.rs:43-152): a sign only updates
+// its bin minimum if it is strictly smaller than the current minimum AND the
+// count filter (blocked bloom filter + exact counts for >=3) has seen the
+// k-mer min_count times. The bloom filter is only consulted for signs that
+// would improve their bin, so the result depends on stream order.
+// ---------------------------------------------------------------------------
+
+struct CountFilter {
+    static const size_t BLOOM_WIDTH = 1ull << 27;
+    static const size_t BITS_PER_ENTRY = 12;
+    std::vector<uint64_t> buffer;
+    std::unordered_map<uint64_t, uint16_t> counts;
+    uint16_t min_count;
+
+    explicit CountFilter(uint16_t mc) : min_count(mc) {
+        double sz = (double)BLOOM_WIDTH * ((double)BITS_PER_ENTRY / 8.0) / 64.0;
+        size_t buf_size = (size_t)(sz + 0.5);
+        if (mc >= 2) buffer.assign(buf_size, 0);
+    }
+
+    static uint64_t cheap_mix(uint64_t key) {
+        return (key ^ (key >> 31)) * 0x85D059AA333121CFull;
+    }
+    static uint64_t reduce(uint64_t key, uint64_t range) {
+        return (uint64_t)(((unsigned __int128)key * range) >> 64);
+    }
+    static uint64_t fingerprint(uint64_t key) {
+        return (1ull << (key & 63)) | (1ull << ((key >> 6) & 63)) |
+               (1ull << ((key >> 12) & 63)) | (1ull << ((key >> 18) & 63)) |
+               (1ull << ((key >> 24) & 63));
+    }
+    bool bloom_add_and_check(uint64_t key) {
+        uint64_t f = fingerprint(key);
+        uint64_t& v = buffer[reduce(cheap_mix(key), buffer.size())];
+        if ((v & f) == f) return true;
+        v |= f;
+        return false;
+    }
+    // returns 0 if passed (Ordering::Equal), nonzero otherwise
+    int filter(uint64_t hash) {
+        if (min_count <= 1) return 0;
+        if (min_count == 2) return bloom_add_and_check(hash) ? 0 : -1;
+        if (!bloom_add_and_check(hash)) return -1;
+        uint16_t count;
+        auto it = counts.find(hash);
+        if (it == counts.end()) {
+            counts.emplace(hash, 2);
+            count = 2;
+        } else {
+            if (it->second < 0xFFFF) it->second++;
+            count = it->second;
+        }
+        return min_count == count ? 0 : (min_count < count ? -1 : 1);
+    }
+};
+
+// signs: stream of sign values (already reduced mod 2^61-1), in sequence
+// order. bins (len nbins) must be pre-filled with UINT64_MAX.
+void stpu_filter_bin_signs(const uint64_t* signs, size_t n, uint16_t min_count,
+                           uint64_t binsize, uint64_t* bins, size_t nbins) {
+    CountFilter filter(min_count);
+    for (size_t i = 0; i < n; i++) {
+        uint64_t sign = signs[i];
+        size_t bin = (size_t)(sign / binsize);
+        if (bin >= nbins) continue;
+        if (sign < bins[bin] && filter.filter(sign) == 0) bins[bin] = sign;
+    }
+}
+
+// Unfiltered variant (FASTA path) for fast host-side oracle use.
+void stpu_bin_signs(const uint64_t* signs, size_t n, uint64_t binsize,
+                    uint64_t* bins, size_t nbins) {
+    for (size_t i = 0; i < n; i++) {
+        uint64_t sign = signs[i];
+        size_t bin = (size_t)(sign / binsize);
+        if (bin < nbins && sign < bins[bin]) bins[bin] = sign;
+    }
+}
+
+}  // extern "C"
