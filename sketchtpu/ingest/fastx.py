@@ -1,0 +1,231 @@
+"""FASTA/FASTQ ingestion into packed base-code streams.
+
+Mirrors the observable behaviour of the reference's sequence preprocessing
+(/root/reference/src/hashing/nthash_iterator.rs:204-251 add_dna_seq and
+src/hashing/aahash_iterator.rs:84-124): invalid bases and record boundaries
+become *breaks* in the stream (k-mers never span a break), valid DNA bases
+are 2-bit encoded with (ascii >> 1) & 3, and base/quality filtering happens
+at parse time.
+
+The output is a NumPy-first representation suitable for feeding the device
+hashers: a dense array of base codes plus a sorted array of break positions
+in valid-base coordinates.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import SEQSEP
+
+# (ascii >> 1) & 3 gives A=0, C=1, T=2, G=3 (U behaves as T).
+_VALID_DNA = np.zeros(256, dtype=bool)
+for _b in b"acgtuACGTU":
+    _VALID_DNA[_b] = True
+_ENCODE_DNA = (np.arange(256, dtype=np.uint8) >> 1) & 3
+
+# Valid IUPAC amino-acid letters (src/hashing/aahash_iterator.rs:10-13).
+_VALID_AA = np.zeros(256, dtype=bool)
+for _c in b"acdefghiklmnpqrstvwyACDEFGHIKLMNPQRSTVWY":
+    _VALID_AA[_c] = True
+
+
+def open_maybe_gzip(path: str) -> io.BufferedReader:
+    f = open(path, "rb")
+    magic = f.peek(2)[:2]
+    if magic == b"\x1f\x8b":
+        return io.BufferedReader(gzip.GzipFile(fileobj=f))  # type: ignore[arg-type]
+    return f
+
+
+def _sniff_format(path: str) -> str:
+    with open_maybe_gzip(path) as f:
+        first = f.read(1)
+    if first == b">":
+        return "fasta"
+    if first == b"@":
+        return "fastq"
+    raise ValueError(f"Invalid FASTA/Q record in {path}")
+
+
+def iter_fastx(path: str):
+    """Yield (seq_bytes, qual_bytes_or_None) records from a fast[aq][.gz] file."""
+    fmt = _sniff_format(path)
+    with open_maybe_gzip(path) as f:
+        if fmt == "fasta":
+            seq_parts: list[bytes] = []
+            started = False
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith(b">"):
+                    if started:
+                        yield b"".join(seq_parts), None
+                        seq_parts = []
+                    started = True
+                else:
+                    seq_parts.append(line)
+            if started:
+                yield b"".join(seq_parts), None
+        else:
+            while True:
+                header = f.readline()
+                if not header:
+                    break
+                header = header.strip()
+                if not header:
+                    continue
+                if not header.startswith(b"@"):
+                    raise ValueError(f"Invalid FASTQ record in {path}")
+                seq = f.readline().strip()
+                plus = f.readline()
+                if not plus.startswith(b"+"):
+                    raise ValueError(f"Invalid FASTQ record in {path}")
+                qual = f.readline().strip()
+                if len(qual) != len(seq):
+                    raise ValueError(f"Invalid FASTQ record in {path}")
+                yield seq, qual
+
+
+@dataclass
+class DnaStream:
+    """A sample's concatenated DNA as base codes with break positions."""
+
+    codes: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, dtype=np.uint8)
+    )  # values 0..3, valid bases only
+    breaks: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, dtype=np.int64)
+    )  # positions (valid-base coords) where a k-mer window may not cross
+    acgt: np.ndarray = field(default_factory=lambda: np.zeros(4, dtype=np.int64))
+    non_acgt: int = 0
+    reads: bool = False
+
+    @property
+    def seq_len(self) -> int:
+        return int(self.codes.shape[0])
+
+
+def read_dna_sample(files: list[str], min_qual: int = 0) -> DnaStream:
+    """Read one sample's file set into a DnaStream.
+
+    Matches NtHashIterator::new (nthash_iterator.rs:94-145): the reads flag is
+    sniffed from the first record of the first file; reads with more than two
+    input files are an error; low-quality bases count as invalid (the quality
+    comparison is against the raw PHRED+33 byte, as in the reference,
+    nthash_iterator.rs:225).
+    """
+    reads = _sniff_format(files[0]) == "fastq"
+    if reads and len(files) > 2:
+        raise ValueError(
+            "Input files are reads, but there are more than two input files"
+        )
+
+    code_parts: list[np.ndarray] = []
+    break_parts: list[np.ndarray] = []
+    acgt = np.zeros(4, dtype=np.int64)
+    non_acgt = 0
+    base_count = 0  # running count of valid bases
+
+    for path in files:
+        for seq, qual in iter_fastx(path):
+            arr = np.frombuffer(seq, dtype=np.uint8)
+            valid = _VALID_DNA[arr]
+            if qual is not None and min_qual > 0:
+                qarr = np.frombuffer(qual, dtype=np.uint8)
+                valid = valid & (qarr >= min_qual)
+            codes = _ENCODE_DNA[arr[valid]]
+            n_valid = codes.shape[0]
+            n_invalid = arr.shape[0] - n_valid
+            if n_valid:
+                counts = np.bincount(codes, minlength=4)
+                acgt += counts
+            non_acgt += int(n_invalid)
+            # Break positions: for each invalid base, the number of valid
+            # bases seen before it; plus an end-of-record break.
+            if n_invalid:
+                invalid_pos = np.flatnonzero(~valid)
+                # number of valid bases before each invalid one
+                valid_cum = np.cumsum(valid)
+                rel = np.where(invalid_pos > 0, valid_cum[invalid_pos - 1], 0)
+                break_parts.append(base_count + rel.astype(np.int64))
+            code_parts.append(codes)
+            base_count += n_valid
+            break_parts.append(np.array([base_count], dtype=np.int64))
+
+    codes = (
+        np.concatenate(code_parts) if code_parts else np.zeros(0, dtype=np.uint8)
+    )
+    breaks = (
+        np.concatenate(break_parts) if break_parts else np.zeros(0, dtype=np.int64)
+    )
+    return DnaStream(
+        codes=codes,
+        breaks=breaks,
+        acgt=acgt,
+        non_acgt=non_acgt,
+        reads=reads,
+    )
+
+
+@dataclass
+class AaStream:
+    """A sample's amino-acid sequence, kept as raw bytes with SEQSEP markers.
+
+    Unlike DNA, the reference keeps invalid residues in-stream as SEQSEP
+    bytes (aahash_iterator.rs:100-107), and appends SEQSEP after each record
+    unless concat_fasta splits records into separate samples.
+    """
+
+    seq: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.uint8))
+    invalid_count: int = 0
+
+    @property
+    def seq_len(self) -> int:
+        return int(self.seq.shape[0])
+
+
+def read_aa_sample(files: list[str], concat_fasta: bool) -> list[AaStream]:
+    """Read amino-acid fasta file(s) -> one AaStream (or one per record when
+    concat_fasta). Mirrors AaHashIterator::new (aahash_iterator.rs:84-124)."""
+    out: list[AaStream] = []
+    parts: list[np.ndarray] = []
+    invalid = 0
+    for path in files:
+        fmt = _sniff_format(path)
+        if fmt == "fastq":
+            raise ValueError(
+                f"Unexpected quality information with AA sequences in {path}. "
+                "Correct sequence type set?"
+            )
+        for seq, _ in iter_fastx(path):
+            arr = np.frombuffer(seq, dtype=np.uint8).copy()
+            bad = ~_VALID_AA[arr]
+            invalid += int(bad.sum())
+            arr[bad] = SEQSEP
+            if concat_fasta:
+                out.append(AaStream(seq=arr, invalid_count=invalid))
+                invalid = 0
+            else:
+                parts.append(arr)
+                parts.append(np.array([SEQSEP], dtype=np.uint8))
+    if not concat_fasta:
+        seq = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+        out.append(AaStream(seq=seq, invalid_count=invalid))
+    return out
+
+
+def aa_stream_from_string(sequence: str) -> AaStream:
+    """3Di string -> AaStream (no trailing separator), matching
+    AaHashIterator::from_3di_string (aahash_iterator.rs:132-136).
+
+    Note: invalid characters are not replaced here (the reference stores the
+    raw bytes); hashing treats any non-AA byte as a break.
+    """
+    arr = np.frombuffer(sequence.encode(), dtype=np.uint8).copy()
+    return AaStream(seq=arr, invalid_count=0)
