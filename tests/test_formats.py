@@ -1,0 +1,89 @@
+"""Codec round-trips and compatibility with reference-produced files."""
+
+import numpy as np
+import pytest
+
+from sketchtpu.formats import cbor, snappy, skd
+from sketchtpu.formats.skm import MultiSketch
+
+
+def test_cbor_roundtrip():
+    obj = {
+        "a": 1,
+        "b": [0, 23, 24, 255, 256, 65535, 65536, 2**32, 2**63, -1, -25],
+        "c": "héllo",
+        "d": None,
+        "e": True,
+        "f": {"nested": [1.5, False]},
+        "g": b"\x00\x01\xff",
+    }
+    assert cbor.loads(cbor.dumps(obj)) == obj
+
+
+def test_snappy_raw_roundtrip():
+    rng = np.random.default_rng(0)
+    for n in [0, 1, 10, 100, 70000]:
+        # compressible data (repeats) and random data
+        data1 = bytes(rng.integers(0, 4, n, dtype=np.uint8)) * 3
+        data2 = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        for data in (data1, data2):
+            assert snappy.decompress_raw(snappy.compress_raw(data)) == data
+
+
+def test_snappy_frame_roundtrip():
+    rng = np.random.default_rng(1)
+    for n in [0, 5, 65536, 200001]:
+        data = bytes(rng.integers(0, 16, n, dtype=np.uint8))
+        out = snappy.frame_decompress(
+            snappy.frame_compress(data), verify_checksums=True
+        )
+        assert out == data
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 zero bytes
+    assert snappy.crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert snappy.crc32c(b"\xff" * 32) == 0x62A8AB43
+    assert snappy.crc32c(bytes(range(32))) == 0x46DD794E
+
+
+def test_load_reference_skm(ref_in):
+    ms = MultiSketch.load_metadata(str(ref_in / "sketches1"))
+    assert ms.sketch_size == 1024
+    assert ms.sketchsize64 == 16
+    assert ms.kmer_lengths == [31]
+    assert len(ms.sketch_metadata) == 4
+    assert ms.hash_type.kind == "dna"
+    assert ms.sketch_metadata[0].name == "14412_3#82.contigs_velvet.fa.gz"
+    assert ms.sketch_metadata[0].seq_length == 1832266
+
+
+def test_load_legacy_skm(ref_in):
+    # pre-v0.2.0 file: sketchsize64 stored in sketch_size
+    ms = MultiSketch.load_metadata(str(ref_in / "legacy_db"))
+    assert ms.sketch_size == ms.sketchsize64 * 64
+
+
+def test_skm_roundtrip(tmp_path, ref_in):
+    ms = MultiSketch.load_metadata(str(ref_in / "sketches1"))
+    ms.save_metadata(str(tmp_path / "rt"))
+    ms2 = MultiSketch.load_metadata(str(tmp_path / "rt"))
+    assert ms2.sketch_size == ms.sketch_size
+    assert ms2.kmer_lengths == ms.kmer_lengths
+    assert ms2.name_map == ms.name_map
+    assert [s.to_serde() for s in ms2.sketch_metadata] == [
+        s.to_serde() for s in ms.sketch_metadata
+    ]
+
+
+def test_skd_read_batch(tmp_path):
+    data = np.arange(40, dtype=np.uint64)
+    path = str(tmp_path / "t.skd")
+    with skd.SketchDataWriter(path) as w:
+        for i in range(4):
+            assert w.write_sketch(data[i * 10 : (i + 1) * 10]) == i
+    full = skd.read_all_skd(path)
+    assert np.array_equal(full, data)
+    batch = skd.read_skd_batch(path, [2, 0], 10)
+    assert np.array_equal(batch[:10], data[20:30])
+    assert np.array_equal(batch[10:], data[0:10])

@@ -1,0 +1,57 @@
+"""Golden tests: sketching the reference's fixture genomes must reproduce its
+committed sketch databases bit-for-bit."""
+
+import numpy as np
+import pytest
+
+from sketchtpu.formats import skd
+from sketchtpu.ingest.fastx import read_dna_sample
+from sketchtpu.sketchcore.sketch import sketch_dna_sample
+
+GENOMES = [
+    "14412_3#82.contigs_velvet.fa.gz",
+    "14412_3#84.contigs_velvet.fa.gz",
+    "R6.fa.gz",
+    "TIGR4.fa.gz",
+]
+
+
+@pytest.fixture(scope="module")
+def streams(request):
+    ref_in = request.getfixturevalue("ref_in_module")
+    return {g: read_dna_sample([str(ref_in / g)]) for g in GENOMES}
+
+
+@pytest.fixture(scope="module")
+def ref_in_module():
+    from conftest import REF_IN
+
+    if not REF_IN.is_dir():
+        pytest.skip("reference fixtures not available")
+    return REF_IN
+
+
+def test_skd_bit_exact(streams, ref_in_module):
+    usigs = [
+        sketch_dna_sample(streams[g], g, [31], 1024, rc=True, min_count=0).usigs
+        for g in GENOMES
+    ]
+    mine = np.concatenate(usigs)
+    ref = skd.read_all_skd(str(ref_in_module / "sketches1.skd"))
+    assert np.array_equal(mine, ref)
+
+
+def test_metadata_matches_reference_skm(streams, ref_in_module):
+    from sketchtpu.formats.skm import MultiSketch
+
+    ref = MultiSketch.load_metadata(str(ref_in_module / "sketches1"))
+    for i, g in enumerate(GENOMES):
+        sk = sketch_dna_sample(streams[g], g, [31], 1024, rc=True, min_count=0)
+        ref_meta = ref.sketch_metadata[i]
+        assert sk.name == ref_meta.name
+        assert sk.seq_length == ref_meta.seq_length
+        assert tuple(sk.acgt) == tuple(ref_meta.acgt)
+        assert sk.non_acgt == ref_meta.non_acgt
+        assert sk.reads == ref_meta.reads
+        assert sk.densified == ref_meta.densified
+        assert sk.rc == ref_meta.rc
