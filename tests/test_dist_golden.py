@@ -89,23 +89,38 @@ def test_subset_dense_coreacc(db):
     assert buf.getvalue() == _golden("dists_subset.stdout")
 
 
-def test_dense_vs_pp_sketchlib_truth(db):
-    """Dense core distances vs the C++ pp-sketchlib truth values, tolerance
-    0.05 (the reference's own accuracy gate, tests/distance.rs:16-30)."""
-    ms, _ = db
+def _truth_dict():
     truth = {}
     for line in _golden("sketchlib_output_true.txt").splitlines():
         key, _, val = line.partition(": ")
         if val.startswith("["):
             truth[key] = [float(x) for x in val.strip("[]").split(",")]
-        else:
+        elif val:
             truth[key] = [float(val)]
-    d = api.self_dists_all(ms, api.set_k(ms, None, False))
-    core = d[:, 0]
-    # multiple_genomes: upper-triangle core dists of the 4 fixture genomes
+    return truth
+
+
+def test_dense_vs_pp_sketchlib_truth():
+    """Dense Jaccard distances at k=31, s=10000 vs the C++ pp-sketchlib truth
+    values, tolerance 0.05 (the reference's own accuracy gate,
+    tests/distance.rs:16-30, 163-266)."""
+    from conftest import REF_IN
+
+    if not REF_IN.is_dir():
+        pytest.skip("reference fixtures not available")
+    truth = _truth_dict()
+    sketches = []
+    for i, name in enumerate(NAMES):
+        stream = read_dna_sample([str(REF_IN / name)])
+        sk = sketch_dna_sample(stream, name, [31], SKETCH_BINS, True, 0)
+        sk.index = i
+        sketches.append(sk)
+    ms = MultiSketch(sketches, SKETCH_BINS, [31], HashType("dna"))
+    ms.sketch_bins = np.concatenate([sk.usigs for sk in sketches])
+    d = api.self_dists_all(ms, api.set_k(ms, 31, False))
     expected = truth["multiple_genomes"]
-    assert len(expected) == core.shape[0]
-    for got, want in zip(core, expected):
+    assert len(expected) == d.shape[0]
+    for got, want in zip(d, expected):
         assert abs(round(float(got), 3) - round(want, 3)) <= 0.05
 
 
