@@ -1,0 +1,596 @@
+"""Command-line interface, mirroring the reference's subcommands and flags
+(/root/reference/src/cli.rs) on top of the TPU-native runtime.
+
+Subcommands: sketch, dist, inverted {build,query,precluster}, merge, append,
+delete, info.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("sketchtpu")
+
+DEFAULT_STRAND = False
+DEFAULT_MINCOUNT = 5
+DEFAULT_MINQUAL = 20
+DEFAULT_SKETCHSIZE = 1000
+DEFAULT_KNN = 50
+DEFAULT_KMER = 21
+
+
+def _add_common(p):
+    p.add_argument("-v", "--verbose", action="store_true", help="Show progress messages")
+    p.add_argument("--quiet", action="store_true", help="Don't show any messages")
+
+
+def _add_kmers(p):
+    p.add_argument(
+        "-k",
+        "--k-vals",
+        type=lambda s: [int(x) for x in s.split(",")],
+        help="K-mer list (comma separated k-mer values to sketch at)",
+    )
+    p.add_argument(
+        "--k-seq",
+        type=lambda s: [int(x) for x in s.split(",")],
+        help="K-mer linear sequence (start,end,step)",
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="sketchtpu",
+        description="TPU-native genome and amino-acid sketching and distances",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    # --- sketch ---
+    p = sub.add_parser("sketch", help="Create sketches from input data")
+    p.add_argument("seq_files", nargs="*", help="List of input FASTA files")
+    p.add_argument("-f", dest="file_list", help="File listing input files")
+    p.add_argument("--concat-fasta", action="store_true")
+    p.add_argument("-o", dest="output", required=True, help="Output prefix")
+    _add_kmers(p)
+    p.add_argument("-s", "--sketch-size", type=int, default=DEFAULT_SKETCHSIZE)
+    p.add_argument("--seq-type", choices=["dna", "aa", "pdb"], default="dna")
+    p.add_argument("--level", choices=["level1", "level2", "level3"], default="level1")
+    p.add_argument("--single-strand", action="store_true")
+    p.add_argument("--min-count", type=int, default=DEFAULT_MINCOUNT)
+    p.add_argument("--min-qual", type=int, default=DEFAULT_MINQUAL)
+    p.add_argument("--threads", type=int, default=1)
+    _add_common(p)
+
+    # --- dist ---
+    p = sub.add_parser("dist", help="Calculate pairwise distances using sketches")
+    p.add_argument("ref_db")
+    p.add_argument("query_db", nargs="?")
+    p.add_argument("-o", dest="output")
+    p.add_argument("--knn", type=int)
+    p.add_argument("--subset")
+    p.add_argument("-k", dest="kmer", type=int)
+    p.add_argument("--ani", action="store_true")
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--ref-completeness-file")
+    p.add_argument("--query-completeness-file")
+    p.add_argument("--completeness-cutoff", type=float, default=0.64)
+    _add_common(p)
+
+    # --- inverted ---
+    p_inv = sub.add_parser("inverted", help="Inverted index commands")
+    inv_sub = p_inv.add_subparsers(dest="inverted_command", required=True)
+
+    p = inv_sub.add_parser("build")
+    p.add_argument("seq_files", nargs="*")
+    p.add_argument("-f", dest="file_list")
+    p.add_argument("-o", dest="output", required=True)
+    p.add_argument("--write-skq", action="store_true")
+    p.add_argument("--species-names")
+    p.add_argument("--metadata")
+    p.add_argument("-s", "--sketch-size", type=int, default=DEFAULT_SKETCHSIZE)
+    p.add_argument("-k", "--kmer-length", type=int, default=DEFAULT_KMER)
+    p.add_argument("--single-strand", action="store_true")
+    p.add_argument("--min-count", type=int, default=DEFAULT_MINCOUNT)
+    p.add_argument("--min-qual", type=int, default=DEFAULT_MINQUAL)
+    p.add_argument("--threads", type=int, default=1)
+    _add_common(p)
+
+    p = inv_sub.add_parser("query")
+    p.add_argument("ski")
+    p.add_argument("seq_files", nargs="*")
+    p.add_argument("-f", dest="file_list")
+    p.add_argument("-o", dest="output")
+    p.add_argument(
+        "--query-type",
+        choices=["match-count", "all-bins", "any-bins"],
+        default="match-count",
+    )
+    p.add_argument("--min-count", type=int, default=DEFAULT_MINCOUNT)
+    p.add_argument("--min-qual", type=int, default=DEFAULT_MINQUAL)
+    p.add_argument("--threads", type=int, default=1)
+    _add_common(p)
+
+    p = inv_sub.add_parser("precluster")
+    p.add_argument("ski")
+    p.add_argument("--skd")
+    p.add_argument("-o", dest="output")
+    p.add_argument("--count", action="store_true")
+    p.add_argument("--knn", type=int, default=DEFAULT_KNN)
+    p.add_argument("--ani", action="store_true")
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--ref-completeness-file")
+    p.add_argument("--completeness-cutoff", type=float, default=0.64)
+    p.add_argument(
+        "--retain-unmatched", choices=["singleton", "bruteforce"], default=None
+    )
+    _add_common(p)
+
+    # --- merge ---
+    p = sub.add_parser("merge", help="Merge two sketch databases")
+    p.add_argument("db1")
+    p.add_argument("db2")
+    p.add_argument("-o", dest="output", required=True)
+    _add_common(p)
+
+    # --- append ---
+    p = sub.add_parser("append", help="Sketch new genomes and append to a database")
+    p.add_argument("db")
+    p.add_argument("seq_files", nargs="*")
+    p.add_argument("-f", dest="file_list")
+    p.add_argument("-o", dest="output", required=True)
+    p.add_argument("--single-strand", action="store_true")
+    p.add_argument("--min-count", type=int, default=DEFAULT_MINCOUNT)
+    p.add_argument("--min-qual", type=int, default=DEFAULT_MINQUAL)
+    p.add_argument("--concat-fasta", action="store_true")
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--level", choices=["level1", "level2", "level3"], default="level1")
+    _add_common(p)
+
+    # --- delete ---
+    p = sub.add_parser("delete", help="Delete genome(s) from a database")
+    p.add_argument("db")
+    p.add_argument("samples", help="Input file with IDs to delete (one per line)")
+    p.add_argument("output_file")
+    _add_common(p)
+
+    # --- info ---
+    p = sub.add_parser("info", help="Print information about a .skm/.ski file")
+    p.add_argument("skm_file")
+    p.add_argument("--sample-info", action="store_true")
+    _add_common(p)
+
+    return parser
+
+
+def strip_sketch_extension(name: str) -> str:
+    if name.endswith((".skm", ".skd", ".ski")):
+        return name[:-4]
+    return name
+
+
+def _setup_logging(args):
+    level = logging.WARNING
+    if getattr(args, "quiet", False):
+        level = logging.ERROR
+    elif getattr(args, "verbose", False):
+        level = logging.INFO
+    logging.basicConfig(
+        stream=sys.stderr, level=level, format="%(asctime)s %(levelname)s %(message)s"
+    )
+
+
+def _ostream(path):
+    if path:
+        return open(path, "w")
+    return sys.stdout
+
+
+def _level_num(level_str: str) -> int:
+    return int(level_str[-1])
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _setup_logging(args)
+    start = time.time()
+    print_success = True
+
+    from .ingest import inputs as io_inputs
+    from .sketchcore.sketch import HashType
+    from .formats.skm import MultiSketch
+
+    if args.command == "sketch":
+        from .constants import num_bins
+        from .sketchcore.pipeline import sketch_files
+        from .runtime import select_backend
+
+        input_files = io_inputs.get_input_list(args.file_list, args.seq_files or None)
+        log.info("Parsed %d samples in input list", len(input_files))
+        kmers = io_inputs.parse_kmers(args.k_vals, args.k_seq)
+        rc = not args.single_strand
+        seq_type = HashType(args.seq_type, _level_num(args.level))
+        _, sketch_bins, _ = num_bins(args.sketch_size)
+        log.info(
+            "Running sketching: k:%s; sketch_size:%s; seq:%s; threads:%s",
+            kmers,
+            sketch_bins,
+            seq_type.debug_str(),
+            args.threads,
+        )
+        backend = select_backend(seq_type, len(input_files))
+        sketches = sketch_files(
+            args.output,
+            input_files,
+            args.concat_fasta,
+            kmers,
+            sketch_bins,
+            seq_type,
+            rc,
+            args.min_count,
+            args.min_qual,
+            threads=args.threads,
+            backend=backend,
+        )
+        ms = MultiSketch(sketches, sketch_bins, kmers, seq_type)
+        ms.save_metadata(args.output)
+
+    elif args.command == "dist":
+        from .dist import api, output as dist_output
+        from .runtime import select_engine
+
+        out = _ostream(args.output)
+        ref_name = strip_sketch_extension(args.ref_db)
+        references = MultiSketch.load_metadata(ref_name)
+        log.info("Loading sketch data from %s.skd", ref_name)
+        if args.subset:
+            references.read_sketch_data_block(
+                ref_name, io_inputs.read_subset_names(args.subset)
+            )
+        else:
+            references.read_sketch_data(ref_name)
+        n = references.number_samples_loaded()
+        ref_comp = (
+            io_inputs.read_completeness_file(args.ref_completeness_file, references)
+            if args.ref_completeness_file
+            else None
+        )
+        dist_type = api.set_k(references, args.kmer, args.ani)
+        log.info("%s", dist_type.describe())
+        engine = select_engine(references)
+
+        names = [references.sketch_name(i) for i in range(n)]
+        if args.query_db is None:
+            if args.knn is None:
+                d = api.self_dists_all(
+                    references,
+                    dist_type,
+                    ref_comp,
+                    args.completeness_cutoff,
+                    engine=engine,
+                )
+                dist_output.write_dense_self(out, names, d, dist_type.coreacc)
+            else:
+                nn = args.knn
+                if nn >= n:
+                    log.warning("knn=%d is higher than number of samples=%d", nn, n)
+                    nn = n - 1
+                rows = api.self_dists_knn(
+                    references,
+                    nn,
+                    dist_type,
+                    ref_comp,
+                    args.completeness_cutoff,
+                    engine=engine,
+                )
+                dist_output.write_sparse(out, names, names, rows, dist_type.coreacc)
+        else:
+            query_name = strip_sketch_extension(args.query_db)
+            queries = MultiSketch.load_metadata(query_name)
+            queries.read_sketch_data(query_name)
+            q_comp = (
+                io_inputs.read_completeness_file(args.query_completeness_file, queries)
+                if args.query_completeness_file
+                else None
+            )
+            qnames = [
+                queries.sketch_name(i) for i in range(queries.number_samples_loaded())
+            ]
+            if args.knn is not None:
+                nn = args.knn
+                if nn > n:
+                    log.warning(
+                        "knn=%d is higher than number of reference samples=%d", nn, n
+                    )
+                    nn = n
+                rows = api.cross_dists_knn(
+                    references,
+                    queries,
+                    nn,
+                    dist_type,
+                    ref_comp,
+                    q_comp,
+                    args.completeness_cutoff,
+                    engine=engine,
+                )
+                dist_output.write_sparse(out, qnames, names, rows, dist_type.coreacc)
+            else:
+                d = api.cross_dists_all(
+                    references,
+                    queries,
+                    dist_type,
+                    ref_comp,
+                    q_comp,
+                    args.completeness_cutoff,
+                    engine=engine,
+                )
+                dist_output.write_dense_cross(out, names, qnames, d, dist_type.coreacc)
+        if out is not sys.stdout:
+            out.close()
+
+    elif args.command == "inverted":
+        _inverted_main(args)
+
+    elif args.command == "merge":
+        from .formats import skd as skd_io
+
+        db1 = strip_sketch_extension(args.db1)
+        db2 = strip_sketch_extension(args.db2)
+        sketches1 = MultiSketch.load_metadata(db1)
+        sketches2 = MultiSketch.load_metadata(db2)
+        if not sketches1.is_compatible_with(sketches2):
+            raise SystemExit("Databases are not compatible for merging.")
+        merged = sketches1.merge_sketches(sketches2)
+        merged.save_metadata(args.output)
+        with open(f"{args.output}.skd", "wb") as out_f:
+            skd_io.append_skd(f"{db1}.skd", out_f)
+            skd_io.append_skd(f"{db2}.skd", out_f)
+
+    elif args.command == "append":
+        from .sketchcore.pipeline import sketch_files
+        from .formats import skd as skd_io
+        from .runtime import select_backend
+
+        input_files = io_inputs.get_input_list(args.file_list, args.seq_files or None)
+        db_metadata = MultiSketch.load_metadata(strip_sketch_extension(args.db))
+        if not db_metadata.append_compatibility(input_files):
+            raise SystemExit("Databases are not compatible for merging.")
+        kmers = db_metadata.kmer_lengths
+        rc = not args.single_strand
+        sketch_size = db_metadata.sketch_size
+        seq_type = db_metadata.hash_type
+        if seq_type.kind == "aa":
+            seq_type = HashType("aa", _level_num(args.level))
+        backend = select_backend(seq_type, len(input_files))
+        db2_sketches = sketch_files(
+            args.output,
+            input_files,
+            args.concat_fasta,
+            kmers,
+            sketch_size,
+            seq_type,
+            rc,
+            args.min_count,
+            args.min_qual,
+            threads=args.threads,
+            backend=backend,
+        )
+        db2_metadata = MultiSketch(db2_sketches, sketch_size, kmers, seq_type)
+        with open(f"{args.output}.skd", "ab") as out_f:
+            skd_io.append_skd(f"{strip_sketch_extension(args.db)}.skd", out_f)
+        concat = db2_metadata.merge_sketches(db_metadata)
+        concat.save_metadata(args.output)
+
+    elif args.command == "delete":
+        ref_db = strip_sketch_extension(args.db)
+        with open(args.samples) as f:
+            ids = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        sketches = MultiSketch.load_metadata(ref_db)
+        _delete_samples(sketches, ref_db, args.output_file, ids)
+
+    elif args.command == "info":
+        _info_main(args)
+        print_success = False
+
+    if print_success and not getattr(args, "quiet", False):
+        print(f"\U0001f9ec\U0001f58b️ sketchtpu done in {int(time.time() - start)}s", file=sys.stderr)
+    return 0
+
+
+def _delete_samples(ms, ref_db: str, output_file: str, ids: list[str]) -> None:
+    """Delete flow (lib.rs:879-908 + multisketch.rs:269-348): filter the
+    metadata (keeping the original index fields and name_map, as the
+    reference does), then rewrite the .skd keeping non-deleted positions."""
+    from .formats import skd as skd_io
+
+    removed = set()
+    new_meta = []
+    for sketch in ms.sketch_metadata:
+        if sketch.name in ids:
+            removed.add(sketch.name)
+        else:
+            new_meta.append(sketch)
+    missing = [i for i in ids if i not in removed]
+    if missing:
+        raise SystemExit(
+            f"The following samples have not been found in the database: {missing!r}"
+        )
+    positions = []
+    missing_ids = [i for i in ids if i not in ms.name_map]
+    if missing_ids:
+        raise SystemExit(f"The following genome IDs were not found: {missing_ids!r}")
+    positions = {ms.name_map[i] for i in ids}
+    keep = [
+        idx for idx in range(len(ms.sketch_metadata)) if idx not in positions
+    ]
+    ms.sketch_metadata = new_meta
+    ms.save_metadata(output_file)
+    data = skd_io.read_skd_batch(f"{ref_db}.skd", keep, ms.sample_stride)
+    with skd_io.SketchDataWriter(f"{output_file}.skd") as w:
+        for i in range(len(keep)):
+            w.write_sketch(data[i * ms.sample_stride : (i + 1) * ms.sample_stride])
+
+
+def _inverted_main(args) -> None:
+    from .ingest import inputs as io_inputs
+    from .inverted.index import Inverted
+    from .formats.skm import MultiSketch
+    from .sketchcore.sketch import HashType
+
+    if args.inverted_command == "build":
+        input_files = io_inputs.get_input_list(args.file_list, args.seq_files or None)
+        log.info("Parsed %d samples in input list", len(input_files))
+        distinct = {name for name, _ in input_files}
+        if args.species_names:
+            file_order, map_names_labels = io_inputs.reorder_input_files(
+                input_files, args.species_names
+            )
+        else:
+            names = [name for name, _ in input_files]
+            if len(distinct) == len(input_files):
+                file_order, map_names_labels = list(range(len(input_files))), None
+            else:
+                idx_map: dict[str, int] = {}
+                for name in names:
+                    if name not in idx_map:
+                        idx_map[name] = len(idx_map)
+                file_order, map_names_labels = [idx_map[n] for n in names], None
+
+        labels_vec = None
+        if map_names_labels is not None:
+            labels_vec = [""] * len(distinct)
+            for idx, (name, _f) in zip(file_order, input_files):
+                labels_vec[idx] = map_names_labels.get(name, "")
+        metadata_vec = None
+        if args.metadata:
+            md = io_inputs.parse_metadata_info(args.metadata)
+            metadata_vec = [""] * len(distinct)
+            for idx, (name, _f) in zip(file_order, input_files):
+                metadata_vec[idx] = md[name]
+
+        inv = Inverted.build(
+            input_files,
+            file_order,
+            args.kmer_length,
+            args.sketch_size,
+            not args.single_strand,
+            args.min_count,
+            args.min_qual,
+            write_skq=f"{args.output}.skq" if args.write_skq else None,
+            metadata=metadata_vec,
+            labels=labels_vec,
+            hash_type=HashType("dna"),
+        )
+        inv.save(args.output)
+        log.info("Index info:\n%s", inv.debug_str())
+
+    elif args.inverted_command == "query":
+        out = _ostream(args.output)
+        inv = Inverted.load(strip_sketch_extension(args.ski))
+        input_files = io_inputs.get_input_list(args.file_list, args.seq_files or None)
+        queries, query_names = inv.sketch_queries(
+            input_files, args.min_count, args.min_qual
+        )
+        out.write("Query")
+        if args.query_type == "match-count":
+            for name in inv.sample_names:
+                out.write(f"\t{name}")
+            out.write("\n")
+        else:
+            out.write("\tMatches\n")
+        for qi, q_name in enumerate(query_names):
+            q = queries[qi]
+            out.write(q_name)
+            if args.query_type == "match-count":
+                counts = inv.query_match_count(q)
+                for c in counts:
+                    out.write(f"\t{int(c)}")
+            else:
+                if args.query_type == "all-bins":
+                    hits = inv.all_shared_bins(q)
+                else:
+                    hits = inv.any_shared_bins(q)
+                if hits.size:
+                    out.write("\t" + ",".join(inv.sample_names[int(h)] for h in hits))
+            out.write("\n")
+        if out is not sys.stdout:
+            out.close()
+
+    elif args.inverted_command == "precluster":
+        from .dist import api, output as dist_output
+        from .formats import skd as skd_io
+        from .runtime import select_engine
+
+        input_prefix = strip_sketch_extension(args.ski)
+        inv = Inverted.load(input_prefix)
+        if args.count:
+            count = inv.any_shared_bin_count()
+            n = len(inv.sample_names)
+            print(
+                f"Identified {count} prefilter pairs from a max of "
+                f"{n * (n - 1) // 2}"
+            )
+        elif args.skd:
+            out = _ostream(args.output)
+            skq_bins = skd_io.read_all_skq(f"{input_prefix}.skq")
+            ref_name = strip_sketch_extension(args.skd)
+            references = MultiSketch.load_metadata(ref_name)
+            references.read_sketch_data(ref_name)
+            n = references.number_samples_loaded()
+            knn = args.knn
+            if knn >= n:
+                log.warning("knn=%d is higher than number of samples=%d", knn, n)
+                knn = n - 1
+            dist_type = api.set_k(references, inv.kmer_size, args.ani)
+            ref_comp = (
+                io_inputs.read_completeness_file(
+                    args.ref_completeness_file, references
+                )
+                if args.ref_completeness_file
+                else None
+            )
+            rows = api.self_dists_knn_precluster(
+                references,
+                inv,
+                skq_bins,
+                inv.sketch_size,
+                knn,
+                dist_type,
+                ref_comp,
+                args.completeness_cutoff,
+                args.retain_unmatched,
+                engine=select_engine(references),
+            )
+            names = [references.sketch_name(i) for i in range(n)]
+            dist_output.write_sparse(out, names, names, rows, coreacc=False)
+            if out is not sys.stdout:
+                out.close()
+        else:
+            raise SystemExit("one of --skd or --count is required")
+
+
+def _info_main(args) -> None:
+    from .formats.skm import MultiSketch
+    from .inverted.index import Inverted
+
+    name = args.skm_file
+    if name.endswith(".ski"):
+        inv = Inverted.load(name[:-4])
+        if args.sample_info:
+            print(inv.display_str())
+        else:
+            print(inv.debug_str())
+    else:
+        ms = MultiSketch.load_metadata(strip_sketch_extension(name))
+        if args.sample_info:
+            print(ms.display_str())
+        else:
+            print(ms.debug_str())
+
+
+if __name__ == "__main__":
+    sys.exit(main())

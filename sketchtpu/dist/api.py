@@ -276,6 +276,100 @@ def self_dists_knn(
     return rows_out
 
 
+def self_dists_knn_precluster(
+    ms,
+    inverted,
+    skq_bins: np.ndarray,
+    skq_stride: int,
+    knn: int,
+    dist_type: DistType,
+    completeness_vec=None,
+    completeness_cutoff: float = 0.64,
+    retain_unmatched: str | None = None,
+    engine=None,
+):
+    """kNN with inverted-index prefiltering (distances/mod.rs:399-553).
+
+    retain_unmatched: None | "singleton" | "bruteforce".
+    """
+    if dist_type.coreacc:
+        raise NotImplementedError(
+            "Prefilter only available for single k-mer distances"
+        )
+    engine = engine or _default_engine
+    n = ms.number_samples_loaded()
+    s64 = ms.sketchsize64
+    comp = (
+        np.asarray(completeness_vec, dtype=np.float64)
+        if completeness_vec is not None
+        else None
+    )
+    # name-based index mappings between the .skd and .ski orderings
+    skq_lookup = {name: i for i, name in enumerate(inverted.sample_names)}
+    skq_index_lookup = []
+    not_found = []
+    for skd_idx in range(n):
+        name = ms.sketch_name(skd_idx)
+        if name in skq_lookup:
+            skq_index_lookup.append(skq_lookup[name])
+        else:
+            not_found.append(name)
+    if not_found:
+        raise ValueError(
+            "The following samples in the .skd could not be found in the "
+            f".ski:\n{not_found!r}"
+        )
+    skd_index_from_ski = [0] * n
+    for skd_idx, ski_idx in enumerate(skq_index_lookup):
+        skd_index_from_ski[ski_idx] = skd_idx
+
+    mat = _usig_matrix(ms, dist_type.k_idx)
+    rows_out = []
+    for i in range(n):
+        ski_i = skq_index_lookup[i]
+        flat_i = skq_bins[ski_i * skq_stride : (ski_i + 1) * skq_stride]
+        candidates = inverted.any_shared_bins(flat_i)
+        candidates = candidates[candidates != ski_i]
+        skd_js = np.array(
+            [skd_index_from_ski[int(j)] for j in candidates], dtype=np.int64
+        )
+
+        def _dists_for(js: np.ndarray) -> np.ndarray:
+            sb = engine(mat[i : i + 1], mat[js]).reshape(-1)
+            c1 = np.full(js.size, comp[i]) if comp is not None else None
+            c2 = comp[js] if comp is not None else None
+            j_idx = jaccard_from_samebits(sb, s64, c1, c2, completeness_cutoff)
+            if dist_type.ani:
+                return (1.0 - ani_pois(j_idx, dist_type.k)).astype(np.float32)
+            return (1.0 - j_idx).astype(np.float32)
+
+        items: list[tuple[int, np.float32]] = []
+        if skd_js.size:
+            d = _dists_for(skd_js)
+            order = np.argsort(d, kind="stable")[:knn]
+            items = [(int(skd_js[x]), d[x]) for x in order]
+
+        if not items:
+            if retain_unmatched == "singleton":
+                row = [(i, np.float32(0.0))] + [(i, np.float32(1.0))] * (knn - 1)
+                rows_out.append(row)
+                continue
+            if retain_unmatched == "bruteforce":
+                js = np.array(
+                    [j for j in range(n) if j != i], dtype=np.int64
+                )
+                d = _dists_for(js)
+                order = np.argsort(d, kind="stable")[:knn]
+                items = [(int(js[x]), d[x]) for x in order]
+
+        if dist_type.ani:
+            items = [(j, np.float32(1.0) - d) for j, d in items]
+        if len(items) < knn:
+            items += [(i, np.float32(1.0))] * (knn - len(items))
+        rows_out.append(items)
+    return rows_out
+
+
 def cross_dists_knn(
     ref_ms,
     query_ms,

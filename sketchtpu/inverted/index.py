@@ -1,0 +1,313 @@
+"""Inverted sketch index (.ski/.skq): build, query, precluster.
+
+The reference stores one HashMap<u16 sign -> RoaringBitmap of samples> per
+bin (/root/reference/src/inverted.rs:48-58). The TPU-native in-memory
+representation here is the dense [n_samples x sketch_size] uint16 sign
+matrix — bin queries become vectorised equality reductions (and tile kernels
+on device, see dist/jaccard_jax.py) — while the .ski file keeps the
+reference's exact on-disk encoding (snappy-framed MessagePack with roaring
+bitmaps) for compatibility.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import num_bins
+from ..formats import msgpack, roaring, skd, snappy
+from ..formats.skm import FORMAT_VERSION
+from ..sketchcore.sketch import HashType
+from ..sketchcore.signs import (
+    bin_minima,
+    bin_minima_filtered,
+    densify,
+    signs_from_hashes,
+)
+from ..hash.nthash_np import nthash_valid
+from ..ingest.fastx import read_dna_sample
+
+_U16_MAX = np.uint16(0xFFFF)
+
+
+class Inverted:
+    def __init__(
+        self,
+        sign_matrix: np.ndarray,  # (n_samples, sketch_size) uint16
+        sample_names: list[str],
+        kmer_size: int,
+        rc: bool,
+        hash_type: HashType,
+        metadata: list[str] | None = None,
+        labels: list[str] | None = None,
+        sketch_version: str = FORMAT_VERSION,
+    ):
+        self.sign_matrix = np.ascontiguousarray(sign_matrix, dtype=np.uint16)
+        self.sample_names = sample_names
+        self.n_samples = len(sample_names)
+        self.metadata = metadata
+        self.labels = labels
+        self.kmer_size = kmer_size
+        self.sketch_version = sketch_version
+        self.rc = rc
+        self.hash_type = hash_type
+
+    @property
+    def sketch_size(self) -> int:
+        return int(self.sign_matrix.shape[1])
+
+    # --- construction (inverted.rs:66-113, 303-416) ---
+
+    @classmethod
+    def build(
+        cls,
+        input_files: list[tuple[str, list[str]]],
+        file_order: list[int],
+        k: int,
+        sketch_size: int,
+        rc: bool,
+        min_count: int,
+        min_qual: int,
+        write_skq: str | None = None,
+        metadata: list[str] | None = None,
+        labels: list[str] | None = None,
+        hash_type: HashType | None = None,
+        progress=None,
+    ) -> "Inverted":
+        hash_type = hash_type or HashType("dna")
+        if hash_type.kind != "dna":
+            raise NotImplementedError("Inverted index only supported for DNA")
+        sketches, names = sketch_files_inverted(
+            input_files,
+            file_order,
+            k,
+            sketch_size,
+            rc,
+            min_count,
+            min_qual,
+            progress=progress,
+        )
+        if write_skq:
+            with skd.SketchDataWriter(write_skq, dtype=np.uint16) as w:
+                for row in sketches:
+                    w.write_sketch(row)
+        return cls(
+            sign_matrix=sketches,
+            sample_names=names,
+            kmer_size=k,
+            rc=rc,
+            hash_type=hash_type,
+            metadata=metadata,
+            labels=labels,
+        )
+
+    def sketch_queries(
+        self,
+        input_files: list[tuple[str, list[str]]],
+        min_count: int,
+        min_qual: int,
+        progress=None,
+    ):
+        file_order = list(range(len(input_files)))
+        return sketch_files_inverted(
+            input_files,
+            file_order,
+            self.kmer_size,
+            self.sketch_size,
+            self.rc,
+            min_count,
+            min_qual,
+            progress=progress,
+        )
+
+    # --- file IO (inverted.rs:194-225) ---
+
+    def _index_maps(self):
+        """Per-bin {sign: sorted sample index array} from the dense matrix."""
+        maps = []
+        mat = self.sign_matrix
+        for b in range(self.sketch_size):
+            col = mat[:, b]
+            order = np.argsort(col, kind="stable")
+            svals = col[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], svals[1:] != svals[:-1]])
+            )
+            bounds = np.append(starts, svals.shape[0])
+            bin_map = {}
+            for si in range(starts.shape[0]):
+                members = np.sort(order[bounds[si] : bounds[si + 1]]).astype(
+                    np.uint32
+                )
+                bin_map[int(svals[starts[si]])] = members
+            maps.append(bin_map)
+        return maps
+
+    def to_serde(self):
+        """rmp-serde compact representation: struct as positional array."""
+        index = [
+            {sign: roaring.serialize(members) for sign, members in bin_map.items()}
+            for bin_map in self._index_maps()
+        ]
+        return [
+            index,
+            self.n_samples,
+            self.sample_names,
+            self.metadata,
+            self.labels,
+            self.kmer_size,
+            self.sketch_version,
+            self.rc,
+            self.hash_type.to_serde(),
+        ]
+
+    def save(self, file_prefix: str) -> None:
+        payload = msgpack.dumps(self.to_serde())
+        with open(f"{file_prefix}.ski", "wb") as f:
+            f.write(snappy.frame_compress(payload))
+
+    @classmethod
+    def load(cls, file_prefix: str) -> "Inverted":
+        with open(f"{file_prefix}.ski", "rb") as f:
+            payload = snappy.frame_decompress(f.read())
+        obj = msgpack.loads(payload)
+        (
+            index,
+            n_samples,
+            sample_names,
+            metadata,
+            labels,
+            kmer_size,
+            sketch_version,
+            rc,
+            hash_type,
+        ) = obj
+        sketch_size = len(index)
+        mat = np.full((n_samples, sketch_size), _U16_MAX, dtype=np.uint16)
+        for b, bin_map in enumerate(index):
+            for sign, blob in bin_map.items():
+                members = roaring.deserialize(blob)
+                mat[members, b] = np.uint16(sign)
+        inv = cls(
+            sign_matrix=mat,
+            sample_names=list(sample_names),
+            kmer_size=kmer_size,
+            rc=rc,
+            hash_type=HashType.from_serde(hash_type),
+            metadata=metadata,
+            labels=labels,
+            sketch_version=sketch_version,
+        )
+        inv.n_samples = n_samples
+        return inv
+
+    # --- queries (inverted.rs:229-300) ---
+
+    def query_match_count(self, query_sigs: np.ndarray) -> np.ndarray:
+        """Per-sample count of matching bins (u32)."""
+        q = np.asarray(query_sigs, dtype=np.uint16)
+        return (self.sign_matrix == q[None, :]).sum(axis=1, dtype=np.int64)
+
+    def all_shared_bins(self, query_sigs: np.ndarray) -> np.ndarray:
+        q = np.asarray(query_sigs, dtype=np.uint16)
+        return np.flatnonzero((self.sign_matrix == q[None, :]).all(axis=1))
+
+    def any_shared_bins(self, query_sigs: np.ndarray) -> np.ndarray:
+        q = np.asarray(query_sigs, dtype=np.uint16)
+        return np.flatnonzero((self.sign_matrix == q[None, :]).any(axis=1))
+
+    def any_shared_bin_count(self, tile: int = 2048) -> int:
+        """Number of distinct sample pairs sharing at least one bin (the
+        precluster --count mode, inverted.rs:271-300). Tiled over pair
+        blocks so it scales; the device engine accelerates this on TPU."""
+        n = self.n_samples
+        total = 0
+        mat = self.sign_matrix
+        for i0 in range(0, n, tile):
+            a = mat[i0 : i0 + tile]
+            for j0 in range(i0, n, tile):
+                b = mat[j0 : j0 + tile]
+                eq = (a[:, None, :] == b[None, :, :]).any(axis=2)
+                if i0 == j0:
+                    eq = np.triu(eq, k=1)
+                total += int(eq.sum())
+        return total
+
+    def debug_str(self) -> str:
+        sizes = [
+            len(np.unique(self.sign_matrix[:, b])) for b in range(self.sketch_size)
+        ]
+        avg = np.format_float_positional(
+            np.float64(sum(sizes) / len(sizes)), unique=True, trim="-"
+        )
+        return (
+            f"sketch_version={self.sketch_version}\n"
+            f"sequence_type={self.hash_type.debug_str()}\n"
+            f"sketch_size={self.sketch_size}\n"
+            f"n_samples={len(self.sample_names)}\n"
+            f"kmer={self.kmer_size}\n"
+            f"rc={str(self.rc).lower()}\n"
+            f"inverted=true\n"
+            f"max_hashes_per_bin={max(sizes)}\n"
+            f"min_hashes_per_bin={min(sizes)}\n"
+            f"avg_hashes_per_bin={avg}"
+        )
+
+    def display_str(self) -> str:
+        return "Name\n" + "".join(f"{name}\n" for name in self.sample_names)
+
+
+def sketch_files_inverted(
+    input_files: list[tuple[str, list[str]]],
+    file_order: list[int],
+    k: int,
+    sketch_size: int,
+    rc: bool,
+    min_count: int,
+    min_qual: int,
+    progress=None,
+) -> tuple[np.ndarray, list[str]]:
+    """Sketch without bit-plane transpose; returns the (n, sketch_size) u16
+    sign matrix and sample names in index order.
+
+    Multi-entry samples (same name, several input rows mapped to one
+    genome_idx) are merged by per-bin minimum of the *u16-truncated* signs
+    and — exactly as the reference does — are never densified afterwards,
+    because the truncated empty-bin marker 0xFFFF no longer equals u64::MAX
+    (inverted.rs:376-405).
+    """
+    n_distinct = len(set(name for name, _ in input_files))
+    results: list[np.ndarray | None] = [None] * n_distinct
+    seen_names: set[str] = set()
+    multi = {
+        name
+        for name in [n for n, _ in input_files]
+        if [n for n, _ in input_files].count(name) > 1
+    }
+    names_out = [""] * n_distinct
+    for idx, (name, _files) in zip(file_order, input_files):
+        names_out[idx] = name
+
+    for (name, files), genome_idx in zip(input_files, file_order):
+        stream = read_dna_sample(files, min_qual)
+        if stream.seq_len == 0:
+            raise ValueError(f"Genome {genome_idx} has no valid sequence")
+        hashes = nthash_valid(stream, k, rc)
+        signs = signs_from_hashes(hashes)
+        if stream.reads:
+            binned = bin_minima_filtered(signs, sketch_size, min_count)
+        else:
+            binned = bin_minima(signs, sketch_size)
+        if name not in seen_names:
+            if name not in multi:
+                densify(binned)
+            results[genome_idx] = binned.astype(np.uint16)
+            seen_names.add(name)
+        else:
+            results[genome_idx] = np.minimum(
+                results[genome_idx], binned.astype(np.uint16)
+            )
+        if progress is not None:
+            progress()
+
+    mat = np.stack([r for r in results])
+    return mat, names_out

@@ -1,0 +1,69 @@
+"""Backend selection: host (NumPy oracle) vs TPU (JAX/Pallas).
+
+The TPU paths produce bit-identical sketches and samebits counts; selection
+is therefore purely a performance decision:
+- SKETCHTPU_BACKEND=host|tpu forces a backend.
+- auto: use the device engine when a non-CPU JAX backend is available and
+  the workload is large enough to amortise compilation.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+log = logging.getLogger("sketchtpu")
+
+_MIN_SAMPLES_FOR_DEVICE_SKETCH = 1
+_MIN_SAMPLES_FOR_DEVICE_DIST = 64
+
+
+def _mode() -> str:
+    return os.environ.get("SKETCHTPU_BACKEND", "auto")
+
+
+def _device_available() -> bool:
+    try:
+        import jax
+
+        platform = jax.default_backend()
+        return platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def select_backend(seq_type, n_samples: int):
+    """Batched device sketching backend, or None for the host path."""
+    mode = _mode()
+    if mode == "host":
+        return None
+    if seq_type.kind != "dna":
+        return None
+    if mode == "tpu" or (
+        _device_available() and n_samples >= _MIN_SAMPLES_FOR_DEVICE_SKETCH
+    ):
+        try:
+            from .sketchcore.sketch_jax import DeviceSketchBackend
+
+            return DeviceSketchBackend()
+        except Exception as exc:  # pragma: no cover
+            log.warning("device sketch backend unavailable (%s); using host", exc)
+            return None
+    return None
+
+
+def select_engine(ms):
+    """samebits engine for distance drivers, or None for the host path."""
+    mode = _mode()
+    if mode == "host":
+        return None
+    n = ms.number_samples_loaded()
+    if mode == "tpu" or (_device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_DIST):
+        try:
+            from .dist.jaccard_jax import DeviceSamebitsEngine
+
+            return DeviceSamebitsEngine(ms.sketchsize64).matrix
+        except Exception as exc:  # pragma: no cover
+            log.warning("device distance engine unavailable (%s); using host", exc)
+            return None
+    return None

@@ -1,0 +1,119 @@
+"""sketch_files: the batch sketching pipeline driving ingest -> hashing ->
+sign extraction -> .skd writing.
+
+Unlike the reference's rayon + mpsc + serial-writer arrangement
+(src/sketch/mod.rs:283-394), samples are written in deterministic input
+order; ingest/hashing is parallelised over a host thread pool, and the
+hash/bin compute can run on the TPU backend (sketch_jax) in batches.
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+
+from ..formats.skd import SketchDataWriter
+from ..ingest.fastx import aa_stream_from_string, read_aa_sample, read_dna_sample
+from .sketch import HashType, Sketch, sketch_aa_sample, sketch_dna_sample
+
+log = logging.getLogger("sketchtpu")
+
+
+def sketch_files(
+    output_prefix: str,
+    input_files: list[tuple[str, list[str]]],
+    concat_fasta: bool,
+    kmers: list[int],
+    sketch_bins: int,
+    seq_type: HashType,
+    rc: bool,
+    min_count: int,
+    min_qual: int,
+    threads: int = 1,
+    backend=None,
+    progress=None,
+) -> list[Sketch]:
+    """Sketch every input sample and write {output_prefix}.skd.
+
+    Returns the sketch metadata list (with .skd indices assigned, usigs
+    dropped). `backend` optionally provides a batched device sketcher with a
+    `sketch_dna_streams(streams, kmers, sketch_bins, rc)` method.
+    """
+    if concat_fasta and seq_type.kind in ("dna", "pdb"):
+        raise ValueError("--concat-fasta currently only supported with --seq-type aa")
+
+    def build_sample(name_files):
+        name, files = name_files
+        if seq_type.kind == "dna":
+            stream = read_dna_sample(files, min_qual)
+            if stream.seq_len == 0:
+                raise ValueError(f"{name} has no valid sequence")
+            return [
+                sketch_dna_sample(stream, name, kmers, sketch_bins, rc, min_count)
+            ]
+        elif seq_type.kind == "aa":
+            streams = read_aa_sample(files, concat_fasta)
+            out = []
+            for idx, stream in enumerate(streams):
+                sample_name = f"{name}_{idx + 1}" if concat_fasta else name
+                if stream.seq_len == 0:
+                    raise ValueError(f"{sample_name} has no valid sequence")
+                out.append(
+                    sketch_aa_sample(
+                        stream, sample_name, kmers, sketch_bins, seq_type.level, rc
+                    )
+                )
+            return out
+        else:  # pdb: inputs are 3Di sequences hashed as AA level 1
+            streams = read_aa_sample(files, False)
+            return [
+                sketch_aa_sample(stream, name, kmers, sketch_bins, 1, rc)
+                for stream in streams
+            ]
+
+    sketches: list[Sketch] = []
+    with SketchDataWriter(f"{output_prefix}.skd") as writer:
+        if backend is not None and seq_type.kind == "dna":
+            # Device-batched path: parse on host threads, hash/bin on TPU.
+            with ThreadPoolExecutor(max_workers=max(threads, 1)) as pool:
+                streams = list(
+                    pool.map(lambda nf: read_dna_sample(nf[1], min_qual), input_files)
+                )
+            for (name, _files), stream in zip(input_files, streams):
+                if stream.seq_len == 0:
+                    raise ValueError(f"{name} has no valid sequence")
+            batch = backend.sketch_dna_streams(
+                streams,
+                [name for name, _ in input_files],
+                kmers,
+                sketch_bins,
+                rc,
+                min_count,
+            )
+            for sketch in batch:
+                sketch.index = writer.write_sketch(sketch.usigs)
+                sketch.usigs = None
+                sketches.append(sketch)
+                if progress is not None:
+                    progress()
+            return sketches
+
+        if threads > 1:
+            with ThreadPoolExecutor(max_workers=threads) as pool:
+                results = pool.map(build_sample, input_files)
+                for sample_sketches in results:
+                    for sketch in sample_sketches:
+                        sketch.index = writer.write_sketch(sketch.usigs)
+                        sketch.usigs = None
+                        sketches.append(sketch)
+                    if progress is not None:
+                        progress()
+        else:
+            for name_files in input_files:
+                for sketch in build_sample(name_files):
+                    sketch.index = writer.write_sketch(sketch.usigs)
+                    sketch.usigs = None
+                    sketches.append(sketch)
+                if progress is not None:
+                    progress()
+    return sketches

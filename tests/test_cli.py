@@ -1,0 +1,154 @@
+"""CLI-level golden tests, mirroring the reference's snapbox integration
+tests (tests/{sketch,inverted,merge,concat,delete}.rs)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from sketchtpu.cli import main
+
+GENOMES = [
+    "14412_3#82.contigs_velvet.fa.gz",
+    "14412_3#84.contigs_velvet.fa.gz",
+    "R6.fa.gz",
+    "TIGR4.fa.gz",
+]
+
+
+@pytest.fixture()
+def wd(tmp_path, ref_in, monkeypatch):
+    for g in GENOMES:
+        shutil.copy(ref_in / g, tmp_path / g)
+    shutil.copy(ref_in / "rfile.txt", tmp_path / "rfile.txt")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SKETCHTPU_BACKEND", "host")
+    return tmp_path
+
+
+def run(*argv):
+    assert main(list(argv)) == 0
+
+
+def test_sketch_info_goldens(wd, ref_correct, capsys):
+    run("sketch", "--k-vals", "31", GENOMES[0], GENOMES[1], "-o", "assembly",
+        "--quiet")
+    run("info", "assembly.skm")
+    got = capsys.readouterr().out
+    want = (ref_correct / "assembly_sketch_info.stdout").read_text()
+    assert got.splitlines()[1:] == want.splitlines()[1:]  # line 0 has version
+    run("info", "--sample-info", "assembly.skm")
+    got = capsys.readouterr().out
+    want = (ref_correct / "assembly_sketch_full_info.stdout").read_text()
+    assert got == want.replace("[..]", "")
+
+
+def test_fastq_sketch_goldens(wd, ref_in, ref_correct, capsys):
+    with open("fq_rfile.txt", "w") as f:
+        for p in ("test_1", "test_2"):
+            f.write(
+                f"{p}\t{ref_in}/{p}_fwd.fastq.gz\t{ref_in}/{p}_rev.fastq.gz\n"
+            )
+    run("sketch", "-f", "fq_rfile.txt", "-o", "reads", "--min-count", "2",
+        "-k", "9", "--min-qual", "2", "--quiet")
+    run("info", "--sample-info", "reads")
+    got = capsys.readouterr().out
+    assert got == (ref_correct / "read_sketch_full_info.stdout").read_text()
+
+
+def test_fastq_three_files_fails(wd, ref_in):
+    with open("bad_rfile.txt", "w") as f:
+        f.write(
+            f"test_1\t{ref_in}/test_1_fwd.fastq.gz\t"
+            f"{ref_in}/test_1_rev.fastq.gz\tnope.fastq.gz\n"
+        )
+    with pytest.raises((ValueError, SystemExit)):
+        run("sketch", "-f", "bad_rfile.txt", "-o", "readsbad", "--min-count",
+            "2", "-k", "9", "--quiet")
+
+
+def test_merge_append_delete_equivalences(wd):
+    run("sketch", "--k-vals", "17", GENOMES[0], GENOMES[1], "-o", "part1",
+        "--quiet")
+    run("sketch", "--k-vals", "17", GENOMES[2], GENOMES[3], "-o", "part2",
+        "--quiet")
+    run("sketch", "--k-vals", "17", *GENOMES, "-o", "merged_ref", "--quiet")
+    run("merge", "part1", "part2", "-o", "merged_test", "--quiet")
+    assert (
+        (wd / "merged_test.skd").read_bytes()
+        == (wd / "merged_ref.skd").read_bytes()
+    )
+    with pytest.raises((SystemExit, ValueError)):
+        run("merge", "part1", "part1", "-o", "bad", "--quiet")
+
+    # append: new samples first, then the old db (lib.rs:860-869)
+    run("append", "part1", GENOMES[2], GENOMES[3], "-o", "appended", "--quiet")
+    run("sketch", "--k-vals", "17", GENOMES[2], GENOMES[3], GENOMES[0],
+        GENOMES[1], "-o", "append_ref", "--quiet")
+    assert (
+        (wd / "appended.skd").read_bytes()
+        == (wd / "append_ref.skd").read_bytes()
+    )
+
+    with open("del.txt", "w") as f:
+        f.write("TIGR4.fa.gz\n")
+    run("delete", "merged_ref", "del.txt", "deleted", "--quiet")
+    run("sketch", "--k-vals", "17", GENOMES[0], GENOMES[1], GENOMES[2], "-o",
+        "delete_ref", "--quiet")
+    assert (
+        (wd / "deleted.skd").read_bytes()
+        == (wd / "delete_ref.skd").read_bytes()
+    )
+
+
+def test_inverted_build_query_precluster(wd, ref_correct, capsys):
+    run("inverted", "build", "-o", "inv", "-k", "21", "-s", "10", "-f",
+        "rfile.txt", "--write-skq", "--quiet")
+    assert (wd / "inv.skq").read_bytes() == (
+        ref_correct / "inverted.skq"
+    ).read_bytes()
+
+    run("inverted", "query", "-f", "rfile.txt", "inv.ski", "-o", "qc.out",
+        "--quiet")
+    got = sorted((wd / "qc.out").read_text().splitlines())
+    want = sorted(
+        (ref_correct / "inverted_query_count.stdout").read_text().splitlines()
+    )
+    assert got == want
+
+    run("inverted", "precluster", "--count", "inv.ski", "--quiet")
+    out = capsys.readouterr().out
+    assert "Identified 2 prefilter pairs from a max of 6" in out
+
+    run("sketch", "-o", "standard", "--k-vals", "21", "-s", "1000", "-f",
+        "rfile.txt", "--quiet")
+    run("inverted", "precluster", "--knn", "1", "--skd", "standard",
+        "inv.ski", "-o", "prec.out", "--quiet")
+    got = sorted((wd / "prec.out").read_text().splitlines())
+    want = sorted(
+        (ref_correct / "inverted_precluster.stdout").read_text().splitlines()
+    )
+    assert got == want
+
+    run("inverted", "precluster", "--knn", "1", "--ani", "--skd", "standard",
+        "inv.ski", "-o", "prec_ani.out", "--quiet")
+    got = sorted((wd / "prec_ani.out").read_text().splitlines())
+    want = sorted(
+        (ref_correct / "inverted_precluster_ani.stdout").read_text().splitlines()
+    )
+    assert got == want
+
+
+def test_inverted_ski_roundtrip(wd):
+    from sketchtpu.inverted.index import Inverted
+
+    run("inverted", "build", "-o", "rt", "-k", "21", "-s", "10", "-f",
+        "rfile.txt", "--quiet")
+    inv = Inverted.load("rt")
+    inv.save("rt2")
+    inv2 = Inverted.load("rt2")
+    assert np.array_equal(inv.sign_matrix, inv2.sign_matrix)
+    assert inv.sample_names == inv2.sample_names
+    assert inv.kmer_size == inv2.kmer_size
+    assert inv.rc == inv2.rc
