@@ -31,14 +31,21 @@ def samebits_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def samebits_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """All-pairs samebits: a (na, W), b (nb, W) -> (na, nb) int64."""
+    """All-pairs samebits: a (na, W), b (nb, W) -> (na, nb) int64.
+
+    Tiled so the broadcast intermediate stays bounded (~tens of MB)."""
     na, w = a.shape
     nb = b.shape[0]
     s64 = w // BBITS
+    out = np.empty((na, nb), dtype=np.int64)
+    # keep na_t * nb_t * s64 u64 words around 4M elements
+    tile = max(1, (1 << 22) // max(1, na * s64))
     ar = a.reshape(na, 1, s64, BBITS)
-    br = b.reshape(1, nb, s64, BBITS)
-    acc = np.bitwise_and.reduce(~(ar ^ br), axis=3)
-    return np.bitwise_count(acc).sum(axis=2, dtype=np.int64)
+    for j0 in range(0, nb, tile):
+        br = b[j0 : j0 + tile].reshape(1, -1, s64, BBITS)
+        acc = np.bitwise_and.reduce(~(ar ^ br), axis=3)
+        out[:, j0 : j0 + tile] = np.bitwise_count(acc).sum(axis=2, dtype=np.int64)
+    return out
 
 
 def jaccard_from_samebits(

@@ -11,8 +11,33 @@ from __future__ import annotations
 
 import logging
 import os
+from pathlib import Path
 
 log = logging.getLogger("sketchtpu")
+
+_cache_ready = False
+
+
+def enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (the hash kernels have
+    large unrolled graphs; compiling them once per (k, bucket) config and
+    reusing from disk matters a lot on cold starts)."""
+    global _cache_ready
+    if _cache_ready:
+        return
+    _cache_ready = True
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "SKETCHTPU_JAX_CACHE",
+            str(Path.home() / ".cache" / "sketchtpu" / "jax_cache"),
+        )
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # pragma: no cover
+        log.debug("could not enable jax compilation cache: %s", exc)
 
 _MIN_SAMPLES_FOR_DEVICE_SKETCH = 1
 _MIN_SAMPLES_FOR_DEVICE_DIST = 64

@@ -1,0 +1,270 @@
+"""Batched TPU sketching backend.
+
+Concatenates a batch of genome streams into one device program per k
+(hash -> Mersenne mod -> magic-divide binning -> two-pass scatter-min), so
+XLA compiles a single fused pipeline per (k, bucket size) and the whole
+batch's bin minima come back in one transfer. Densification and the b-bit
+plane transpose are O(num_bins) host work per sample.
+
+Produces Sketch objects bit-identical to the host oracle
+(sketchcore/sketch.py) — asserted by tests/test_device_parity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import SIGN_MOD, num_bins as num_bins_fn
+from ..hash.nthash_jax import (
+    MAX_K,
+    combine_bin_minima,
+    hash_bin_kernel,
+    hash_signs_kernel,
+    magic_divider,
+    tap_tables_u32,
+)
+from ..hash.nthash_np import valid_window_mask
+from ..ingest.fastx import DnaStream
+from .signs import bin_minima_filtered, densify, fill_usigs
+from .sketch import Sketch
+
+# Up to this many concatenated bases per device batch (~bounded HBM temps).
+_BATCH_BASES = 1 << 24  # 16M
+# genomes per device group: the sort key packs the genome index into 3 bits
+# (value 7 marks invalid windows), so at most 7 genomes share one kernel call
+_MAX_GROUP = 7
+
+
+def _bucket(n: int) -> int:
+    """Pad lengths to half-power-of-two buckets to bound recompilation."""
+    b = 1 << 14
+    while b < n:
+        b += b // 2 if (b & (b - 1)) else b // 2
+    return b
+
+
+def _bucket_size(n: int) -> int:
+    b = 1 << 14
+    while b < n:
+        b *= 2
+    return b
+
+
+class DeviceSketchBackend:
+    def __init__(self):
+        from ..runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        self._magic_cache: dict[int, tuple[int, int]] = {}
+
+    def _magic(self, nbins: int) -> tuple[int, int]:
+        if nbins not in self._magic_cache:
+            binsize = (SIGN_MOD + nbins - 1) // nbins
+            self._magic_cache[nbins] = magic_divider(binsize, nbins)
+        return self._magic_cache[nbins]
+
+    def _groups(self, streams):
+        start = 0
+        while start < len(streams):
+            end = start
+            total = 0
+            while (
+                end < len(streams)
+                and end - start < _MAX_GROUP
+                and (
+                    end == start or total + streams[end].seq_len <= _BATCH_BASES
+                )
+            ):
+                total += streams[end].seq_len
+                end += 1
+            yield start, end
+            start = end
+
+    def bin_minima_batch(
+        self,
+        streams: list[DnaStream],
+        k: int,
+        rc: bool,
+        nbins: int,
+    ) -> np.ndarray:
+        """Per-bin minima for a batch of streams at one k: (G, nbins) u64."""
+        out = np.empty((len(streams), nbins), dtype=np.uint64)
+        for start, end in self._groups(streams):
+            out[start:end] = self._bin_minima_group(
+                streams[start:end], k, rc, nbins
+            )
+        return out
+
+    def bin_minima_multi_k(
+        self,
+        streams: list[DnaStream],
+        kmers: list[int],
+        rc: bool,
+        nbins: int,
+    ) -> dict[int, np.ndarray]:
+        """Per-bin minima for all k values; the packed stream (the bulk of
+        host->device traffic) is uploaded once per genome group and reused
+        across k."""
+        import jax
+
+        out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
+        for start, end in self._groups(streams):
+            group = streams[start:end]
+            g = len(group)
+            # breaks are k-independent; prepare with the smallest k
+            packed, breakbits, starts, total = self._prepare_group(
+                group, min(kmers)
+            )
+            packed_d = jax.device_put(packed)
+            breakbits_d = jax.device_put(breakbits)
+            out_rows = _MAX_GROUP
+            starts_pad = np.full(out_rows, total, dtype=np.int32)
+            starts_pad[:g] = starts
+            results = {}
+            for kk in kmers:
+                taps_fwd, taps_rev = tap_tables_u32(kk, rc)
+                results[kk] = hash_bin_kernel(
+                    packed_d,
+                    breakbits_d,
+                    starts_pad,
+                    np.int32(total),
+                    np.int32(kk),
+                    taps_fwd,
+                    taps_rev,
+                    rc=rc,
+                    num_bins=nbins,
+                    magic=self._magic(nbins),
+                    out_rows=out_rows,
+                )
+            for kk, (min_hi, min_lo, found) in results.items():
+                mh = np.asarray(min_hi).reshape(out_rows, nbins)[:g]
+                ml = np.asarray(min_lo).reshape(out_rows, nbins)[:g]
+                fd = np.asarray(found).reshape(out_rows, nbins)[:g]
+                out[kk][start:end] = combine_bin_minima(mh, ml, fd)
+        return out
+
+    def _prepare_group(self, streams, k: int):
+        """Host-side packing of a genome group: 2-bit packed stream plus
+        sorted break positions and genome start offsets (the only data that
+        crosses the host->device link)."""
+        total = sum(s.seq_len for s in streams)
+        n_pad = _bucket_size(total + MAX_K)
+        codes = np.zeros(n_pad, dtype=np.uint8)
+        break_parts = []
+        starts = []
+        pos = 0
+        for s in streams:
+            n = s.seq_len
+            codes[pos : pos + n] = s.codes
+            starts.append(pos)
+            if s.breaks.size:
+                break_parts.append(s.breaks + pos)
+            pos += n
+        bflags = np.zeros(n_pad, dtype=np.uint8)
+        if break_parts:
+            breaks = np.concatenate(break_parts)
+            bflags[breaks[breaks < n_pad]] = 1
+        breakbits = np.packbits(bflags, bitorder="little")
+        packed = np.zeros(n_pad // 4, dtype=np.uint8)
+        c = codes.reshape(-1, 4).astype(np.uint8)
+        packed[:] = (c[:, 0] << 6) | (c[:, 1] << 4) | (c[:, 2] << 2) | c[:, 3]
+        return packed, breakbits, np.array(starts, dtype=np.int32), total
+
+    def _bin_minima_group(self, streams, k, rc, nbins) -> np.ndarray:
+        g = len(streams)
+        packed, breakbits, starts, total = self._prepare_group(streams, k)
+        out_rows = _MAX_GROUP
+        starts_pad = np.full(out_rows, total, dtype=np.int32)
+        starts_pad[:g] = starts
+        taps_fwd, taps_rev = tap_tables_u32(k, rc)
+        min_hi, min_lo, found = hash_bin_kernel(
+            packed,
+            breakbits,
+            starts_pad,
+            np.int32(total),
+            np.int32(k),
+            taps_fwd,
+            taps_rev,
+            rc=rc,
+            num_bins=nbins,
+            magic=self._magic(nbins),
+            out_rows=out_rows,
+        )
+        min_hi = np.asarray(min_hi).reshape(out_rows, nbins)[:g]
+        min_lo = np.asarray(min_lo).reshape(out_rows, nbins)[:g]
+        found = np.asarray(found).reshape(out_rows, nbins)[:g]
+        return combine_bin_minima(min_hi, min_lo, found)
+
+    def signs_in_order(self, stream: DnaStream, k: int, rc: bool) -> np.ndarray:
+        """Valid-window signs in sequence order (for the order-dependent
+        FASTQ count-filter, which must run sequentially on the host)."""
+        n = stream.seq_len
+        n_pad = _bucket_size(n + MAX_K)
+        codes = np.zeros(n_pad, dtype=np.uint8)
+        codes[:n] = stream.codes
+        packed = np.zeros(n_pad // 4, dtype=np.uint8)
+        c = codes.reshape(-1, 4)
+        packed[:] = (c[:, 0] << 6) | (c[:, 1] << 4) | (c[:, 2] << 2) | c[:, 3]
+        taps_fwd, taps_rev = tap_tables_u32(k, rc)
+        lo, hi = hash_signs_kernel(packed, np.int32(k), taps_fwd, taps_rev, rc=rc)
+        lo = np.asarray(lo)[: n - k + 1].astype(np.uint64)
+        hi = np.asarray(hi)[: n - k + 1].astype(np.uint64)
+        signs = (hi << np.uint64(32)) | lo
+        mask = valid_window_mask(n, stream.breaks, k)
+        return signs[mask]
+
+    def sketch_dna_streams(
+        self,
+        streams: list[DnaStream],
+        names: list[str],
+        kmers: list[int],
+        sketch_size: int,
+        rc: bool,
+        min_count: int,
+    ) -> list[Sketch]:
+        _s64, nbins, _u = num_bins_fn(sketch_size)
+        g = len(streams)
+        assembly_idx = [i for i, s in enumerate(streams) if not s.reads]
+        read_idx = [i for i, s in enumerate(streams) if s.reads]
+
+        bins_per_k: dict[int, dict[int, np.ndarray]] = {kk: {} for kk in kmers}
+        if assembly_idx:
+            multi = self.bin_minima_multi_k(
+                [streams[i] for i in assembly_idx], kmers, rc, nbins
+            )
+            for kk in kmers:
+                for bi, i in enumerate(assembly_idx):
+                    bins_per_k[kk][i] = multi[kk][bi]
+        for kk in kmers:
+            for i in read_idx:
+                signs = self.signs_in_order(streams[i], kk, rc)
+                bins_per_k[kk][i] = bin_minima_filtered(signs, nbins, min_count)
+
+        out = []
+        for i, (stream, name) in enumerate(zip(streams, names)):
+            usigs_parts = []
+            minhash_sum = 0.0
+            densified_any = False
+            for kk in kmers:
+                binned = bins_per_k[kk][i].copy()
+                if (binned == np.uint64(0xFFFFFFFFFFFFFFFF)).all():
+                    raise ValueError("K-mer larger than smallest valid sequence")
+                densified_any |= densify(binned)
+                minhash_sum += float(binned[0]) / float(SIGN_MOD)
+                usigs_parts.append(fill_usigs(binned))
+            seq_length = (
+                int(len(kmers) / minhash_sum) if stream.reads else stream.seq_len
+            )
+            out.append(
+                Sketch(
+                    name=name,
+                    rc=rc,
+                    reads=stream.reads,
+                    seq_length=seq_length,
+                    densified=densified_any,
+                    acgt=tuple(int(x) for x in stream.acgt),
+                    non_acgt=stream.non_acgt,
+                    usigs=np.concatenate(usigs_parts),
+                )
+            )
+        return out
