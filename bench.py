@@ -1,0 +1,89 @@
+"""Benchmark: pairwise sketch comparisons/s on one TPU chip.
+
+Measures the hot kernel of every distance mode — the samebits tile
+(XNOR + 14-plane AND + popcount over b-bit sketch planes, jaccard.rs:6-45
+in the reference) — at the default sketch size (s=1000 -> 1024 bins,
+sketchsize64=16), which is compute-bound on the TPU VPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": pair-comparisons/s at one k, "unit": ...,
+   "vs_baseline": value / BASELINE_CPU_RATE}
+
+BASELINE_CPU_RATE is the estimated rate of the reference (sketchlib.rust)
+on a 64-core CPU. The reference publishes no numbers and this image has no
+Rust toolchain to measure it (BASELINE.md), so the denominator is derived
+from the kernel's op count: 16 chunks x (14 XOR + 14 ANDNOT) u64 ops + 16
+popcounts per pair ~ 120 AVX2 ops/pair ~ 45 ns/core at 3 GHz with perfect
+vectorisation -> ~1.4e9 pair/s ideal on 64 cores; with observed rayon/memory
+efficiency of such kernels (~70%) -> 1.0e9 pair/s. Recorded as an estimate.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CPU_RATE = 1.0e9  # est. sketchlib.rust pair comparisons/s, 64-core CPU
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sketchtpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    from sketchtpu.dist.jaccard_jax import _samebits_tile
+
+    s64 = 16  # sketch size 1024 bins (reference default -s 1000)
+    w2 = s64 * 14 * 2
+    na = nb = 4096
+
+    # Generate sketch-plane data on device (host->device bandwidth must not
+    # pollute the kernel measurement; on this rig the TPU is tunneled).
+    key = jax.random.PRNGKey(0)
+    a = jax.random.bits(key, (na, w2), dtype=jnp.uint32)
+    b = jax.random.bits(jax.random.PRNGKey(1), (nb, w2), dtype=jnp.uint32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("s64", "inner"))
+    def tile_probe(a, b, salt, s64, inner):
+        # The salt chains iterations (defeats remote-runtime memoization and
+        # keeps the measurement free of host round-trips).
+        def body(_, s):
+            r = _samebits_tile(a ^ s, b, s64)
+            # consume the whole tile so nothing is dead-code-eliminated
+            return r.sum().astype(jnp.uint32) ^ jnp.uint32(1)
+
+        return jax.lax.fori_loop(0, inner, body, salt)
+
+    inner = 5
+    # warmup / compile
+    float(tile_probe(a, b, jnp.uint32(0), s64, inner))
+    reps = 4
+    t0 = time.time()
+    salt = jnp.uint32(1)
+    for _ in range(reps):
+        salt = tile_probe(a, b, salt, s64, inner)
+    float(salt)
+    dt = (time.time() - t0) / (reps * inner)
+    pairs_per_s = na * nb / dt
+
+    print(
+        f"samebits tile {na}x{nb} (s64={s64}): {dt * 1e3:.2f} ms "
+        f"-> {pairs_per_s / 1e9:.3f} G pair/s/chip",
+        file=sys.stderr,
+    )
+    result = {
+        "metric": "pairwise sketch comparisons/s/chip (samebits, s=1000, one k)",
+        "value": round(pairs_per_s, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / BASELINE_CPU_RATE, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Multi-chip sharding of the distance computation.
+
+Design (the scaling-book recipe applied to sketch comparison):
+
+- The sketch database is sharded by sample ("rows" axis = the data-parallel
+  analogue): each device holds an equal block of reference sketches.
+- Optionally the sketch word dimension is sharded too ("words" axis = the
+  tensor-parallel analogue): each device computes partial samebits over its
+  plane-word slice and a psum over the words axis yields exact counts.
+  Useful when sketches are very large (s >= 100k bins).
+- Query blocks are broadcast (all-gather on the rows axis); each device
+  emits its (rows_shard x query) tile of the distance matrix. Tiles ride
+  ICI; the host only sees the reduced per-tile outputs.
+
+Single-host multi-chip uses one jax.sharding.Mesh; multi-host extends the
+same mesh over jax.distributed processes (same code path — the mesh simply
+spans more devices).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import BBITS
+from ..dist.jaccard_jax import _samebits_tile
+
+
+def make_mesh(n_rows: int | None = None, n_words: int = 1) -> Mesh:
+    """Mesh over available devices: ('rows', 'words')."""
+    devices = np.array(jax.devices())
+    if n_rows is None:
+        n_rows = devices.size // n_words
+    devices = devices[: n_rows * n_words].reshape(n_rows, n_words)
+    return Mesh(devices, ("rows", "words"))
+
+
+@functools.partial(jax.jit, static_argnames=("s64", "mesh"))
+def _sharded_samebits(a, b, s64: int, mesh: Mesh):
+    """a: (na, W2) row-sharded + word-sharded; b: (nb, W2) word-sharded,
+    replicated over rows. Returns (na, nb) int32, row-sharded."""
+
+    def tile_fn(a_blk, b_blk):
+        # a_blk: (na/rows, W2/words); b_blk: (nb, W2/words)
+        partial = _samebits_tile(a_blk, b_blk, s64 // mesh.shape["words"])
+        return jax.lax.psum(partial, "words")
+
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P("rows", "words"), P(None, "words")),
+        out_specs=P("rows", None),
+    )(a, b)
+
+
+class ShardedSamebitsEngine:
+    """samebits engine distributing row blocks over all devices in a mesh.
+
+    Drop-in `engine` for dist/api.py drivers (host numpy in/out); large
+    inputs stay resident on device across calls via a simple cache.
+    """
+
+    def __init__(self, sketchsize64: int, mesh: Mesh | None = None):
+        from ..runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.s64 = sketchsize64
+        self.mesh = mesh or make_mesh()
+        self._cache: dict[int, jax.Array] = {}
+
+    def _rows(self) -> int:
+        return self.mesh.shape["rows"]
+
+    def _words(self) -> int:
+        return self.mesh.shape["words"]
+
+    def _pad_rows(self, mat: np.ndarray, mult: int) -> np.ndarray:
+        n = mat.shape[0]
+        pad = (-n) % mult
+        if pad:
+            mat = np.pad(mat, ((0, pad), (0, 0)))
+        return mat
+
+    def put_a(self, a: np.ndarray):
+        a32 = np.ascontiguousarray(a, dtype=np.uint64).view(np.uint32)
+        a32 = self._pad_rows(a32, self._rows())
+        sharding = NamedSharding(self.mesh, P("rows", "words"))
+        return jax.device_put(a32, sharding)
+
+    def put_b(self, b: np.ndarray):
+        b32 = np.ascontiguousarray(b, dtype=np.uint64).view(np.uint32)
+        sharding = NamedSharding(self.mesh, P(None, "words"))
+        return jax.device_put(b32, sharding)
+
+    def matrix(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        na = a.shape[0]
+        a_dev = self.put_a(a)
+        b_dev = self.put_b(b)
+        out = _sharded_samebits(a_dev, b_dev, self.s64, self.mesh)
+        return np.asarray(out)[:na]
+
+
+def sharded_dist_step(a, b, s64: int, mesh: Mesh, k: float, ani: bool):
+    """One full sharded distance step (samebits -> f32 distances), jittable
+    over a mesh. This is the 'training step' analogue the multi-chip dry
+    run compiles: row-sharded A, word-sharded contraction with psum, and a
+    replicated query block."""
+
+    from jax.experimental.shard_map import shard_map
+
+    words = mesh.shape["words"]
+
+    def tile_fn(a_blk, b_blk):
+        partial = _samebits_tile(a_blk, b_blk, s64 // words)
+        sb = jax.lax.psum(partial, "words").astype(jnp.float32)
+        maxnbits = float(s64 * 64)
+        expected = float(int(s64 * 64) >> BBITS)
+        diff = jnp.maximum(sb - expected, 0.0)
+        j = (diff * maxnbits / (maxnbits - expected)) / maxnbits
+        if ani:
+            val = 1.0 + 1.0 / k * jnp.log((2.0 * j) / (1.0 + j))
+            return jnp.maximum(0.0, val)
+        return 1.0 - j
+
+    return shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P("rows", "words"), P(None, "words")),
+        out_specs=P("rows", None),
+    )(a, b)
