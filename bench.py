@@ -76,6 +76,46 @@ def main():
         f"-> {pairs_per_s / 1e9:.3f} G pair/s/chip",
         file=sys.stderr,
     )
+
+    # Secondary: the headline workload — full multi-k core/accessory
+    # distances (7 k-mer lengths), entirely on device.
+    try:
+        from sketchtpu.dist.coreacc_jax import coreacc_tile
+
+        kmers = (17, 21, 25, 29, 31, 33, 37)
+        nca = 2048
+        ac = jax.random.bits(
+            jax.random.PRNGKey(2), (len(kmers), nca, w2), dtype=jnp.uint32
+        )
+        bc = jax.random.bits(
+            jax.random.PRNGKey(3), (len(kmers), nca, w2), dtype=jnp.uint32
+        )
+
+        @functools.partial(jax.jit, static_argnames=("s64", "kmers", "ss", "inner"))
+        def ca_probe(a, b, salt, s64, kmers, ss, inner):
+            def body(_, s):
+                r = coreacc_tile(a ^ s, b, s64, kmers, ss)
+                return r.sum().astype(jnp.uint32) ^ jnp.uint32(1)
+
+            return jax.lax.fori_loop(0, inner, body, salt)
+
+        float(ca_probe(ac, bc, jnp.uint32(0), s64, kmers, 1024, 2))
+        t0 = time.time()
+        salt2 = jnp.uint32(1)
+        for _ in range(3):
+            salt2 = ca_probe(ac, bc, salt2, s64, kmers, 1024, 2)
+        float(salt2)
+        dt_ca = (time.time() - t0) / 6
+        ca_rate = nca * nca / dt_ca
+        total_100k = 100000 * 99999 / 2
+        print(
+            f"core/accessory tile ({len(kmers)} k): {ca_rate / 1e6:.0f} M pair/s "
+            f"-> 100k-genome all-vs-all core/acc in ~{total_100k / ca_rate:.0f}s "
+            f"on one chip",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # pragma: no cover
+        print(f"core-acc secondary bench skipped: {exc}", file=sys.stderr)
     result = {
         "metric": "pairwise sketch comparisons/s/chip (samebits, s=1000, one k)",
         "value": round(pairs_per_s, 1),

@@ -266,6 +266,25 @@ def main(argv=None) -> int:
         names = [references.sketch_name(i) for i in range(n)]
         if args.query_db is None:
             if args.knn is None:
+                coreacc_engine = None
+                if dist_type.coreacc:
+                    from .runtime import select_coreacc_engine
+
+                    coreacc_engine = select_coreacc_engine(
+                        references, ref_comp is not None
+                    )
+                if coreacc_engine is not None:
+                    log.info("Using on-device core/accessory tile engine")
+                    coreacc_engine.stream_self_dense(out, names)
+                    if out is not sys.stdout:
+                        out.close()
+                    if print_success and not getattr(args, "quiet", False):
+                        print(
+                            f"\U0001f9ec\U0001f58b️ sketchtpu done in "
+                            f"{int(time.time() - start)}s",
+                            file=sys.stderr,
+                        )
+                    return 0
                 d = api.self_dists_all(
                     references,
                     dist_type,

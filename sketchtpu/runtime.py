@@ -77,6 +77,32 @@ def select_backend(seq_type, n_samples: int):
     return None
 
 
+_MIN_SAMPLES_FOR_DEVICE_COREACC = 2048
+
+
+def select_coreacc_engine(ms, has_completeness: bool):
+    """Fully on-device core/accessory engine for large dense runs (f32; the
+    exact f64 host pipeline is used for small runs and when completeness
+    correction is requested)."""
+    mode = _mode()
+    if mode == "host" or has_completeness:
+        return None
+    n = ms.number_samples_loaded()
+    if len(ms.kmer_lengths) < 2:
+        return None
+    if mode == "tpu" or (
+        _device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_COREACC
+    ):
+        try:
+            from .dist.coreacc_jax import DeviceCoreAccEngine
+
+            return DeviceCoreAccEngine(ms)
+        except Exception as exc:  # pragma: no cover
+            log.warning("device core-acc engine unavailable (%s); using host", exc)
+            return None
+    return None
+
+
 def select_engine(ms):
     """samebits engine for distance drivers, or None for the host path."""
     mode = _mode()
