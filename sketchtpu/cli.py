@@ -508,12 +508,21 @@ def _inverted_main(args) -> None:
         log.info("Index info:\n%s", inv.debug_str())
 
     elif args.inverted_command == "query":
+        from .runtime import select_inverted_engine
+
         out = _ostream(args.output)
         inv = Inverted.load(strip_sketch_extension(args.ski))
         input_files = io_inputs.get_input_list(args.file_list, args.seq_files or None)
         queries, query_names = inv.sketch_queries(
             input_files, args.min_count, args.min_qual
         )
+        engine = select_inverted_engine(inv)
+        batch_counts = batch_any = None
+        if engine is not None:
+            if args.query_type == "match-count":
+                batch_counts = engine.match_counts(queries)
+            elif args.query_type == "any-bins":
+                batch_any = engine.any_shared_rows(queries)
         out.write("Query")
         if args.query_type == "match-count":
             for name in inv.sample_names:
@@ -525,12 +534,17 @@ def _inverted_main(args) -> None:
             q = queries[qi]
             out.write(q_name)
             if args.query_type == "match-count":
-                counts = inv.query_match_count(q)
-                for c in counts:
-                    out.write(f"\t{int(c)}")
+                counts = (
+                    batch_counts[qi]
+                    if batch_counts is not None
+                    else inv.query_match_count(q)
+                )
+                out.write("\t" + "\t".join(str(int(c)) for c in counts))
             else:
                 if args.query_type == "all-bins":
                     hits = inv.all_shared_bins(q)
+                elif batch_any is not None:
+                    hits = np.flatnonzero(batch_any[qi])
                 else:
                     hits = inv.any_shared_bins(q)
                 if hits.size:
@@ -547,7 +561,9 @@ def _inverted_main(args) -> None:
         input_prefix = strip_sketch_extension(args.ski)
         inv = Inverted.load(input_prefix)
         if args.count:
-            count = inv.any_shared_bin_count()
+            from .runtime import select_inverted_engine
+
+            count = inv.any_shared_bin_count(engine=select_inverted_engine(inv))
             n = len(inv.sample_names)
             print(
                 f"Identified {count} prefilter pairs from a max of "

@@ -215,10 +215,13 @@ class Inverted:
         q = np.asarray(query_sigs, dtype=np.uint16)
         return np.flatnonzero((self.sign_matrix == q[None, :]).any(axis=1))
 
-    def any_shared_bin_count(self, tile: int = 2048) -> int:
+    def any_shared_bin_count(self, tile: int = 2048, engine=None) -> int:
         """Number of distinct sample pairs sharing at least one bin (the
         precluster --count mode, inverted.rs:271-300). Tiled over pair
-        blocks so it scales; the device engine accelerates this on TPU."""
+        blocks so it scales; `engine` (inverted/device.py) runs the
+        equality-any tiles on TPU."""
+        if engine is not None:
+            return engine.any_shared_bin_count()
         n = self.n_samples
         total = 0
         mat = self.sign_matrix

@@ -103,6 +103,27 @@ def select_coreacc_engine(ms, has_completeness: bool):
     return None
 
 
+_MIN_SAMPLES_FOR_DEVICE_INVERTED = 512
+
+
+def select_inverted_engine(inv):
+    """Device equality-tile engine for inverted-index queries/precluster."""
+    mode = _mode()
+    if mode == "host":
+        return None
+    if mode == "tpu" or (
+        _device_available() and inv.n_samples >= _MIN_SAMPLES_FOR_DEVICE_INVERTED
+    ):
+        try:
+            from .inverted.device import DeviceInvertedEngine
+
+            return DeviceInvertedEngine(inv.sign_matrix)
+        except Exception as exc:  # pragma: no cover
+            log.warning("device inverted engine unavailable (%s); using host", exc)
+            return None
+    return None
+
+
 def select_engine(ms):
     """samebits engine for distance drivers, or None for the host path."""
     mode = _mode()

@@ -1,0 +1,60 @@
+"""Parity: device inverted-index kernels vs the host (NumPy) oracle."""
+
+import numpy as np
+
+from sketchtpu.inverted.device import DeviceInvertedEngine
+from sketchtpu.inverted.index import Inverted
+from sketchtpu.sketchcore.sketch import HashType
+
+
+def _random_index(n=700, s=129, seed=0):
+    rng = np.random.default_rng(seed)
+    # small sign alphabet so shared bins are common; a few u16::MAX empties
+    mat = rng.integers(0, 40, (n, s), dtype=np.uint16)
+    mat[rng.random((n, s)) < 0.01] = np.uint16(0xFFFF)
+    return Inverted(
+        sign_matrix=mat,
+        sample_names=[f"s{i}" for i in range(n)],
+        kmer_size=17,
+        rc=True,
+        hash_type=HashType("dna"),
+    )
+
+
+def test_any_shared_bin_count_matches_host():
+    inv = _random_index()
+    engine = DeviceInvertedEngine(inv.sign_matrix, tile=256)
+    assert engine.any_shared_bin_count() == inv.any_shared_bin_count()
+
+
+def test_any_shared_bin_count_tiny_tile_and_sparse_matches():
+    rng = np.random.default_rng(3)
+    # sparse matches: large alphabet
+    mat = rng.integers(0, 60000, (130, 64), dtype=np.uint16)
+    mat[5] = mat[99]  # guarantee at least one pair
+    inv = Inverted(
+        sign_matrix=mat,
+        sample_names=[f"s{i}" for i in range(mat.shape[0])],
+        kmer_size=17,
+        rc=True,
+        hash_type=HashType("dna"),
+    )
+    engine = DeviceInvertedEngine(mat, tile=64)
+    assert engine.any_shared_bin_count() == inv.any_shared_bin_count()
+
+
+def test_match_counts_and_any_rows_match_host():
+    inv = _random_index(n=300, s=65, seed=1)
+    rng = np.random.default_rng(2)
+    queries = rng.integers(0, 40, (9, 65), dtype=np.uint16)
+    engine = DeviceInvertedEngine(inv.sign_matrix, tile=128)
+
+    counts = engine.match_counts(queries)
+    anyrows = engine.any_shared_rows(queries)
+    for qi in range(queries.shape[0]):
+        np.testing.assert_array_equal(
+            counts[qi], inv.query_match_count(queries[qi])
+        )
+        np.testing.assert_array_equal(
+            np.flatnonzero(anyrows[qi]), inv.any_shared_bins(queries[qi])
+        )
