@@ -294,18 +294,30 @@ def main(argv=None) -> int:
                 )
                 dist_output.write_dense_self(out, names, d, dist_type.coreacc)
             else:
+                from .runtime import select_knn_engine
+
                 nn = args.knn
                 if nn >= n:
                     log.warning("knn=%d is higher than number of samples=%d", nn, n)
                     nn = n - 1
-                rows = api.self_dists_knn(
-                    references,
-                    nn,
-                    dist_type,
-                    ref_comp,
-                    args.completeness_cutoff,
-                    engine=engine,
+                knn_engine = select_knn_engine(
+                    references, dist_type, ref_comp is not None
                 )
+                if knn_engine is not None:
+                    log.info("Using on-device kNN engine")
+                    if dist_type.coreacc:
+                        rows = knn_engine.self_knn_coreacc(nn)
+                    else:
+                        rows = knn_engine.self_knn(nn, dist_type)
+                else:
+                    rows = api.self_dists_knn(
+                        references,
+                        nn,
+                        dist_type,
+                        ref_comp,
+                        args.completeness_cutoff,
+                        engine=engine,
+                    )
                 dist_output.write_sparse(out, names, names, rows, dist_type.coreacc)
         else:
             query_name = strip_sketch_extension(args.query_db)
@@ -320,22 +332,34 @@ def main(argv=None) -> int:
                 queries.sketch_name(i) for i in range(queries.number_samples_loaded())
             ]
             if args.knn is not None:
+                from .runtime import select_knn_engine
+
                 nn = args.knn
                 if nn > n:
                     log.warning(
                         "knn=%d is higher than number of reference samples=%d", nn, n
                     )
                     nn = n
-                rows = api.cross_dists_knn(
-                    references,
-                    queries,
-                    nn,
-                    dist_type,
-                    ref_comp,
-                    q_comp,
-                    args.completeness_cutoff,
-                    engine=engine,
+                knn_engine = select_knn_engine(
+                    references, dist_type, ref_comp is not None or q_comp is not None
                 )
+                if knn_engine is not None:
+                    log.info("Using on-device kNN engine")
+                    if dist_type.coreacc:
+                        rows = knn_engine.cross_knn_coreacc(queries, nn)
+                    else:
+                        rows = knn_engine.cross_knn(queries, nn, dist_type)
+                else:
+                    rows = api.cross_dists_knn(
+                        references,
+                        queries,
+                        nn,
+                        dist_type,
+                        ref_comp,
+                        q_comp,
+                        args.completeness_cutoff,
+                        engine=engine,
+                    )
                 dist_output.write_sparse(out, qnames, names, rows, dist_type.coreacc)
             else:
                 d = api.cross_dists_all(
@@ -588,18 +612,29 @@ def _inverted_main(args) -> None:
                 if args.ref_completeness_file
                 else None
             )
-            rows = api.self_dists_knn_precluster(
-                references,
-                inv,
-                skq_bins,
-                inv.sketch_size,
-                knn,
-                dist_type,
-                ref_comp,
-                args.completeness_cutoff,
-                args.retain_unmatched,
-                engine=select_engine(references),
+            from .runtime import select_knn_engine
+
+            knn_engine = select_knn_engine(
+                references, dist_type, ref_comp is not None
             )
+            if knn_engine is not None:
+                log.info("Using on-device preclustered kNN engine")
+                rows = knn_engine.precluster_knn(
+                    inv, skq_bins, knn, dist_type, args.retain_unmatched
+                )
+            else:
+                rows = api.self_dists_knn_precluster(
+                    references,
+                    inv,
+                    skq_bins,
+                    inv.sketch_size,
+                    knn,
+                    dist_type,
+                    ref_comp,
+                    args.completeness_cutoff,
+                    args.retain_unmatched,
+                    engine=select_engine(references),
+                )
             names = [references.sketch_name(i) for i in range(n)]
             dist_output.write_sparse(out, names, names, rows, coreacc=False)
             if out is not sys.stdout:

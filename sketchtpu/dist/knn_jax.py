@@ -1,0 +1,426 @@
+"""Device (TPU) sparse kNN engines: top-k neighbour selection on device.
+
+The host drivers (api.py) argsort full distance rows — fine at 10k samples,
+dominated by host work at 100k+. Here the whole selection runs on device:
+samebits tiles stream over column blocks and a running top-k (values +
+global column indices) is merged per block with `jax.lax.top_k`, so only
+(rows x knn) results ever leave the chip.
+
+Selection semantics match the reference heap (distances/mod.rs:41-48,
+133-224): distance is monotone decreasing in samebits at one k, so top-k by
+samebits = bottom-k by distance; ties prefer the lowest column index because
+the running candidates (earlier columns) sit before the new tile in the
+merge concatenation and `lax.top_k` favours earlier positions on ties. The
+final printed distances are recomputed on the host from the selected
+samebits with the exact f64 pipeline, so output values are identical to the
+host path; only the *choice* among exactly-tied distances can differ, which
+the reference itself leaves heap-order-defined.
+
+Core/accessory kNN selects by the f32 core distance computed on device
+(coreacc_jax.py), matching the host f64 pipeline to ~1e-5 — the same
+accuracy class as the dense device engine, far inside the reference's own
+0.05 accuracy gate (tests/distance.rs:16-30).
+
+The precluster variant fuses the inverted-index any-shared-bin prefilter
+(inverted.rs:271-300, distances/mod.rs:399-553) into the same scan: a sign-
+equality mask tile invalidates non-candidate columns before the top-k merge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .coreacc_jax import coreacc_tile
+from .jaccard_jax import _samebits_tile
+from .jaccard_np import ani_pois, jaccard_from_samebits
+
+_NEG = -0x7FFFFFFF
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s64", "knn", "tc", "exclude_self", "masked")
+)
+def _knn_scan_block(
+    a: jnp.ndarray,  # (tr, W2) u32 row-block sketch planes
+    b: jnp.ndarray,  # (nbp, W2) u32 all column planes, padded to tc multiple
+    row0: jnp.ndarray,  # () int32 global row offset of this block
+    nb_real: jnp.ndarray,  # () int32 real (unpadded) column count
+    a_sig: jnp.ndarray,  # (tr, S) i32 row signs (masked mode; else (tr, 1))
+    b_sig: jnp.ndarray,  # (nbp, S) i32 column signs (masked mode)
+    s64: int,
+    knn: int,
+    tc: int,
+    exclude_self: bool,
+    masked: bool,
+):
+    """Running top-k by samebits over column tiles. Returns
+    (vals (tr, knn) int32 samebits, idxs (tr, knn) int32 global columns).
+    Invalid/masked-out columns never appear unless a row has fewer than knn
+    candidates, in which case trailing entries have vals == _NEG."""
+    nbp, w2 = b.shape
+    tr = a.shape[0]
+    n_tiles = nbp // tc
+    init_v = jnp.full((tr, knn), _NEG, jnp.int32)
+    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32)
+
+    def body(carry, t):
+        vals, idxs = carry
+        c0 = t * tc
+        bt = jax.lax.dynamic_slice(b, (c0, 0), (tc, w2))
+        sb = _samebits_tile(a, bt, s64)
+        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+        valid = cols < nb_real
+        if exclude_self:
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+            valid = valid & (cols != rows)
+        if masked:
+            st = jax.lax.dynamic_slice(
+                b_sig, (c0, 0), (tc, b_sig.shape[1])
+            )
+            shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
+            valid = valid & shared
+        sb = jnp.where(valid, sb, _NEG)
+        cat_v = jnp.concatenate([vals, sb], axis=1)
+        cat_i = jnp.concatenate([idxs, cols], axis=1)
+        v2, sel = jax.lax.top_k(cat_v, knn)
+        i2 = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (v2, i2), None
+
+    (vals, idxs), _ = jax.lax.scan(
+        body, (init_v, init_i), jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return vals, idxs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s64", "kmers", "sketch_size", "knn", "tc", "exclude_self"),
+)
+def _knn_scan_block_ca(
+    a_stack: jnp.ndarray,  # (nk, tr, W2) u32
+    b_stack: jnp.ndarray,  # (nk, nbp, W2) u32
+    row0: jnp.ndarray,
+    nb_real: jnp.ndarray,
+    s64: int,
+    kmers: tuple[int, ...],
+    sketch_size: int,
+    knn: int,
+    tc: int,
+    exclude_self: bool,
+):
+    """Running top-k by (negated) core distance. Returns (core (tr, knn) f32,
+    acc (tr, knn) f32, idxs (tr, knn) int32)."""
+    nk, nbp, w2 = b_stack.shape
+    tr = a_stack.shape[1]
+    n_tiles = nbp // tc
+    init_key = jnp.full((tr, knn), -jnp.inf, jnp.float32)
+    init_acc = jnp.zeros((tr, knn), jnp.float32)
+    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32)
+
+    def body(carry, t):
+        keys, accs, idxs = carry
+        c0 = t * tc
+        bt = jax.lax.dynamic_slice(b_stack, (0, c0, 0), (nk, tc, w2))
+        ca = coreacc_tile(a_stack, bt, s64, kmers, sketch_size)
+        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+        valid = cols < nb_real
+        if exclude_self:
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+            valid = valid & (cols != rows)
+        key = jnp.where(valid, -ca[:, :, 0], -jnp.inf)
+        cat_k = jnp.concatenate([keys, key], axis=1)
+        cat_a = jnp.concatenate([accs, ca[:, :, 1]], axis=1)
+        cat_i = jnp.concatenate([idxs, cols], axis=1)
+        k2, sel = jax.lax.top_k(cat_k, knn)
+        a2 = jnp.take_along_axis(cat_a, sel, axis=1)
+        i2 = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (k2, a2, i2), None
+
+    (keys, accs, idxs), _ = jax.lax.scan(
+        body, (init_key, init_acc, init_i), jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return -keys, accs, idxs
+
+
+def _pad_rows(mat: np.ndarray, mult: int) -> np.ndarray:
+    pad = (-mat.shape[0]) % mult
+    if pad:
+        mat = np.pad(mat, ((0, pad), (0, 0)))
+    return mat
+
+
+class DeviceKnnEngine:
+    """On-device kNN over a reference sketch DB.
+
+    Holds the b-bit plane matrices device-resident (u32 view of the .skd
+    u64 words); one scan per row block streams column tiles and returns only
+    the selected neighbours.
+    """
+
+    def __init__(self, ref_ms, row_tile: int = 256, col_tile: int = 2048):
+        from ..runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.ms = ref_ms
+        self.s64 = ref_ms.sketchsize64
+        self.row_tile = row_tile
+        self.col_tile = col_tile
+        self.n = ref_ms.number_samples_loaded()
+        self._planes: dict[int, jax.Array] = {}
+        self._planes_host: dict[int, np.ndarray] = {}
+        self._dummy_sig = np.zeros((1, 1), dtype=np.int32)
+
+    def _plane_host(self, k_idx: int) -> np.ndarray:
+        if k_idx not in self._planes_host:
+            self._planes_host[k_idx] = np.ascontiguousarray(
+                self.ms.bins_matrix(k_idx)
+            ).view(np.uint32)
+        return self._planes_host[k_idx]
+
+    def _plane(self, k_idx: int) -> jax.Array:
+        if k_idx not in self._planes:
+            self._planes[k_idx] = jax.device_put(
+                _pad_rows(self._plane_host(k_idx), self.col_tile)
+            )
+        return self._planes[k_idx]
+
+    def _stack(self) -> jax.Array:
+        if "stack" not in self.__dict__:
+            nk = len(self.ms.kmer_lengths)
+            w = self.ms.kmer_stride
+            mat = self.ms.sketch_bins.reshape(self.n, nk, w)
+            stack = np.ascontiguousarray(mat.transpose(1, 0, 2)).view(np.uint32)
+            pad = (-self.n) % self.col_tile
+            if pad:
+                stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
+            self.__dict__["stack"] = jax.device_put(stack)
+        return self.__dict__["stack"]
+
+    # --- single-k (Jaccard / ANI) ---
+
+    def _scan_rows(
+        self,
+        a_mat: np.ndarray,
+        b_dev: jax.Array,
+        knn: int,
+        exclude_self: bool,
+        a_sig: np.ndarray | None = None,
+        b_sig_dev: jax.Array | None = None,
+    ):
+        """Generic row-block scan; a_mat is host u32 (na, W2)."""
+        na = a_mat.shape[0]
+        tc = self.col_tile
+        masked = a_sig is not None
+        out_v = np.empty((na, knn), dtype=np.int32)
+        out_i = np.empty((na, knn), dtype=np.int32)
+        dummy = self._dummy_sig
+        for r0 in range(0, na, self.row_tile):
+            r1 = min(r0 + self.row_tile, na)
+            a_blk = a_mat[r0:r1]
+            sig_blk = a_sig[r0:r1].astype(np.int32) if masked else dummy
+            v, i = _knn_scan_block(
+                a_blk,
+                b_dev,
+                np.int32(r0),
+                np.int32(self.n),
+                sig_blk,
+                b_sig_dev if masked else dummy,
+                s64=self.s64,
+                knn=knn,
+                tc=tc,
+                exclude_self=exclude_self,
+                masked=masked,
+            )
+            out_v[r0:r1] = np.asarray(v)
+            out_i[r0:r1] = np.asarray(i)
+        return out_v, out_i
+
+    def _rows_from_samebits(self, sb: np.ndarray, idx: np.ndarray, dist_type):
+        """Exact f64 host post-processing of selected samebits -> item lists
+        (ANI items hold the similarity, as the host driver emits). Entries
+        with sb == _NEG are missing candidates and are truncated."""
+        na, knn = sb.shape
+        j = jaccard_from_samebits(sb.ravel(), self.s64).reshape(na, knn)
+        if dist_type.ani:
+            d = ani_pois(j, dist_type.k).astype(np.float32)  # similarity
+        else:
+            d = (1.0 - j).astype(np.float32)
+        rows_out = []
+        for r in range(na):
+            valid = sb[r] != _NEG
+            rows_out.append(
+                [(int(idx[r, c]), d[r, c]) for c in range(knn) if valid[c]]
+            )
+        return rows_out
+
+    def self_knn(self, knn: int, dist_type):
+        """Self kNN (Jaccard or ANI, no completeness)."""
+        b_dev = self._plane(dist_type.k_idx)
+        a_mat = self._plane_host(dist_type.k_idx)
+        sb, idx = self._scan_rows(a_mat, b_dev, knn, exclude_self=True)
+        return self._rows_from_samebits(sb, idx, dist_type)
+
+    def cross_knn(self, query_ms, knn: int, dist_type):
+        """Cross kNN: rows = queries, neighbours among refs."""
+        q = np.ascontiguousarray(query_ms.bins_matrix(dist_type.k_idx)).view(
+            np.uint32
+        )
+        b_dev = self._plane(dist_type.k_idx)
+        sb, idx = self._scan_rows(q, b_dev, knn, exclude_self=False)
+        return self._rows_from_samebits(sb, idx, dist_type)
+
+    # --- multi-k core/accessory ---
+
+    def self_knn_coreacc(self, knn: int):
+        b_stack = self._stack()
+        kmers = tuple(self.ms.kmer_lengths)
+        tc = self.col_tile
+        rows_out = []
+        a_host = np.asarray(jax.device_get(b_stack))[:, : self.n, :]
+        for r0 in range(0, self.n, self.row_tile):
+            r1 = min(r0 + self.row_tile, self.n)
+            a_blk = jnp.asarray(a_host[:, r0:r1, :])
+            core, acc, idx = _knn_scan_block_ca(
+                a_blk,
+                b_stack,
+                np.int32(r0),
+                np.int32(self.n),
+                s64=self.s64,
+                kmers=kmers,
+                sketch_size=self.ms.sketch_size,
+                knn=knn,
+                tc=tc,
+                exclude_self=True,
+            )
+            core = np.asarray(core)
+            acc = np.asarray(acc)
+            idx = np.asarray(idx)
+            for r in range(r1 - r0):
+                rows_out.append(
+                    [
+                        (int(idx[r, c]), np.float32(core[r, c]), np.float32(acc[r, c]))
+                        for c in range(knn)
+                    ]
+                )
+        return rows_out
+
+    def cross_knn_coreacc(self, query_ms, knn: int):
+        b_stack = self._stack()
+        kmers = tuple(self.ms.kmer_lengths)
+        nq = query_ms.number_samples_loaded()
+        nk = len(kmers)
+        w = self.ms.kmer_stride
+        qmat = query_ms.sketch_bins.reshape(nq, nk, w)
+        qstack = np.ascontiguousarray(qmat.transpose(1, 0, 2)).view(np.uint32)
+        rows_out = []
+        for r0 in range(0, nq, self.row_tile):
+            r1 = min(r0 + self.row_tile, nq)
+            core, acc, idx = _knn_scan_block_ca(
+                jnp.asarray(qstack[:, r0:r1, :]),
+                b_stack,
+                np.int32(r0),
+                np.int32(self.n),
+                s64=self.s64,
+                kmers=kmers,
+                sketch_size=self.ms.sketch_size,
+                knn=knn,
+                tc=self.col_tile,
+                exclude_self=False,
+            )
+            core = np.asarray(core)
+            acc = np.asarray(acc)
+            idx = np.asarray(idx)
+            for r in range(r1 - r0):
+                rows_out.append(
+                    [
+                        (int(idx[r, c]), np.float32(core[r, c]), np.float32(acc[r, c]))
+                        for c in range(knn)
+                    ]
+                )
+        return rows_out
+
+    # --- precluster (inverted-index prefiltered) kNN ---
+
+    def precluster_knn(
+        self,
+        inverted,
+        skq_bins: np.ndarray,
+        knn: int,
+        dist_type,
+        retain_unmatched: str | None = None,
+    ):
+        """Fused prefilter + kNN (distances/mod.rs:399-553). skq_bins is the
+        flat u16 sign stream in .ski order; rows follow the .skd order."""
+        if dist_type.coreacc:
+            raise NotImplementedError(
+                "Prefilter only available for single k-mer distances"
+            )
+        n = self.n
+        stride = inverted.sketch_size
+        # name-based ski<->skd mapping, exactly as the host driver
+        skq_lookup = {name: i for i, name in enumerate(inverted.sample_names)}
+        not_found = []
+        ski_of_skd = np.empty(n, dtype=np.int64)
+        for skd_idx in range(n):
+            name = self.ms.sketch_name(skd_idx)
+            if name in skq_lookup:
+                ski_of_skd[skd_idx] = skq_lookup[name]
+            else:
+                not_found.append(name)
+        if not_found:
+            raise ValueError(
+                "The following samples in the .skd could not be found in the "
+                f".ski:\n{not_found!r}"
+            )
+        signs = skq_bins.reshape(-1, stride)[ski_of_skd]  # skd-ordered (n, S)
+        sig_dev = jax.device_put(
+            _pad_rows(signs.astype(np.int32), self.col_tile)
+        )
+        b_dev = self._plane(dist_type.k_idx)
+        a_mat = self._plane_host(dist_type.k_idx)
+        sb, idx = self._scan_rows(
+            a_mat,
+            b_dev,
+            knn,
+            exclude_self=True,
+            a_sig=signs,
+            b_sig_dev=sig_dev,
+        )
+        rows_out = self._rows_from_samebits(sb, idx, dist_type)
+
+        # rows with zero candidates: retain_unmatched handling
+        empty = np.flatnonzero(sb[:, 0] == _NEG)
+        if empty.size and retain_unmatched == "bruteforce":
+            # knn+1 then drop self: the scan's exclude_self keys on block row
+            # offset, which is wrong for a gathered row subset
+            sb2, idx2 = self._scan_rows(
+                a_mat[empty], b_dev, min(knn + 1, self.n), exclude_self=False
+            )
+            # exclude self manually (scan's exclude_self keys on block row
+            # offset, which is wrong for a gathered row subset)
+            for bi, r in enumerate(empty):
+                mask = idx2[bi] != r
+                sb_r = sb2[bi][mask][:knn]
+                idx_r = idx2[bi][mask][:knn]
+                sub = self._rows_from_samebits(
+                    sb_r[None, :], idx_r[None, :], dist_type
+                )[0]
+                rows_out[r] = sub
+        # singleton + padding entries use raw 0.0/1.0 regardless of ANI mode
+        # (the host driver and distance_matrix.rs:377-380 do the same; the
+        # print filter skips (row, 1.0) self entries)
+        for r in range(n):
+            items = rows_out[r]
+            if not items and retain_unmatched == "singleton":
+                rows_out[r] = [(r, np.float32(0.0))] + [(r, np.float32(1.0))] * (
+                    knn - 1
+                )
+                continue
+            if len(items) < knn:
+                rows_out[r] = items + [(r, np.float32(1.0))] * (knn - len(items))
+        return rows_out

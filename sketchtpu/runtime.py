@@ -104,6 +104,32 @@ def select_coreacc_engine(ms, has_completeness: bool):
 
 
 _MIN_SAMPLES_FOR_DEVICE_INVERTED = 512
+_MIN_SAMPLES_FOR_DEVICE_KNN = 4096
+
+
+def select_knn_engine(ms, dist_type, has_completeness: bool):
+    """On-device kNN engine for large sparse runs (selection by samebits on
+    device, exact f64 distance values; core-acc mode is f32 like the dense
+    device engine). Host path remains the default for small runs, golden
+    tests, and completeness correction (which breaks the samebits-distance
+    monotonicity the device selection relies on)."""
+    mode = _mode()
+    if mode == "host" or has_completeness:
+        return None
+    n = ms.number_samples_loaded()
+    if dist_type.coreacc and len(ms.kmer_lengths) < 2:
+        return None
+    if mode == "tpu" or (
+        _device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_KNN
+    ):
+        try:
+            from .dist.knn_jax import DeviceKnnEngine
+
+            return DeviceKnnEngine(ms)
+        except Exception as exc:  # pragma: no cover
+            log.warning("device knn engine unavailable (%s); using host", exc)
+            return None
+    return None
 
 
 def select_inverted_engine(inv):

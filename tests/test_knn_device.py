@@ -1,0 +1,141 @@
+"""Parity: device kNN engine vs the host (exact) drivers.
+
+Data is constructed with high Jaccard similarity (bit-flips off a shared
+base sketch) so the ANI transform stays unclamped — where distances tie
+exactly, both paths break ties by lowest column index, so outputs must be
+identical item-for-item.
+"""
+
+import numpy as np
+import pytest
+
+from sketchtpu.constants import BBITS
+from sketchtpu.dist import api
+from sketchtpu.dist.knn_jax import DeviceKnnEngine
+from sketchtpu.formats.skm import MultiSketch
+from sketchtpu.inverted.index import Inverted
+from sketchtpu.sketchcore.sketch import HashType, Sketch
+
+
+def _fake_ms(n=60, nk=2, s64=2, seed=0, kmers=(17, 21)):
+    rng = np.random.default_rng(seed)
+    w = s64 * BBITS
+    base = rng.integers(0, 2**63, (nk, w), dtype=np.uint64)
+    rows = []
+    for i in range(n):
+        planes = base.copy()
+        # flip bits, more at larger k, so Jaccard decreases with k like real
+        # genomes (a flat/symmetric J-vs-k profile is a knife-edge where the
+        # regression slope sign is pure rounding noise in f64 and f32 alike)
+        for ki in range(nk):
+            for _ in range(1 + 3 * ki + int(rng.integers(0, 2))):
+                word = rng.integers(0, w)
+                bit = np.uint64(1) << np.uint64(rng.integers(0, 64))
+                planes[ki, word] ^= bit
+        rows.append(planes.reshape(-1))
+    bins = np.concatenate(rows)
+    sketches = []
+    for i in range(n):
+        s = Sketch(
+            name=f"g{i}",
+            rc=True,
+            reads=False,
+            seq_length=1000,
+            densified=False,
+            acgt=(1, 1, 1, 1),
+            non_acgt=0,
+        )
+        s.index = i
+        sketches.append(s)
+    ms = MultiSketch(sketches, s64 * 64, list(kmers), HashType("dna"))
+    ms.sketch_bins = bins
+    return ms
+
+
+def _assert_rows_equal(dev_rows, host_rows):
+    assert len(dev_rows) == len(host_rows)
+    for r, (dr, hr) in enumerate(zip(dev_rows, host_rows)):
+        assert len(dr) == len(hr), f"row {r}: {len(dr)} != {len(hr)}"
+        for (di, dd), (hi, hd) in zip(dr, hr):
+            assert di == hi, f"row {r}: index {di} != {hi}"
+            assert np.float32(dd) == np.float32(hd), f"row {r}: {dd} != {hd}"
+
+
+@pytest.mark.parametrize("ani", [False, True])
+def test_self_knn_matches_host(ani):
+    ms = _fake_ms()
+    dist_type = api.set_k(ms, 17, ani)
+    knn = 7
+    host = api.self_dists_knn(ms, knn, dist_type)
+    dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).self_knn(knn, dist_type)
+    _assert_rows_equal(dev, host)
+
+
+def test_cross_knn_matches_host():
+    refs = _fake_ms(n=40, seed=1)
+    queries = _fake_ms(n=13, seed=2)
+    dist_type = api.set_k(refs, 21, False)
+    knn = 5
+    host = api.cross_dists_knn(refs, queries, knn, dist_type)
+    dev = DeviceKnnEngine(refs, row_tile=8, col_tile=16).cross_knn(
+        queries, knn, dist_type
+    )
+    _assert_rows_equal(dev, host)
+
+
+def test_self_knn_coreacc_close_to_host():
+    ms = _fake_ms(n=30, nk=4, kmers=(17, 21, 25, 29), seed=3)
+    dist_type = api.set_k(ms, None, False)
+    knn = 4
+    host = api.self_dists_knn(ms, knn, dist_type)
+    dev = DeviceKnnEngine(ms, row_tile=8, col_tile=16).self_knn_coreacc(knn)
+    # f32 device pipeline: selected distances must match the host's selected
+    # distances to ~1e-4 (indices may swap among near-ties)
+    for dr, hr in zip(dev, host):
+        d_cores = sorted(c for _, c, _ in dr)
+        h_cores = sorted(c for _, c, _ in hr)
+        np.testing.assert_allclose(d_cores, h_cores, atol=2e-4)
+
+
+@pytest.mark.parametrize("retain", [None, "singleton", "bruteforce"])
+def test_precluster_knn_matches_host(retain):
+    ms = _fake_ms(n=50, seed=4)
+    rng = np.random.default_rng(5)
+    stride = 37
+    # small alphabet -> plenty of candidates; a few isolated rows with a
+    # private alphabet -> no candidates (exercises retain_unmatched)
+    signs = rng.integers(0, 25, (50, stride), dtype=np.uint16)
+    for iso in (7, 23, 41):
+        signs[iso] = rng.integers(1000 + iso * 50, 1000 + iso * 50 + 40, stride)
+    # the .ski ordering differs from the .skd ordering
+    perm = rng.permutation(50)
+    inv = Inverted(
+        sign_matrix=signs[perm],
+        sample_names=[f"g{i}" for i in perm],
+        kmer_size=17,
+        rc=True,
+        hash_type=HashType("dna"),
+    )
+    skq_flat = inv.sign_matrix.reshape(-1)
+    dist_type = api.set_k(ms, 17, False)
+    knn = 6
+    host = api.self_dists_knn_precluster(
+        ms, inv, skq_flat, stride, knn, dist_type, retain_unmatched=retain
+    )
+    dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).precluster_knn(
+        inv, skq_flat, knn, dist_type, retain_unmatched=retain
+    )
+    # On exact distance ties the host keeps candidates in .ski iteration
+    # order while the device keeps the lowest .skd index — both valid (the
+    # reference's own order is heap-implementation-defined). Distances and
+    # structure must agree exactly; indices must agree wherever the distance
+    # is unique in its row.
+    assert len(dev) == len(host)
+    for r, (dr, hr) in enumerate(zip(dev, host)):
+        assert len(dr) == len(hr), f"row {r}"
+        d_dists = [np.float32(d) for _, d in dr]
+        h_dists = [np.float32(d) for _, d in hr]
+        assert d_dists == h_dists, f"row {r}: {d_dists} != {h_dists}"
+        for c, ((di, dd), (hi, hd)) in enumerate(zip(dr, hr)):
+            if h_dists.count(np.float32(hd)) == 1:
+                assert di == hi, f"row {r} col {c}: index {di} != {hi}"
