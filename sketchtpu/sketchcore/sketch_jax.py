@@ -104,7 +104,13 @@ class DeviceSketchBackend:
     ) -> dict[int, np.ndarray]:
         """Per-bin minima for all k values; the packed stream (the bulk of
         host->device traffic) is uploaded once per genome group and reused
-        across k."""
+        across k.
+
+        Large-genome groups take the fast multi-k kernel (incremental hash
+        over k + residual prefilter + one candidate sort, hash/nthash_multik
+        .py); a group falls back to the exact per-k full-sort kernel when a
+        genome is too small for the prefilter, a compaction block overflows,
+        or any bin lost all candidates — so results are always bit-exact."""
         import jax
 
         out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
@@ -120,6 +126,16 @@ class DeviceSketchBackend:
             out_rows = _MAX_GROUP
             starts_pad = np.full(out_rows, total, dtype=np.int32)
             starts_pad[:g] = starts
+
+            done = self._try_fast_multi_k(
+                group, packed_d, breakbits_d, starts_pad, total, kmers, rc,
+                nbins, out_rows,
+            )
+            if done is not None:
+                for kk in kmers:
+                    out[kk][start:end] = done[kk][:g]
+                continue
+
             results = {}
             for kk in kmers:
                 taps_fwd, taps_rev = tap_tables_u32(kk, rc)
@@ -141,6 +157,69 @@ class DeviceSketchBackend:
                 ml = np.asarray(min_lo).reshape(out_rows, nbins)[:g]
                 fd = np.asarray(found).reshape(out_rows, nbins)[:g]
                 out[kk][start:end] = combine_bin_minima(mh, ml, fd)
+        return out
+
+    def _try_fast_multi_k(
+        self,
+        group,
+        packed_d,
+        breakbits_d,
+        starts_pad,
+        total,
+        kmers,
+        rc,
+        nbins,
+        out_rows,
+    ):
+        """Fast multi-k path; returns {k: (out_rows, nbins) u64} or None."""
+        if len(kmers) < 2 or max(kmers) > 64:
+            return None
+        from ..hash.nthash_multik import (
+            group_thresholds,
+            multik_hash_bin_kernel,
+            pick_block_geometry,
+        )
+
+        lengths = [s.seq_len for s in group] + [0] * (out_rows - len(group))
+        t_lo, t_hi, eligible, max_density = group_thresholds(
+            [m if m > 0 else -1 for m in lengths[: len(group)]]
+            + [10**12] * (out_rows - len(group)),
+            nbins,
+        )
+        if not eligible:
+            return None
+        blk, w = pick_block_geometry(max_density)
+        o_hi, o_lo, found, overflow = multik_hash_bin_kernel(
+            packed_d,
+            breakbits_d,
+            starts_pad,
+            np.int32(total),
+            t_lo,
+            t_hi,
+            kmers=tuple(kmers),
+            rc=rc,
+            num_bins=nbins,
+            magic=self._magic(nbins),
+            out_rows=out_rows,
+            blk=blk,
+            w=w,
+        )
+        if int(overflow) > w:
+            return None
+        o_hi = np.asarray(o_hi)
+        o_lo = np.asarray(o_lo)
+        found = np.asarray(found)
+        g = len(group)
+        # any missing bin within a real genome is ambiguous (prefiltered-away
+        # vs genuinely empty) -> exact fallback
+        if not found.reshape(len(kmers), out_rows, nbins)[:, :g, :].all():
+            return None
+        out = {}
+        for ki, kk in enumerate(kmers):
+            mh = o_hi[ki].reshape(out_rows, nbins)
+            ml = o_lo[ki].reshape(out_rows, nbins)
+            fd = found[ki].reshape(out_rows, nbins)
+            out[kk] = combine_bin_minima(mh, ml, fd)
         return out
 
     def _prepare_group(self, streams, k: int):

@@ -1,0 +1,109 @@
+"""Parity: fast multi-k sketching kernel vs the exact per-k kernel and the
+host oracle (bit-exact whenever the fast path reports no fallback)."""
+
+import numpy as np
+import pytest
+
+from sketchtpu.constants import SIGN_MOD
+from sketchtpu.hash.nthash_multik import group_thresholds, pick_block_geometry
+from sketchtpu.ingest.fastx import DnaStream
+from sketchtpu.sketchcore.sketch import sketch_dna_sample
+from sketchtpu.sketchcore.sketch_jax import DeviceSketchBackend
+
+
+def _streams(n_genomes=3, n_bases=300_000, with_breaks=True, seed=11):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_genomes):
+        n = n_bases + rng.integers(0, 5000)
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+        breaks = []
+        if with_breaks:
+            # record boundaries and N positions, like multi-contig FASTA
+            for p in sorted(rng.integers(1, n, 4)):
+                breaks.append(int(p))
+        out.append(
+            DnaStream(
+                codes=codes,
+                breaks=np.array(sorted(set(breaks)), dtype=np.int64),
+                acgt=np.bincount(codes, minlength=4).astype(np.int64),
+            )
+        )
+    return out
+
+
+def test_fast_path_is_taken_and_bit_exact():
+    streams = _streams()
+    names = [f"g{i}" for i in range(len(streams))]
+    kmers = [15, 21, 29]
+    nbins = 128
+
+    backend = DeviceSketchBackend()
+    taken = {"fast": 0}
+    orig = backend._try_fast_multi_k
+
+    def spy(*a, **kw):
+        res = orig(*a, **kw)
+        if res is not None:
+            taken["fast"] += 1
+        return res
+
+    backend._try_fast_multi_k = spy
+    dev = backend.sketch_dna_streams(streams, names, kmers, nbins, True, 0)
+    assert taken["fast"] >= 1, "fast multi-k path was not exercised"
+
+    host = [
+        sketch_dna_sample(s, n, kmers, nbins, True, 0)
+        for s, n in zip(streams, names)
+    ]
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs)
+        assert h.seq_length == d.seq_length
+        assert h.densified == d.densified
+
+
+def test_fast_path_single_strand():
+    streams = _streams(n_genomes=2, seed=7)
+    names = ["a", "b"]
+    kmers = [17, 23]
+    dev = DeviceSketchBackend().sketch_dna_streams(
+        streams, names, kmers, 128, False, 0
+    )
+    host = [
+        sketch_dna_sample(s, n, kmers, 128, False, 0)
+        for s, n in zip(streams, names)
+    ]
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs)
+
+
+def test_small_genomes_fall_back_and_match():
+    # 20k bases at 1024 bins -> prefilter ineligible -> exact kernel path
+    streams = _streams(n_genomes=2, n_bases=20_000, seed=3)
+    names = ["a", "b"]
+    kmers = [17, 29]
+    backend = DeviceSketchBackend()
+    dev = backend.sketch_dna_streams(streams, names, kmers, 1024, True, 0)
+    host = [
+        sketch_dna_sample(s, n, kmers, 1024, True, 0)
+        for s, n in zip(streams, names)
+    ]
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs)
+
+
+def test_group_thresholds_bounds():
+    t_lo, t_hi, eligible, dens = group_thresholds([3_000_000, 2_000_000], 1024)
+    assert eligible
+    binsize = (SIGN_MOD + 1023) // 1024
+    t0 = (int(t_hi[0]) << 32) | int(t_lo[0])
+    assert 0 < t0 < binsize
+    # tiny genome -> ineligible
+    _, _, eligible2, _ = group_thresholds([10_000], 1024)
+    assert not eligible2
+
+
+def test_block_geometry_margins():
+    blk, w = pick_block_geometry(0.005)
+    lam = 0.005 * blk
+    assert w >= lam + 6 * np.sqrt(lam)
