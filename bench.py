@@ -78,32 +78,32 @@ def main():
     )
 
     # Secondary: the headline workload — full multi-k core/accessory
-    # distances (7 k-mer lengths), entirely on device.
+    # distances (7 k-mer lengths) via the fused Pallas tile kernel,
+    # entirely on device.
     try:
-        from sketchtpu.dist.coreacc_jax import coreacc_tile
+        from sketchtpu.dist.coreacc_pallas import chunk_major, coreacc_pallas
 
         kmers = (17, 21, 25, 29, 31, 33, 37)
-        nca = 2048
-        ac = jax.random.bits(
+        nca = 4096
+        stack = jax.random.bits(
             jax.random.PRNGKey(2), (len(kmers), nca, w2), dtype=jnp.uint32
         )
-        bc = jax.random.bits(
-            jax.random.PRNGKey(3), (len(kmers), nca, w2), dtype=jnp.uint32
-        )
+        ac = chunk_major(stack, s64)
+        btc = jnp.transpose(ac)
 
         @functools.partial(jax.jit, static_argnames=("s64", "kmers", "ss", "inner"))
-        def ca_probe(a, b, salt, s64, kmers, ss, inner):
+        def ca_probe(a, bt, salt, s64, kmers, ss, inner):
             def body(_, s):
-                r = coreacc_tile(a ^ s, b, s64, kmers, ss)
+                r = coreacc_pallas(a ^ s, bt, s64, kmers, ss, ti=128, tj=512)
                 return r.sum().astype(jnp.uint32) ^ jnp.uint32(1)
 
             return jax.lax.fori_loop(0, inner, body, salt)
 
-        float(ca_probe(ac, bc, jnp.uint32(0), s64, kmers, 1024, 2))
+        float(ca_probe(ac, btc, jnp.uint32(0), s64, kmers, 1024, 2))
         t0 = time.time()
         salt2 = jnp.uint32(1)
         for _ in range(3):
-            salt2 = ca_probe(ac, bc, salt2, s64, kmers, 1024, 2)
+            salt2 = ca_probe(ac, btc, salt2, s64, kmers, 1024, 2)
         float(salt2)
         dt_ca = (time.time() - t0) / 6
         ca_rate = nca * nca / dt_ca

@@ -90,14 +90,24 @@ def coreacc_tile(
 
 
 class DeviceCoreAccEngine:
-    """Tiled on-device core/accessory distances for large runs."""
+    """Tiled on-device core/accessory distances for large runs.
 
-    def __init__(self, ms, tile: int = 2048):
+    Two device kernels: the fused multi-k Pallas tile (coreacc_pallas.py,
+    default on TPU — ~1.5x the XLA path, no HBM intermediates) and the XLA
+    fusion path above (default elsewhere). Override with
+    SKETCHTPU_COREACC_KERNEL=pallas|xla.
+    """
+
+    def __init__(self, ms, tile: int = 4096, ti: int = 128, tj: int = 512):
+        import os
+
         from ..runtime import enable_compilation_cache
 
         enable_compilation_cache()
         self.ms = ms
         self.tile = tile
+        self.ti = ti
+        self.tj = tj
         self.s64 = ms.sketchsize64
         self.kmers = tuple(ms.kmer_lengths)
         nk = len(self.kmers)
@@ -105,13 +115,46 @@ class DeviceCoreAccEngine:
         w = ms.kmer_stride
         mat = ms.sketch_bins.reshape(n, nk, w)
         stack = np.ascontiguousarray(mat.transpose(1, 0, 2)).view(np.uint32)
-        self._stack = jax.device_put(stack)
+        kern = os.environ.get("SKETCHTPU_COREACC_KERNEL", "auto")
+        self._use_pallas = kern == "pallas" or (
+            kern != "xla" and jax.default_backend() not in ("cpu",)
+        )
+        if self._use_pallas:
+            from .coreacc_pallas import chunk_major
+
+            a_cm = chunk_major(jax.device_put(stack), self.s64)
+            self._a_cm = a_cm
+            self._bt = jnp.transpose(a_cm)
+            self._bt.block_until_ready()
+            self._stack = None
+        else:
+            self._stack = jax.device_put(stack)
 
     def tile_dists(self, rows: slice, cols: slice) -> np.ndarray:
+        if self._use_pallas:
+            return self._pallas_tile(rows, cols)
         a = self._stack[:, rows, :]
         b = self._stack[:, cols, :]
         out = coreacc_tile(a, b, self.s64, self.kmers, self.ms.sketch_size)
         return np.asarray(out)
+
+    def _pallas_tile(self, rows: slice, cols: slice) -> np.ndarray:
+        from .coreacc_pallas import coreacc_pallas
+
+        a = self._a_cm[rows]
+        bt = self._bt[:, cols]
+        na = a.shape[0]
+        nb = bt.shape[1]
+        pa = (-na) % self.ti
+        pb = (-nb) % self.tj
+        if pa:
+            a = jnp.pad(a, ((0, pa), (0, 0)))
+        if pb:
+            bt = jnp.pad(bt, ((0, 0), (0, pb)))
+        out = coreacc_pallas(
+            a, bt, self.s64, self.kmers, self.ms.sketch_size, ti=self.ti, tj=self.tj
+        )
+        return np.asarray(out[:na, :nb])
 
     def stream_self_dense(self, out, names: list[str]) -> None:
         """Write the upper-triangle long-form core/acc output, computing

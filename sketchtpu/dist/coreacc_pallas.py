@@ -1,0 +1,199 @@
+"""Fused multi-k core/accessory Pallas TPU kernel.
+
+The XLA path (coreacc_jax.coreacc_tile) computes one samebits tile per
+k-mer length and lets XLA fuse the regression chain; at scale the per-k
+(na, nb, words) plane-mask intermediates spill to HBM and the tile runs
+at ~40% of the VPU samebits rate. This kernel fuses the WHOLE per-pair
+chain — 14-plane XNOR/AND samebits for every k, the Jaccard bias
+correction, ln, the reference's early-break inclusion rule and the
+closed-form log-linear regression (jaccard.rs:61-142 in the reference) —
+with nothing but the sketch blocks and the two (na, nb) f32 outputs ever
+touching HBM.
+
+Structure: grid (na/ti, nb/tj, s64) with the 64-bin chunk axis innermost.
+Sketch words are relaid out chunk-major ([chunk][k][plane][lo,hi]) so each
+grid step reads one contiguous (ti, nk*28)/(nk*28, tj) block; per-k
+samebits accumulate in VMEM scratch across chunk steps (re-initialised at
+c==0), and the float chain runs once at the last chunk. This keeps the
+unrolled op count per grid step small (the earlier whole-tile unroll
+spilled 150 MB of vregs).
+
+Math identical to coreacc_jax.coreacc_tile (f32); agreement with the f64
+host oracle is ~1e-5 absolute, far inside the reference's own 0.05
+accuracy gate (tests/distance.rs:16-30).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import BBITS
+
+_WPC = BBITS * 2  # u32 words per (chunk, k): 14 planes x {lo, hi}
+
+
+def _chunk_words_padded(nk: int) -> int:
+    """Per-chunk word-group size padded so Pallas blocks tile as (8, 128)."""
+    return -(-nk * _WPC // 128) * 128
+
+
+def chunk_major(stack: jnp.ndarray, s64: int) -> jnp.ndarray:
+    """(nk, n, W2) u32 [k][chunk][plane][w] -> (n, s64*wcp) chunk-major,
+    each chunk's nk*28 word group zero-padded to a 128-word multiple."""
+    nk, n, w2 = stack.shape
+    wcp = _chunk_words_padded(nk)
+    x = stack.reshape(nk, n, s64, _WPC).transpose(1, 2, 0, 3)
+    x = x.reshape(n, s64, nk * _WPC)
+    pad = wcp - nk * _WPC
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+    return x.reshape(n, s64 * wcp)
+
+
+def _coreacc_kernel(
+    a_ref,
+    bt_ref,
+    core_ref,
+    acc_ref,
+    *counts_refs,
+    s64: int,
+    kmers: tuple[int, ...],
+    maxnbits: float,
+    expected: float,
+    tolerance: float,
+):
+    c = pl.program_id(2)
+    nk = len(kmers)
+    ti = core_ref.shape[0]
+    tj = core_ref.shape[1]
+    full = jnp.full((ti, tj), 0xFFFFFFFF, dtype=jnp.uint32)
+
+    for ki in range(nk):
+        sb = jnp.zeros((ti, tj), jnp.int32)
+        for w in range(2):
+            acc = full
+            for p in range(BBITS):
+                widx = ki * _WPC + p * 2 + w
+                a_col = a_ref[:, widx : widx + 1]  # (ti, 1)
+                b_row = bt_ref[widx : widx + 1, :]  # (1, tj)
+                acc = acc & ~(a_col ^ b_row)
+            sb = sb + jax.lax.population_count(acc).astype(jnp.int32)
+
+        @pl.when(c == 0)
+        def _init():
+            counts_refs[ki][:, :] = sb
+
+        @pl.when(c != 0)
+        def _accum():
+            counts_refs[ki][:, :] = counts_refs[ki][:, :] + sb
+
+    @pl.when(c == s64 - 1)
+    def _finish():
+        shape = (ti, tj)
+        zero = jnp.zeros(shape, jnp.float32)
+        xsum, ysum, xysum, xsq, ysq, n = zero, zero, zero, zero, zero, zero
+        still = jnp.ones(shape, jnp.bool_)
+        for ki, k in enumerate(kmers):
+            sb_f = counts_refs[ki][:, :].astype(jnp.float32)
+            diff = jnp.maximum(sb_f - expected, 0.0)
+            j = (diff * maxnbits / (maxnbits - expected)) / maxnbits
+            y = jnp.log(j)
+            still = still & (y >= tolerance)
+            k_fl = jnp.float32(k)
+            yk = jnp.where(still, y, 0.0)
+            xsum = xsum + jnp.where(still, k_fl, 0.0)
+            ysum = ysum + yk
+            xysum = xysum + k_fl * yk
+            xsq = xsq + jnp.where(still, k_fl * k_fl, 0.0)
+            ysq = ysq + yk * yk
+            n = n + still.astype(jnp.float32)
+
+        xbar = xsum / n
+        ybar = ysum / n
+        x_diff = xsq - xsum * xsum / n
+        y_diff = ysq - ysum * ysum / n
+        beta = (xysum - xsum * ysum / n) / x_diff
+        alpha = -beta * xbar + ybar
+
+        core = jnp.where(
+            beta < 0.0, 1.0 - jnp.exp(beta), jnp.where(beta > 0.0, 1.0, 0.0)
+        )
+        acc_d = jnp.where(alpha < 0.0, 1.0 - jnp.exp(alpha), 0.0)
+        degenerate = y_diff <= 0.0
+        core = jnp.where(degenerate, 0.0, core)
+        acc_d = jnp.where(degenerate, 0.0, acc_d)
+        bad = jnp.isnan(ysum) | jnp.isneginf(ysum) | (n < 3.0)
+        core_ref[:, :] = jnp.where(bad, 1.0, core)
+        acc_ref[:, :] = jnp.where(bad, 1.0, acc_d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s64", "kmers", "sketch_size", "ti", "tj", "interpret"),
+)
+def coreacc_pallas(
+    a: jnp.ndarray,  # (na, s64*nk*28) u32, chunk-major (see chunk_major())
+    bt: jnp.ndarray,  # (s64*nk*28, nb) u32 (transposed)
+    s64: int,
+    kmers: tuple[int, ...],
+    sketch_size: int,
+    ti: int = 256,
+    tj: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (na, nb, 2) f32 core and accessory distances.
+
+    na must be a multiple of ti and nb of tj (callers pad; padded rows are
+    discarded by the caller).
+    """
+    na = a.shape[0]
+    nb = bt.shape[1]
+    nk = len(kmers)
+    wc = _chunk_words_padded(nk)
+    maxnbits = float(s64 * 64)
+    expected = float(int(s64 * 64) >> BBITS)
+    tolerance = float(np.log(2.0 / float(sketch_size * 64)))
+    grid = (na // ti, nb // tj, s64)
+    kernel = functools.partial(
+        _coreacc_kernel,
+        s64=s64,
+        kmers=kmers,
+        maxnbits=maxnbits,
+        expected=expected,
+        tolerance=tolerance,
+    )
+    core, acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ti, wc), lambda i, j, c: (i, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, tj), lambda i, j, c: (c, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ti, tj), lambda i, j, c: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tj), lambda i, j, c: (i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((na, nb), jnp.float32),
+            jax.ShapeDtypeStruct((na, nb), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((ti, tj), jnp.int32) for _ in range(nk)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=na * nb * nk * (BBITS * 2 + 2) * s64 * 2,
+            bytes_accessed=(na * s64 * wc + nb * s64 * wc + 2 * na * nb) * 4,
+            transcendentals=na * nb * nk,
+        ),
+    )(a, bt)
+    return jnp.stack([core, acc], axis=-1)

@@ -57,3 +57,36 @@ def test_coreacc_tile_matches_host():
 
     np.testing.assert_allclose(core_d, core_h, atol=2e-4)
     np.testing.assert_allclose(acc_d, acc_h, atol=2e-4)
+
+
+def test_coreacc_pallas_matches_xla_tile():
+    """The fused multi-k Pallas kernel (interpret mode on CPU) must agree
+    exactly with the XLA coreacc_tile path on identical inputs, including
+    degenerate pairs (identical sketches) and no-fit pairs (all-random)."""
+    from sketchtpu.dist.coreacc_pallas import chunk_major, coreacc_pallas
+
+    rng = np.random.default_rng(1)
+    s64 = 2
+    w2 = s64 * 14 * 2
+    kmers = (17, 21, 25, 29)
+    nk = len(kmers)
+    n = 16
+    base = rng.integers(0, 2**32, (n, w2), dtype=np.uint32)
+    stack = np.empty((nk, n, w2), dtype=np.uint32)
+    for ki in range(nk):
+        mask = (rng.random((n, w2)) < 0.05 * ki).astype(np.uint32) * rng.integers(
+            0, 2**32, (n, w2), dtype=np.uint32
+        )
+        stack[ki] = base ^ mask
+    stack[:, -1] = stack[:, 0]  # identical pair
+    ref = np.asarray(
+        coreacc_tile(jnp.asarray(stack), jnp.asarray(stack), s64, kmers, 128)
+    )
+    a = np.asarray(chunk_major(jnp.asarray(stack), s64))
+    got = np.asarray(
+        coreacc_pallas(
+            jnp.asarray(a), jnp.asarray(a.T), s64, kmers, 128, ti=8, tj=8,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-6)
