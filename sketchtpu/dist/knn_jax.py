@@ -147,6 +147,61 @@ def _knn_scan_block_ca(
     return -keys, accs, idxs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("s64", "kmers", "sketch_size", "knn", "tc", "exclude_self"),
+)
+def _knn_scan_block_ca_pallas(
+    a_cm: jnp.ndarray,  # (tr, SW) u32 chunk-major rows (tr % 128 == 0)
+    bt_cm: jnp.ndarray,  # (SW, nbp) u32 chunk-major transposed columns
+    row0: jnp.ndarray,
+    nb_real: jnp.ndarray,
+    s64: int,
+    kmers: tuple[int, ...],
+    sketch_size: int,
+    knn: int,
+    tc: int,
+    exclude_self: bool,
+):
+    """Same contract as _knn_scan_block_ca but with the fused multi-k
+    Pallas core/accessory tile (coreacc_pallas.py) as the tile kernel."""
+    from .coreacc_pallas import coreacc_pallas
+
+    sw = bt_cm.shape[0]
+    tr = a_cm.shape[0]
+    nbp = bt_cm.shape[1]
+    n_tiles = nbp // tc
+    init_key = jnp.full((tr, knn), -jnp.inf, jnp.float32)
+    init_acc = jnp.zeros((tr, knn), jnp.float32)
+    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32)
+    ti = 128 if tr % 128 == 0 else tr
+    tj = 512 if tc % 512 == 0 else tc
+
+    def body(carry, t):
+        keys, accs, idxs = carry
+        c0 = t * tc
+        bt = jax.lax.dynamic_slice(bt_cm, (0, c0), (sw, tc))
+        ca = coreacc_pallas(a_cm, bt, s64, kmers, sketch_size, ti=ti, tj=tj)
+        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+        valid = cols < nb_real
+        if exclude_self:
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+            valid = valid & (cols != rows)
+        key = jnp.where(valid, -ca[:, :, 0], -jnp.inf)
+        cat_k = jnp.concatenate([keys, key], axis=1)
+        cat_a = jnp.concatenate([accs, ca[:, :, 1]], axis=1)
+        cat_i = jnp.concatenate([idxs, cols], axis=1)
+        k2, sel = jax.lax.top_k(cat_k, knn)
+        a2 = jnp.take_along_axis(cat_a, sel, axis=1)
+        i2 = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (k2, a2, i2), None
+
+    (keys, accs, idxs), _ = jax.lax.scan(
+        body, (init_key, init_acc, init_i), jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return -keys, accs, idxs
+
+
 def _pad_rows(mat: np.ndarray, mult: int) -> np.ndarray:
     pad = (-mat.shape[0]) % mult
     if pad:
@@ -163,6 +218,8 @@ class DeviceKnnEngine:
     """
 
     def __init__(self, ref_ms, row_tile: int = 256, col_tile: int = 2048):
+        import os
+
         from ..runtime import enable_compilation_cache
 
         enable_compilation_cache()
@@ -174,6 +231,10 @@ class DeviceKnnEngine:
         self._planes: dict[int, jax.Array] = {}
         self._planes_host: dict[int, np.ndarray] = {}
         self._dummy_sig = np.zeros((1, 1), dtype=np.int32)
+        kern = os.environ.get("SKETCHTPU_COREACC_KERNEL", "auto")
+        self._use_pallas_ca = kern == "pallas" or (
+            kern != "xla" and jax.default_backend() not in ("cpu",)
+        )
 
     def _plane_host(self, k_idx: int) -> np.ndarray:
         if k_idx not in self._planes_host:
@@ -276,27 +337,61 @@ class DeviceKnnEngine:
 
     # --- multi-k core/accessory ---
 
-    def self_knn_coreacc(self, knn: int):
-        b_stack = self._stack()
+    def _stack_cm_t(self) -> jax.Array:
+        """Chunk-major transposed reference stack for the Pallas tile."""
+        if "stack_cm_t" not in self.__dict__:
+            from .coreacc_pallas import chunk_major
+
+            a_cm = chunk_major(self._stack(), self.s64)
+            self.__dict__["stack_cm_t"] = jnp.transpose(a_cm)
+            self.__dict__["stack_cm_t"].block_until_ready()
+        return self.__dict__["stack_cm_t"]
+
+    def _knn_coreacc(self, row_stack: np.ndarray, nrows: int, knn: int,
+                     exclude_self: bool):
+        """Shared row-block driver for self/cross core-acc kNN; row_stack is
+        (nk, nrows, W2) u32."""
         kmers = tuple(self.ms.kmer_lengths)
-        tc = self.col_tile
         rows_out = []
-        a_host = np.asarray(jax.device_get(b_stack))[:, : self.n, :]
-        for r0 in range(0, self.n, self.row_tile):
-            r1 = min(r0 + self.row_tile, self.n)
-            a_blk = jnp.asarray(a_host[:, r0:r1, :])
-            core, acc, idx = _knn_scan_block_ca(
-                a_blk,
-                b_stack,
-                np.int32(r0),
-                np.int32(self.n),
-                s64=self.s64,
-                kmers=kmers,
-                sketch_size=self.ms.sketch_size,
-                knn=knn,
-                tc=tc,
-                exclude_self=True,
-            )
+        if self._use_pallas_ca:
+            from .coreacc_pallas import chunk_major
+
+            bt_cm = self._stack_cm_t()
+            row_cm = chunk_major(jnp.asarray(row_stack), self.s64)
+        else:
+            b_stack = self._stack()
+        for r0 in range(0, nrows, self.row_tile):
+            r1 = min(r0 + self.row_tile, nrows)
+            if self._use_pallas_ca:
+                a_blk = row_cm[r0:r1]
+                pad = (-(r1 - r0)) % 128
+                if pad:
+                    a_blk = jnp.pad(a_blk, ((0, pad), (0, 0)))
+                core, acc, idx = _knn_scan_block_ca_pallas(
+                    a_blk,
+                    bt_cm,
+                    np.int32(r0),
+                    np.int32(self.n),
+                    s64=self.s64,
+                    kmers=kmers,
+                    sketch_size=self.ms.sketch_size,
+                    knn=knn,
+                    tc=self.col_tile,
+                    exclude_self=exclude_self,
+                )
+            else:
+                core, acc, idx = _knn_scan_block_ca(
+                    jnp.asarray(np.asarray(row_stack)[:, r0:r1, :]),
+                    b_stack,
+                    np.int32(r0),
+                    np.int32(self.n),
+                    s64=self.s64,
+                    kmers=kmers,
+                    sketch_size=self.ms.sketch_size,
+                    knn=knn,
+                    tc=self.col_tile,
+                    exclude_self=exclude_self,
+                )
             core = np.asarray(core)
             acc = np.asarray(acc)
             idx = np.asarray(idx)
@@ -309,40 +404,19 @@ class DeviceKnnEngine:
                 )
         return rows_out
 
-    def cross_knn_coreacc(self, query_ms, knn: int):
+    def self_knn_coreacc(self, knn: int):
         b_stack = self._stack()
+        a_host = np.asarray(jax.device_get(b_stack))[:, : self.n, :]
+        return self._knn_coreacc(a_host, self.n, knn, exclude_self=True)
+
+    def cross_knn_coreacc(self, query_ms, knn: int):
         kmers = tuple(self.ms.kmer_lengths)
         nq = query_ms.number_samples_loaded()
         nk = len(kmers)
         w = self.ms.kmer_stride
         qmat = query_ms.sketch_bins.reshape(nq, nk, w)
         qstack = np.ascontiguousarray(qmat.transpose(1, 0, 2)).view(np.uint32)
-        rows_out = []
-        for r0 in range(0, nq, self.row_tile):
-            r1 = min(r0 + self.row_tile, nq)
-            core, acc, idx = _knn_scan_block_ca(
-                jnp.asarray(qstack[:, r0:r1, :]),
-                b_stack,
-                np.int32(r0),
-                np.int32(self.n),
-                s64=self.s64,
-                kmers=kmers,
-                sketch_size=self.ms.sketch_size,
-                knn=knn,
-                tc=self.col_tile,
-                exclude_self=False,
-            )
-            core = np.asarray(core)
-            acc = np.asarray(acc)
-            idx = np.asarray(idx)
-            for r in range(r1 - r0):
-                rows_out.append(
-                    [
-                        (int(idx[r, c]), np.float32(core[r, c]), np.float32(acc[r, c]))
-                        for c in range(knn)
-                    ]
-                )
-        return rows_out
+        return self._knn_coreacc(qstack, nq, knn, exclude_self=False)
 
     # --- precluster (inverted-index prefiltered) kNN ---
 
