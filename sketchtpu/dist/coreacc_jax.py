@@ -25,18 +25,26 @@ from ..constants import BBITS
 from .jaccard_jax import _samebits_tile
 
 
-@functools.partial(jax.jit, static_argnames=("s64", "kmers", "sketch_size"))
+@functools.partial(
+    jax.jit, static_argnames=("s64", "kmers", "sketch_size", "axis_name")
+)
 def coreacc_tile(
     a_stack: jnp.ndarray,  # (nk, na, W2) u32 sketch planes per k (ascending)
     b_stack: jnp.ndarray,  # (nk, nb, W2) u32
     s64: int,
     kmers: tuple[int, ...],
     sketch_size: int,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
-    """Returns (na, nb, 2) f32: core and accessory distances."""
+    """Returns (na, nb, 2) f32: core and accessory distances.
+
+    `s64` is the FULL sketch size; when the word axis is sharded over a mesh
+    axis (W2 < s64*28), pass the mesh axis as `axis_name` and per-k samebits
+    partials are psum-reduced over it before the regression chain."""
     maxnbits = float(s64 * 64)
     expected = float(int(s64 * 64) >> BBITS)
     tolerance = float(np.log(2.0 / float(sketch_size * 64)))
+    s64_tile = a_stack.shape[2] // (BBITS * 2)
 
     na = a_stack.shape[1]
     nb = b_stack.shape[1]
@@ -50,7 +58,10 @@ def coreacc_tile(
     still = jnp.ones(shape, jnp.bool_)
 
     for ki, k in enumerate(kmers):
-        sb = _samebits_tile(a_stack[ki], b_stack[ki], s64).astype(jnp.float32)
+        sb_i = _samebits_tile(a_stack[ki], b_stack[ki], s64_tile)
+        if axis_name is not None:
+            sb_i = jax.lax.psum(sb_i, axis_name)
+        sb = sb_i.astype(jnp.float32)
         diff = jnp.maximum(sb - expected, 0.0)
         j = (diff * maxnbits / (maxnbits - expected)) / maxnbits
         y = jnp.log(j)

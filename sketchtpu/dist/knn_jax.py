@@ -65,8 +65,10 @@ def _knn_scan_block(
     nbp, w2 = b.shape
     tr = a.shape[0]
     n_tiles = nbp // tc
-    init_v = jnp.full((tr, knn), _NEG, jnp.int32)
-    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32)
+    # + row0*0: inherit row0's device-varying type so the scan carry matches
+    # the body output when running per-shard under shard_map (scan-vma rule)
+    init_v = jnp.full((tr, knn), _NEG, jnp.int32) + row0 * 0
+    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32) + row0 * 0
 
     def body(carry, t):
         vals, idxs = carry

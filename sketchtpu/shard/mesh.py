@@ -60,6 +60,83 @@ def _sharded_samebits(a, b, s64: int, mesh: Mesh):
     )(a, b)
 
 
+def sharded_coreacc_step(a_stack, b_stack, s64: int, mesh: Mesh,
+                         kmers: tuple[int, ...], sketch_size: int):
+    """Full multi-k core/accessory distances over a mesh.
+
+    a_stack: (nk, na, W2) u32, sample axis sharded over 'rows' and the word
+    axis over 'words'; b_stack: (nk, nb, W2) u32, word-sharded, replicated
+    over rows. Per-k samebits partials psum over 'words' (exact int32
+    counts ride ICI), then each device runs the regression chain for its
+    row block. Returns (na, nb, 2) f32, row-sharded.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..dist.coreacc_jax import coreacc_tile
+
+    def tile_fn(a_blk, b_blk):
+        # psum over a size-1 axis is a no-op; always reducing keeps the
+        # output's replication over 'words' statically inferable.
+        return coreacc_tile(
+            a_blk, b_blk, s64, kmers, sketch_size, axis_name="words"
+        )
+
+    return shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P(None, "rows", "words"), P(None, None, "words")),
+        out_specs=P("rows", None, None),
+    )(a_stack, b_stack)
+
+
+def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
+                     exclude_self: bool, col_tile: int = 2048):
+    """Sparse kNN selection over a mesh: rows sharded, columns streamed.
+
+    a: (na, W2) u32 row-sharded (na % mesh rows == 0); b: (nbp, W2) u32
+    replicated (nbp % col_tile == 0). Each device scans the full column
+    range for its row block and keeps a running top-k; only (rows x knn)
+    samebits + global column indices leave the devices (row-sharded).
+    The word axis must be unsharded (selection needs whole samebits).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..dist.knn_jax import _knn_scan_block
+
+    if mesh.shape["words"] != 1:
+        raise ValueError("sharded kNN requires an unsharded word axis")
+    rows = mesh.shape["rows"]
+    rows_per = a.shape[0] // rows
+    tc = min(col_tile, b.shape[0])
+
+    def shard_fn(a_blk, b_blk):
+        dummy = jnp.zeros((1, 1), jnp.int32)
+        row0 = jax.lax.axis_index("rows").astype(jnp.int32) * jnp.int32(
+            rows_per
+        )
+        v, i = _knn_scan_block(
+            a_blk,
+            b_blk,
+            row0,
+            jnp.int32(n_real),
+            dummy,
+            dummy,
+            s64=s64,
+            knn=knn,
+            tc=tc,
+            exclude_self=exclude_self,
+            masked=False,
+        )
+        return v, i
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("rows", None), P(None, None)),
+        out_specs=(P("rows", None), P("rows", None)),
+    )(a, b)
+
+
 class ShardedSamebitsEngine:
     """samebits engine distributing row blocks over all devices in a mesh.
 

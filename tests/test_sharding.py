@@ -70,3 +70,70 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (128, 128)
     g.dryrun_multichip(8)
+
+
+def test_sharded_coreacc_step(eight_devices):
+    """Row+word-sharded core/accessory step vs the single-device XLA tile."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    from sketchtpu.dist.coreacc_jax import coreacc_tile
+    from sketchtpu.shard.mesh import make_mesh, sharded_coreacc_step
+
+    s64 = 4
+    w2 = s64 * 14 * 2
+    kmers = (17, 21, 25, 29)
+    nk = len(kmers)
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 2**32, (1, w2), dtype=np.uint32)
+    stack = np.where(
+        rng.random((nk, 16, w2)) < 0.8,
+        base,
+        rng.integers(0, 2**32, (nk, 16, w2), dtype=np.uint32),
+    ).astype(np.uint32)
+    want = np.asarray(
+        coreacc_tile(jnp.asarray(stack), jnp.asarray(stack), s64, kmers, s64 * 64)
+    )
+    for rows, words in [(8, 1), (4, 2), (2, 4)]:
+        mesh = make_mesh(n_rows=rows, n_words=words)
+        a = jax.device_put(stack, NamedSharding(mesh, P(None, "rows", "words")))
+        b = jax.device_put(stack, NamedSharding(mesh, P(None, None, "words")))
+        got = np.asarray(
+            sharded_coreacc_step(a, b, s64, mesh, kmers, s64 * 64)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"{rows}x{words}")
+
+
+def test_sharded_knn_step(eight_devices):
+    """Row-sharded kNN selection vs a host argsort oracle."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sketchtpu.shard.mesh import make_mesh, sharded_knn_step
+
+    s64 = 4
+    w = s64 * 14
+    n, knn = 64, 5
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, (1, w), dtype=np.uint64)
+    mat = np.where(
+        rng.random((n, w)) < 0.8,
+        base,
+        rng.integers(0, 2**63, (n, w), dtype=np.uint64),
+    ).astype(np.uint64)
+    sb_full = samebits_matrix(mat, mat).astype(np.int64)
+    np.fill_diagonal(sb_full, -(2**31))  # exclude self
+
+    mesh = make_mesh(n_rows=8, n_words=1)
+    m32 = mat.view(np.uint32)
+    a = jax.device_put(m32, NamedSharding(mesh, P("rows", None)))
+    b = jax.device_put(m32, NamedSharding(mesh, P(None, None)))
+    v, i = sharded_knn_step(
+        a, b, s64, mesh, knn, n_real=n, exclude_self=True, col_tile=16
+    )
+    v = np.asarray(v)
+    i = np.asarray(i)
+    for r in range(n):
+        want_v = np.sort(sb_full[r])[::-1][:knn]
+        np.testing.assert_array_equal(np.sort(v[r])[::-1], want_v, err_msg=str(r))
+        # indices must be actual argmax-class columns (ties allowed)
+        assert all(sb_full[r, c] == vv for c, vv in zip(i[r], v[r]))
