@@ -1,0 +1,118 @@
+"""Device (JAX/XLA/TPU) aaHash + sign extraction.
+
+Same windowed-XOR reformulation as the device ntHash kernel
+(nthash_jax.py), specialised to the forward-only amino-acid hash
+(/root/reference/src/hashing/aahash_iterator.rs:138-210):
+
+  fh(p) = XOR_{j<k} srol^{k-1-j}( SEED_level[ seq[p+j] ] )
+
+The 20-letter alphabet (case-folded; the reference's seed tables are
+case-insensitive) is compacted to 5-bit codes so each tap lookup is a
+5-deep binary select tree over u32 lane pairs — the same trick as the
+DNA kernel's 2-bit select tree, scaled to 32 entries. Window emission
+masks (including the reference's final-window quirk) are computed on the
+host with the exact oracle (aahash_np.aa_window_valid) and shipped as one
+bit per window; binning reuses the sort-based per-(sample, bin) minimum
+from the DNA kernel (nthash_jax.bin_min_sorted).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import aa_tap_table
+from .nthash_jax import (
+    MAX_K,
+    _mod_mersenne61,
+    _unpack_bits,
+    bin_min_sorted,
+)
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+AA_LETTERS = b"ACDEFGHIKLMNPQRSTVWY"
+
+# 256-entry byte -> compact code (0..19); invalid bytes -> 0 (windows
+# containing them are masked out by the host-computed emission bits)
+AA_COMPACT = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate(AA_LETTERS):
+    AA_COMPACT[_c] = _i
+    AA_COMPACT[_c + 32] = _i  # lowercase
+
+
+def aa_tap_tables_u32(k: int, level: int) -> np.ndarray:
+    """Per-tap compact seed tables as (MAX_K, 32, 2) u32 [lo, hi]; rows past
+    k are zero so the table can be a traced input to the k-generic kernel."""
+    tab = aa_tap_table(k, level)  # (k, 256) u64
+    out = np.zeros((MAX_K, 32, 2), dtype=np.uint32)
+    cols = np.frombuffer(AA_LETTERS, dtype=np.uint8)
+    vals = tab[:, cols]  # (k, 20) u64
+    out[:k, :20, 0] = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out[:k, :20, 1] = (vals >> np.uint64(32)).astype(np.uint32)
+    return out
+
+
+def _tap_select32_dyn(codes: jnp.ndarray, row: jnp.ndarray) -> tuple:
+    """5-deep binary select of a traced (32, 2) u32 table row by 5-bit
+    codes -> (lo, hi) u32 arrays."""
+    bits = [((codes >> b) & 1).astype(jnp.bool_) for b in range(5)]
+
+    def sel(vals):  # vals: (32,) u32
+        level = [jnp.where(bits[0], vals[i + 1], vals[i]) for i in range(0, 32, 2)]
+        for b in range(1, 5):
+            level = [
+                jnp.where(bits[b], level[i + 1], level[i])
+                for i in range(0, len(level), 2)
+            ]
+        return level[0]
+
+    return sel(row[:, 0]), sel(row[:, 1])
+
+
+def _windowed_hash_aa(codes: jnp.ndarray, k, taps: jnp.ndarray):
+    """Forward-only k-generic windowed hash; k is a traced scalar and the
+    per-tap rotated seed tables a traced input. codes must be padded with
+    at least MAX_K trailing elements; returns (lo, hi) of length
+    len(codes) - MAX_K for every window start."""
+    n = codes.shape[0] - MAX_K
+    zeros = jnp.zeros(n, dtype=_U32)
+
+    def body(j, carry):
+        f_lo, f_hi = carry
+        cj = jax.lax.dynamic_slice(codes, (j,), (n,))
+        row = jax.lax.dynamic_index_in_dim(taps, j, keepdims=False)
+        tl, th = _tap_select32_dyn(cj, row)
+        return f_lo ^ tl, f_hi ^ th
+
+    return jax.lax.fori_loop(0, k, body, (zeros, zeros))
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "magic", "out_rows"))
+def aa_hash_bin_kernel(
+    codes: jnp.ndarray,  # (N,) uint8 compact 5-bit aa codes, padded
+    validbits: jnp.ndarray,  # (N/8,) uint8 bit-packed window emission flags
+    starts: jnp.ndarray,  # (out_rows,) int32 sample start offsets
+    k: jnp.ndarray,  # () int32 k-mer length (traced: no recompile per k)
+    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated seed taps
+    num_bins: int,
+    magic: tuple[int, int],
+    out_rows: int,
+):
+    """Batched aaHash + mod + bin-min over a concatenated sample stream.
+
+    Window emission is decided on the host (1 bit per position) with the
+    exact oracle, so device results are bit-identical by construction.
+    Returns (min_hi, min_lo, found) as in the DNA kernel."""
+    c = codes.astype(_I32)
+    n0 = c.shape[0]
+    m = n0 - MAX_K
+    lo, hi = _windowed_hash_aa(c, k.astype(_I32), taps)
+    lo, hi = _mod_mersenne61(lo, hi)
+    ok = _unpack_bits(validbits)[:m] == 1
+    return bin_min_sorted(lo, hi, ok, starts, n0, num_bins, magic, out_rows)

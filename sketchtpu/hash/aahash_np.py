@@ -22,9 +22,11 @@ from ..ingest.fastx import _VALID_AA, AaStream
 _U64 = np.uint64
 
 
-def aahash_valid(stream: AaStream, k: int, level: int = 1) -> np.ndarray:
-    """Hashes of all emitted windows for one sample (order preserved)."""
-    seq = stream.seq
+def aa_window_valid(seq: np.ndarray, k: int) -> np.ndarray:
+    """(m,) bool emission mask for one sample's raw byte sequence, matching
+    the reference iterator exactly (aahash_iterator.rs:138-210) including
+    the final-window quirk. Raises when no window is reachable (set_k
+    panic semantics). Shared by the host and device hashing paths."""
     n = seq.shape[0]
     m = n - k + 1
     if m <= 0:
@@ -43,7 +45,15 @@ def aahash_valid(stream: AaStream, k: int, level: int = 1) -> np.ndarray:
     # the final window would qualify it is unreachable -> error (set_k panic).
     if not window_valid[: m - 1].any():
         raise ValueError("K-mer larger than smallest valid sequence")
+    return window_valid
 
+
+def aahash_valid(stream: AaStream, k: int, level: int = 1) -> np.ndarray:
+    """Hashes of all emitted windows for one sample (order preserved)."""
+    seq = stream.seq
+    n = seq.shape[0]
+    m = n - k + 1
+    window_valid = aa_window_valid(seq, k)
     tab = aa_tap_table(k, level)
     fh = np.zeros(m, dtype=_U64)
     for j in range(k):

@@ -294,14 +294,25 @@ def hash_bin_kernel(
     shifted = jax.lax.dynamic_slice(csum, (k - 1,), (m,))
     ok = (shifted - jax.lax.slice(csum, (0,), (m,))) == 0
     ok = ok & (pos + k <= total)
+    return bin_min_sorted(lo, hi, ok, starts, n0, num_bins, magic, out_rows)
+
+
+def bin_min_sorted(lo, hi, ok, starts, n0, num_bins, magic, out_rows):
+    """Per-(genome, bin) sign minima via a two-key sort. lo/hi are (m,)
+    u32 sign words, ok the (m,) emission mask, starts the (out_rows,) i32
+    genome start offsets in the length-n0 concatenated stream.
+
+    Packs (genome, sign-hi) into one u32 sort key: the sign occupies 61
+    bits so hi < 2^29, leaving 3 bits for the genome index (groups are
+    capped at 7 genomes by the backends; gidx 7 marks invalid windows).
+    The bin index is monotone in the sign, so sorting by (gidx|hi, lo)
+    orders each genome's stream by bin and each run head is the minimum.
+    Returns (min_hi, min_lo, found); empty bins have found == False."""
+    m = lo.shape[0]
+    mm, ss = magic
     sflags = jnp.zeros(n0, dtype=_I32).at[starts].add(1, mode="drop")
     gidx = jnp.cumsum(sflags, dtype=_I32)[:m].astype(_U32) - _U32(1)
 
-    # Pack (genome, sign-hi) into one u32 sort key: the sign occupies 61
-    # bits so hi < 2^29, leaving 3 bits for the genome index (groups are
-    # capped at 7 genomes by the backend; gidx 7 marks invalid windows).
-    # The bin index is monotone in the sign, so sorting by (gidx|hi, lo)
-    # orders each genome's stream by bin.
     marker = _U32(7 << 29)
     key1 = jnp.where(ok, (gidx << _U32(29)) | hi, _U32(0xFFFFFFFF))
     sorted_key, sorted_lo = jax.lax.sort((key1, lo), num_keys=2)

@@ -62,15 +62,18 @@ def select_backend(seq_type, n_samples: int):
     mode = _mode()
     if mode == "host":
         return None
-    if seq_type.kind != "dna":
-        return None
     if mode == "tpu" or (
         _device_available() and n_samples >= _MIN_SAMPLES_FOR_DEVICE_SKETCH
     ):
         try:
-            from .sketchcore.sketch_jax import DeviceSketchBackend
+            if seq_type.kind == "dna":
+                from .sketchcore.sketch_jax import DeviceSketchBackend
 
-            return DeviceSketchBackend()
+                return DeviceSketchBackend()
+            # aa / pdb (3Di strings hashed as AA level 1)
+            from .sketchcore.sketch_aa_jax import DeviceAaSketchBackend
+
+            return DeviceAaSketchBackend()
         except Exception as exc:  # pragma: no cover
             log.warning("device sketch backend unavailable (%s); using host", exc)
             return None

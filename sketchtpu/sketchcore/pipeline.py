@@ -98,6 +98,28 @@ def sketch_files(
                     progress()
             return sketches
 
+        if backend is not None and seq_type.kind in ("aa", "pdb"):
+            # Device-batched AA/3Di path: parse on host, hash/bin on TPU.
+            names: list[str] = []
+            streams = []
+            split = concat_fasta and seq_type.kind == "aa"
+            for name, files in input_files:
+                sample_streams = read_aa_sample(files, split)
+                for idx, stream in enumerate(sample_streams):
+                    names.append(f"{name}_{idx + 1}" if split else name)
+                    streams.append(stream)
+            level = seq_type.level if seq_type.kind == "aa" else 1
+            batch = backend.sketch_aa_streams(
+                streams, names, kmers, sketch_bins, level, rc
+            )
+            for sketch in batch:
+                sketch.index = writer.write_sketch(sketch.usigs)
+                sketch.usigs = None
+                sketches.append(sketch)
+                if progress is not None:
+                    progress()
+            return sketches
+
         if threads > 1:
             with ThreadPoolExecutor(max_workers=threads) as pool:
                 results = pool.map(build_sample, input_files)

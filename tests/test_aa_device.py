@@ -1,0 +1,94 @@
+"""Parity: device AA/3Di sketching backend vs the host oracle.
+
+The device kernel must produce bit-identical sketches — same usigs bytes,
+same densified flag — for the reference AA fixture and for synthetic edge
+cases (invalid residues, SEQSEP record separators, short sequences,
+multi-sample groups, all three reduced-alphabet levels).
+"""
+
+import numpy as np
+import pytest
+
+from sketchtpu.ingest.fastx import AaStream, SEQSEP, read_aa_sample
+from sketchtpu.sketchcore.sketch import sketch_aa_sample
+from sketchtpu.sketchcore.sketch_aa_jax import DeviceAaSketchBackend
+
+
+def _host_sketches(streams, names, kmers, sketch_size, level):
+    return [
+        sketch_aa_sample(s, n, kmers, sketch_size, level)
+        for s, n in zip(streams, names)
+    ]
+
+
+def _assert_equal(dev, host):
+    assert len(dev) == len(host)
+    for d, h in zip(dev, host):
+        assert d.name == h.name
+        assert d.densified == h.densified
+        assert d.seq_length == h.seq_length
+        assert d.non_acgt == h.non_acgt
+        np.testing.assert_array_equal(d.usigs, h.usigs)
+
+
+def _rand_stream(rng, n, p_invalid=0.02):
+    letters = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWYacdefghiklmnpqrstvwy",
+                            dtype=np.uint8)
+    seq = letters[rng.integers(0, letters.size, n)]
+    bad = rng.random(n) < p_invalid
+    seq = np.where(bad, SEQSEP, seq).astype(np.uint8)
+    return AaStream(seq=seq, invalid_count=int(bad.sum()))
+
+
+@pytest.mark.parametrize("level", [1, 2, 3])
+def test_aa_device_matches_host_synthetic(level):
+    rng = np.random.default_rng(level)
+    streams = [_rand_stream(rng, n) for n in (40, 97, 513, 64, 2048, 31, 300,
+                                              1200, 55)]
+    names = [f"s{i}" for i in range(len(streams))]
+    kmers = [6, 9, 14]
+    host = _host_sketches(streams, names, kmers, 64, level)
+    dev = DeviceAaSketchBackend().sketch_aa_streams(
+        streams, names, kmers, 64, level, rc=True
+    )
+    _assert_equal(dev, host)
+
+
+def test_aa_device_matches_host_fixture(ref_in):
+    streams = read_aa_sample([str(ref_in / "test_aa_sequence.fa")], False)
+    names = ["aa"]
+    kmers = [11, 13]
+    host = _host_sketches(streams, names, kmers, 1000, 1)
+    dev = DeviceAaSketchBackend().sketch_aa_streams(
+        streams, names, kmers, 1000, 1, rc=True
+    )
+    _assert_equal(dev, host)
+
+
+def test_aa_device_final_window_quirk():
+    """A sequence whose last window is only reachable when the preceding
+    char is valid — the reference's final-window rule."""
+    k = 5
+    # trailing k+1 valid chars -> final window emitted
+    s1 = AaStream(seq=np.frombuffer(b"ACDEFGHIKL", dtype=np.uint8).copy())
+    # invalid char at position L-k-1 -> final window suppressed even though
+    # its own k chars are valid; interior windows before the break remain
+    raw = bytearray(b"ACDEFGHIKLMN")
+    raw[len(raw) - k - 1] = SEQSEP
+    s2 = AaStream(seq=np.frombuffer(bytes(raw), dtype=np.uint8).copy(),
+                  invalid_count=1)
+    streams = [s1, s2]
+    names = ["a", "b"]
+    host = _host_sketches(streams, names, [k], 64, 1)
+    dev = DeviceAaSketchBackend().sketch_aa_streams(
+        streams, names, [k], 64, 1, rc=True
+    )
+    _assert_equal(dev, host)
+
+
+def test_aa_device_kmer_too_large():
+    s = AaStream(seq=np.frombuffer(b"ACDEF", dtype=np.uint8).copy())
+    with pytest.raises(ValueError, match="K-mer larger"):
+        DeviceAaSketchBackend().sketch_aa_streams(
+            [s], ["x"], [6], 64, 1, rc=True
+        )
