@@ -33,6 +33,14 @@ _BATCH_BASES = 1 << 24  # 16M
 # genomes per device group: the sort key packs the genome index into 3 bits
 # (value 7 marks invalid windows), so at most 7 genomes share one kernel call
 _MAX_GROUP = 7
+# The fast multi-k kernel packs the genome index into 8 bits of its
+# candidate key (nthash_multik.py), so prefilter-eligible genomes batch in
+# much larger groups — fewer dispatch round-trips per sketched base.
+_MAX_GROUP_FAST = 96
+# Same byte budget as the exact path: larger buckets measured slower (the
+# 64M-element program compiled minutes and ran at ~1/4 the 16M efficiency),
+# so big groups only help workloads of many sub-2M genomes.
+_BATCH_BASES_FAST = 1 << 24
 
 
 def _bucket(n: int) -> int:
@@ -80,6 +88,41 @@ class DeviceSketchBackend:
             yield start, end
             start = end
 
+    @staticmethod
+    def _fast_eligible(stream, kmers, nbins) -> bool:
+        if len(kmers) < 2 or max(kmers) > 64:
+            return False
+        from ..hash.nthash_multik import group_thresholds
+
+        n = stream.seq_len
+        return n > 0 and group_thresholds([n], nbins)[2]
+
+    def _groups_mixed(self, streams, kmers, nbins):
+        """Yield (start, end, is_fast): consecutive prefilter-eligible
+        streams in large fast-kernel groups, the rest in exact-size ones."""
+        start = 0
+        n = len(streams)
+        while start < n:
+            is_fast = self._fast_eligible(streams[start], kmers, nbins)
+            cap = _MAX_GROUP_FAST if is_fast else _MAX_GROUP
+            bases = _BATCH_BASES_FAST if is_fast else _BATCH_BASES
+            end = start
+            total = 0
+            while (
+                end < n
+                and end - start < cap
+                and (end == start or total + streams[end].seq_len <= bases)
+                and (
+                    end == start
+                    or self._fast_eligible(streams[end], kmers, nbins)
+                    == is_fast
+                )
+            ):
+                total += streams[end].seq_len
+                end += 1
+            yield start, end, is_fast
+            start = end
+
     def bin_minima_batch(
         self,
         streams: list[DnaStream],
@@ -114,52 +157,139 @@ class DeviceSketchBackend:
         import jax
 
         out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
-        for start, end in self._groups(streams):
+
+        # JAX dispatch is async: issuing several groups' kernels before
+        # collecting any result overlaps host packing, transfers and device
+        # compute, and amortises the dispatch round-trip (which dwarfs the
+        # per-group kernel time on a remote-tunneled chip). The window
+        # bounds device memory to a few packed streams.
+        window = 8
+        in_flight: list[tuple] = []
+
+        def dispatch(start: int, end: int, is_fast: bool):
             group = streams[start:end]
             g = len(group)
+            rows = _MAX_GROUP_FAST if is_fast else _MAX_GROUP
             # breaks are k-independent; prepare with the smallest k
             packed, breakbits, starts, total = self._prepare_group(
                 group, min(kmers)
             )
             packed_d = jax.device_put(packed)
             breakbits_d = jax.device_put(breakbits)
-            out_rows = _MAX_GROUP
-            starts_pad = np.full(out_rows, total, dtype=np.int32)
+            starts_pad = np.full(rows, total, dtype=np.int32)
             starts_pad[:g] = starts
-
-            done = self._try_fast_multi_k(
-                group, packed_d, breakbits_d, starts_pad, total, kmers, rc,
-                nbins, out_rows,
-            )
-            if done is not None:
-                for kk in kmers:
-                    out[kk][start:end] = done[kk][:g]
-                continue
-
-            results = {}
-            for kk in kmers:
-                taps_fwd, taps_rev = tap_tables_u32(kk, rc)
-                results[kk] = hash_bin_kernel(
-                    packed_d,
-                    breakbits_d,
-                    starts_pad,
-                    np.int32(total),
-                    np.int32(kk),
-                    taps_fwd,
-                    taps_rev,
-                    rc=rc,
-                    num_bins=nbins,
-                    magic=self._magic(nbins),
-                    out_rows=out_rows,
+            fast = exact = None
+            if is_fast:
+                fast = self._dispatch_fast_multi_k(
+                    group, packed_d, breakbits_d, starts_pad, total, kmers,
+                    rc, nbins, rows,
                 )
-            for kk, (min_hi, min_lo, found) in results.items():
-                mh = np.asarray(min_hi).reshape(out_rows, nbins)[:g]
-                ml = np.asarray(min_lo).reshape(out_rows, nbins)[:g]
-                fd = np.asarray(found).reshape(out_rows, nbins)[:g]
+            if fast is None:
+                if g <= _MAX_GROUP:
+                    exact = self._dispatch_exact(
+                        packed_d, breakbits_d, self._pad_starts(starts, total),
+                        total, kmers, rc, nbins,
+                    )
+                # else: handled at collect time by re-running in exact-size
+                # chunks (only reachable on a fast-dispatch refusal)
+            return (start, end, g, rows, packed_d, breakbits_d, starts, total,
+                    fast, exact)
+
+        def collect(item):
+            (start, end, g, rows, packed_d, breakbits_d, starts, total,
+             fast, exact) = item
+            if fast is not None:
+                done = self._collect_fast_multi_k(fast, kmers, g, nbins, rows)
+                if done is not None:
+                    for kk in kmers:
+                        out[kk][start:end] = done[kk][:g]
+                    return
+                # rare exact fallback (prefilter overflow / lost bin)
+                if g <= _MAX_GROUP:
+                    exact = self._dispatch_exact(
+                        packed_d, breakbits_d, self._pad_starts(starts, total),
+                        total, kmers, rc, nbins,
+                    )
+            if exact is None:
+                redo = self.bin_minima_multi_k_exact(
+                    streams[start:end], kmers, rc, nbins
+                )
+                for kk in kmers:
+                    out[kk][start:end] = redo[kk]
+                return
+            for kk, (min_hi, min_lo, found) in exact.items():
+                mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:g]
+                ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:g]
+                fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:g]
+                out[kk][start:end] = combine_bin_minima(mh, ml, fd)
+
+        for start, end, is_fast in self._groups_mixed(streams, kmers, nbins):
+            if len(in_flight) >= window:
+                collect(in_flight.pop(0))
+            in_flight.append(dispatch(start, end, is_fast))
+        for item in in_flight:
+            collect(item)
+        return out
+
+    @staticmethod
+    def _pad_starts(starts: np.ndarray, total: int) -> np.ndarray:
+        pad = np.full(_MAX_GROUP, total, dtype=np.int32)
+        pad[: starts.shape[0]] = starts
+        return pad
+
+    def bin_minima_multi_k_exact(
+        self, streams, kmers, rc: bool, nbins: int
+    ) -> dict[int, np.ndarray]:
+        """Exact per-k kernels in _MAX_GROUP-size chunks (blocking; used as
+        the fallback when a large fast-kernel group fails validation)."""
+        out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
+        import jax
+
+        for start, end in self._groups(streams):
+            group = streams[start:end]
+            g = len(group)
+            packed, breakbits, starts, total = self._prepare_group(
+                group, min(kmers)
+            )
+            exact = self._dispatch_exact(
+                jax.device_put(packed),
+                jax.device_put(breakbits),
+                self._pad_starts(starts, total),
+                total,
+                kmers,
+                rc,
+                nbins,
+            )
+            for kk, (min_hi, min_lo, found) in exact.items():
+                mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:g]
+                ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:g]
+                fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:g]
                 out[kk][start:end] = combine_bin_minima(mh, ml, fd)
         return out
 
-    def _try_fast_multi_k(
+    def _dispatch_exact(
+        self, packed_d, breakbits_d, starts_pad, total, kmers, rc, nbins
+    ):
+        """Issue the exact per-k kernels (async); returns {k: device tuple}."""
+        results = {}
+        for kk in kmers:
+            taps_fwd, taps_rev = tap_tables_u32(kk, rc)
+            results[kk] = hash_bin_kernel(
+                packed_d,
+                breakbits_d,
+                starts_pad,
+                np.int32(total),
+                np.int32(kk),
+                taps_fwd,
+                taps_rev,
+                rc=rc,
+                num_bins=nbins,
+                magic=self._magic(nbins),
+                out_rows=_MAX_GROUP,
+            )
+        return results
+
+    def _dispatch_fast_multi_k(
         self,
         group,
         packed_d,
@@ -171,7 +301,8 @@ class DeviceSketchBackend:
         nbins,
         out_rows,
     ):
-        """Fast multi-k path; returns {k: (out_rows, nbins) u64} or None."""
+        """Issue the fast multi-k kernel (async); returns the device result
+        tuple, or None when the group is ineligible (host-side check)."""
         if len(kmers) < 2 or max(kmers) > 64:
             return None
         from ..hash.nthash_multik import (
@@ -204,12 +335,17 @@ class DeviceSketchBackend:
             blk=blk,
             w=w,
         )
+        return (o_hi, o_lo, found, overflow, w)
+
+    def _collect_fast_multi_k(self, fast, kmers, g, nbins, out_rows):
+        """Validate a fast-path result; returns {k: (out_rows, nbins) u64}
+        or None when the group needs the exact fallback."""
+        o_hi, o_lo, found, overflow, w = fast
         if int(overflow) > w:
             return None
         o_hi = np.asarray(o_hi)
         o_lo = np.asarray(o_lo)
         found = np.asarray(found)
-        g = len(group)
         # any missing bin within a real genome is ambiguous (prefiltered-away
         # vs genuinely empty) -> exact fallback
         if not found.reshape(len(kmers), out_rows, nbins)[:, :g, :].all():

@@ -40,7 +40,7 @@ def test_fast_path_is_taken_and_bit_exact():
 
     backend = DeviceSketchBackend()
     taken = {"fast": 0}
-    orig = backend._try_fast_multi_k
+    orig = backend._collect_fast_multi_k
 
     def spy(*a, **kw):
         res = orig(*a, **kw)
@@ -48,7 +48,7 @@ def test_fast_path_is_taken_and_bit_exact():
             taken["fast"] += 1
         return res
 
-    backend._try_fast_multi_k = spy
+    backend._collect_fast_multi_k = spy
     dev = backend.sketch_dna_streams(streams, names, kmers, nbins, True, 0)
     assert taken["fast"] >= 1, "fast multi-k path was not exercised"
 
@@ -107,3 +107,30 @@ def test_block_geometry_margins():
     blk, w = pick_block_geometry(0.005)
     lam = 0.005 * blk
     assert w >= lam + 6 * np.sqrt(lam)
+
+
+def test_big_group_exact_fallback_split():
+    """A >7-genome fast group whose fast-path validation fails must be
+    re-run bit-exactly through the exact kernel in _MAX_GROUP-size chunks."""
+    import sketchtpu.sketchcore.sketch_jax as sj
+
+    streams = _streams(n_genomes=4, seed=11)
+    names = [f"g{i}" for i in range(len(streams))]
+    kmers = [15, 21]
+
+    backend = sj.DeviceSketchBackend()
+    # force a big fast group regardless of genome sizes...
+    orig_elig = backend._fast_eligible
+    backend._fast_eligible = lambda *a, **kw: True
+    # ...and make its validation always fail
+    backend._collect_fast_multi_k = lambda *a, **kw: None
+    assert len(list(backend._groups_mixed(streams, kmers, 128))) == 1
+    dev = backend.sketch_dna_streams(streams, names, kmers, 128, True, 0)
+    backend._fast_eligible = orig_elig
+
+    host = [
+        sketch_dna_sample(s, n, kmers, 128, True, 0)
+        for s, n in zip(streams, names)
+    ]
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs)
