@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -64,6 +65,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-count", type=int, default=DEFAULT_MINCOUNT)
     p.add_argument("--min-qual", type=int, default=DEFAULT_MINQUAL)
     p.add_argument("--threads", type=int, default=1)
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=None,
+        help="Multi-host sharding: this process's rank (auto-detected from "
+        "jax.distributed when JAX_COORDINATOR_ADDRESS is set)",
+    )
+    p.add_argument(
+        "--n-processes",
+        type=int,
+        default=None,
+        help="Multi-host sharding: total process count; each process "
+        "sketches its slice of the input list, rank 0 merges",
+    )
     _add_common(p)
 
     # --- dist ---
@@ -222,22 +237,76 @@ def main(argv=None) -> int:
             seq_type.debug_str(),
             args.threads,
         )
-        backend = select_backend(seq_type, len(input_files))
-        sketches = sketch_files(
-            args.output,
-            input_files,
-            args.concat_fasta,
-            kmers,
-            sketch_bins,
-            seq_type,
-            rc,
-            args.min_count,
-            args.min_qual,
-            threads=args.threads,
-            backend=backend,
-        )
-        ms = MultiSketch(sketches, sketch_bins, kmers, seq_type)
-        ms.save_metadata(args.output)
+        n_proc = args.n_processes
+        proc_id = args.process_id
+        if n_proc is None and os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            from .shard.distributed import init_distributed
+
+            proc_id, n_proc = init_distributed()
+        if n_proc is not None and n_proc > 1:
+            # Multi-host: sketch this rank's slice to a shard; rank 0 merges
+            # once every shard file exists (byte-identical to a single-host
+            # sketch of the full list).
+            from .shard.distributed import merge_shards, sketch_shard
+
+            sketch_shard(
+                args.output,
+                input_files,
+                proc_id or 0,
+                n_proc,
+                concat_fasta=args.concat_fasta,
+                kmers=kmers,
+                sketch_bins=sketch_bins,
+                seq_type=seq_type,
+                rc=rc,
+                min_count=args.min_count,
+                min_qual=args.min_qual,
+                threads=args.threads,
+            )
+            try:
+                import jax
+
+                if jax.process_count() == n_proc:
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices("sketchtpu_shards")
+            except Exception:
+                pass  # manual orchestration: caller merges when ready
+            if (proc_id or 0) == 0:
+                from pathlib import Path
+
+                from .shard.distributed import shard_prefix
+
+                if all(
+                    Path(f"{shard_prefix(args.output, i)}.skm").exists()
+                    for i in range(n_proc)
+                ):
+                    merge_shards(args.output, n_proc)
+                else:
+                    log.warning(
+                        "shards incomplete; run "
+                        "sketchtpu.shard.distributed.merge_shards(%r, %d) "
+                        "once all ranks finish",
+                        args.output,
+                        n_proc,
+                    )
+        else:
+            backend = select_backend(seq_type, len(input_files))
+            sketches = sketch_files(
+                args.output,
+                input_files,
+                args.concat_fasta,
+                kmers,
+                sketch_bins,
+                seq_type,
+                rc,
+                args.min_count,
+                args.min_qual,
+                threads=args.threads,
+                backend=backend,
+            )
+            ms = MultiSketch(sketches, sketch_bins, kmers, seq_type)
+            ms.save_metadata(args.output)
 
     elif args.command == "dist":
         from .dist import api, output as dist_output

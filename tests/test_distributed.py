@@ -1,0 +1,105 @@
+"""Multi-host orchestration: sharded sketching must merge byte-identically.
+
+Runs the per-process shard driver for each rank in one process (rank
+behaviour depends only on (process_index, process_count)), then merges and
+compares against a direct single-process sketch of the full input list.
+"""
+
+import numpy as np
+
+from sketchtpu.constants import num_bins
+from sketchtpu.formats.skm import MultiSketch
+from sketchtpu.sketchcore.pipeline import sketch_files
+from sketchtpu.sketchcore.sketch import HashType
+from sketchtpu.shard.distributed import (
+    merge_shards,
+    process_slice,
+    sketch_shard,
+)
+
+
+def test_process_slice_partitions():
+    for n in (1, 5, 7, 8, 100):
+        for p in (1, 2, 3, 8):
+            slices = [process_slice(n, i, p) for i in range(p)]
+            covered = []
+            for s in slices:
+                covered.extend(range(n)[s])
+            assert covered == list(range(n))
+
+
+def test_sharded_sketch_merges_bit_exact(tmp_path, ref_in):
+    files = [
+        ("R6", [str(ref_in / "R6.fa.gz")]),
+        ("TIGR4", [str(ref_in / "TIGR4.fa.gz")]),
+        ("s82", [str(ref_in / "14412_3#82.contigs_velvet.fa.gz")]),
+        ("s84", [str(ref_in / "14412_3#84.contigs_velvet.fa.gz")]),
+    ]
+    kmers = [17, 21]
+    seq_type = HashType("dna")
+    _, bins, _ = num_bins(100)
+
+    direct = tmp_path / "direct"
+    sketches = sketch_files(
+        str(direct), files, False, kmers, bins, seq_type, True, 0, 20
+    )
+    MultiSketch(sketches, bins, kmers, seq_type).save_metadata(str(direct))
+
+    sharded = tmp_path / "sharded"
+    nproc = 3
+    for rank in range(nproc):
+        sketch_shard(
+            str(sharded),
+            files,
+            rank,
+            nproc,
+            concat_fasta=False,
+            kmers=kmers,
+            sketch_bins=bins,
+            seq_type=seq_type,
+            rc=True,
+            min_count=0,
+            min_qual=20,
+        )
+    merge_shards(str(sharded), nproc)
+
+    assert (sharded.with_suffix(".skd")).read_bytes() == (
+        direct.with_suffix(".skd")
+    ).read_bytes()
+    m1 = MultiSketch.load_metadata(str(sharded))
+    m2 = MultiSketch.load_metadata(str(direct))
+    assert [s.name for s in m1.sketch_metadata] == [
+        s.name for s in m2.sketch_metadata
+    ]
+    assert [s.index for s in m1.sketch_metadata] == [
+        s.index for s in m2.sketch_metadata
+    ]
+    m1.read_sketch_data(str(sharded))
+    m2.read_sketch_data(str(direct))
+    np.testing.assert_array_equal(m1.sketch_bins, m2.sketch_bins)
+
+
+def test_cli_sharded_sketch(tmp_path, ref_in, monkeypatch):
+    """`sketch --process-id I --n-processes N` per rank, then rank 0 merges
+    (run last here so every shard exists); result is byte-identical to an
+    unsharded CLI sketch."""
+    from sketchtpu.cli import main as cli_main
+
+    rfile = tmp_path / "rfile.txt"
+    rfile.write_text(
+        f"R6\t{ref_in}/R6.fa.gz\nTIGR4\t{ref_in}/TIGR4.fa.gz\n"
+        f"s82\t{ref_in}/14412_3#82.contigs_velvet.fa.gz\n"
+    )
+    monkeypatch.setenv("SKETCHTPU_BACKEND", "host")
+    base = ["sketch", "-f", str(rfile), "-k", "17", "-s", "100"]
+    cli_main(base + ["-o", str(tmp_path / "direct")])
+    for rank in (1, 2, 0):  # rank 0 last -> auto-merge
+        cli_main(
+            base
+            + ["-o", str(tmp_path / "shard"), "--process-id", str(rank),
+               "--n-processes", "3"]
+        )
+    assert (tmp_path / "shard.skd").read_bytes() == (
+        tmp_path / "direct.skd"
+    ).read_bytes()
+    assert not (tmp_path / "shard.part0.skd").exists()
