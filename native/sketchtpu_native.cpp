@@ -15,6 +15,8 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC -o _sketchtpu_native.so sketchtpu_native.cpp
 
 #include <cstdint>
+#include <charconv>
+#include <cmath>
 #include <cstring>
 #include <cstddef>
 #include <unordered_map>
@@ -346,6 +348,98 @@ void stpu_bin_signs(const uint64_t* signs, size_t n, uint64_t binsize,
         size_t bin = (size_t)(sign / binsize);
         if (bin < nbins && sign < bins[bin]) bins[bin] = sign;
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// f32 text formatting (Rust `Display` semantics: shortest round-trip digits,
+// positional notation, no trailing ".0") and bulk distance-line assembly.
+// std::to_chars produces the shortest round-trip form but may pick scientific
+// notation; the exponent is expanded to positional here so output matches the
+// reference byte-for-byte (distance_matrix.rs:175-209).
+// ---------------------------------------------------------------------------
+
+static int fmt_f32_positional(float v, char* out) {
+    if (std::isnan(v)) { std::memcpy(out, "NaN", 3); return 3; }
+    if (std::isinf(v)) {
+        if (v < 0) { std::memcpy(out, "-inf", 4); return 4; }
+        std::memcpy(out, "inf", 3); return 3;
+    }
+    char tmp[48];
+    auto res = std::to_chars(tmp, tmp + sizeof(tmp), v);
+    int n = (int)(res.ptr - tmp);
+    int epos = -1;
+    for (int i = 0; i < n; i++) {
+        if (tmp[i] == 'e') { epos = i; break; }
+    }
+    if (epos < 0) { std::memcpy(out, tmp, n); return n; }
+
+    // scientific: [-]D[.DDDD]e[-+]XX -> positional
+    int p = 0, o = 0;
+    if (tmp[0] == '-') { out[o++] = '-'; p = 1; }
+    char digits[40];
+    int nd = 0;
+    for (int i = p; i < epos; i++)
+        if (tmp[i] != '.') digits[nd++] = tmp[i];
+    int exp = 0, esign = 1, i = epos + 1;
+    if (tmp[i] == '-') { esign = -1; i++; } else if (tmp[i] == '+') { i++; }
+    for (; i < n; i++) exp = exp * 10 + (tmp[i] - '0');
+    exp *= esign;
+    // value = digits[0].digits[1:] * 10^exp
+    if (exp >= nd - 1) {
+        for (int d = 0; d < nd; d++) out[o++] = digits[d];
+        for (int z = 0; z < exp - (nd - 1); z++) out[o++] = '0';
+    } else if (exp >= 0) {
+        for (int d = 0; d <= exp; d++) out[o++] = digits[d];
+        out[o++] = '.';
+        for (int d = exp + 1; d < nd; d++) out[o++] = digits[d];
+    } else {
+        out[o++] = '0'; out[o++] = '.';
+        for (int z = 0; z < -exp - 1; z++) out[o++] = '0';
+        for (int d = 0; d < nd; d++) out[o++] = digits[d];
+    }
+    return o;
+}
+
+extern "C" {
+
+// values -> fixed-stride (64B) char slots + lengths (for tests / columns).
+void stpu_format_f32(const float* values, int64_t n, char* out,
+                     int32_t* lens) {
+    for (int64_t i = 0; i < n; i++)
+        lens[i] = fmt_f32_positional(values[i], out + 64 * i);
+}
+
+// Bulk "row\tcol\tv1[\tv2]\n" line assembly.
+// names_r/off_r: row-name table (name i = bytes [off[i], off[i+1]));
+// names_c/off_c: column-name table; rows/cols: per-line indices;
+// v2 == nullptr -> single-value lines. Returns bytes written, or -1 if the
+// output capacity would be exceeded.
+int64_t stpu_format_dist_lines(
+    const char* names_r, const int64_t* off_r,
+    const char* names_c, const int64_t* off_c,
+    const int32_t* rows, const int32_t* cols,
+    const float* v1, const float* v2,
+    int64_t n, char* out, int64_t cap) {
+    int64_t o = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r0 = off_r[rows[i]], r1 = off_r[rows[i] + 1];
+        int64_t c0 = off_c[cols[i]], c1 = off_c[cols[i] + 1];
+        int64_t need = (r1 - r0) + (c1 - c0) + 2 * 64 + 4;
+        if (o + need > cap) return -1;
+        std::memcpy(out + o, names_r + r0, r1 - r0); o += r1 - r0;
+        out[o++] = '\t';
+        std::memcpy(out + o, names_c + c0, c1 - c0); o += c1 - c0;
+        out[o++] = '\t';
+        o += fmt_f32_positional(v1[i], out + o);
+        if (v2 != nullptr) {
+            out[o++] = '\t';
+            o += fmt_f32_positional(v2[i], out + o);
+        }
+        out[o++] = '\n';
+    }
+    return o;
 }
 
 }  // extern "C"

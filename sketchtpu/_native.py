@@ -94,6 +94,27 @@ def get_lib():
                 ctypes.c_void_p,
                 ctypes.c_size_t,
             ]
+            lib.stpu_format_f32.restype = None
+            lib.stpu_format_f32.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            lib.stpu_format_dist_lines.restype = ctypes.c_int64
+            lib.stpu_format_dist_lines.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
             _lib = lib
         except Exception:
             _lib = None

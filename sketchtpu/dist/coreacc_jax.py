@@ -136,10 +136,15 @@ class DeviceCoreAccEngine:
             a_cm = chunk_major(jax.device_put(stack), self.s64)
             self._a_cm = a_cm
             self._bt = jnp.transpose(a_cm)
-            self._bt.block_until_ready()
+            pb = (-n) % self.tj
+            self._bt_pad = (
+                jnp.pad(self._bt, ((0, 0), (0, pb))) if pb else self._bt
+            )
+            self._bt_pad.block_until_ready()
             self._stack = None
         else:
             self._stack = jax.device_put(stack)
+        self._n = n
 
     def tile_dists(self, rows: slice, cols: slice) -> np.ndarray:
         if self._use_pallas:
@@ -153,11 +158,12 @@ class DeviceCoreAccEngine:
         from .coreacc_pallas import coreacc_pallas
 
         a = self._a_cm[rows]
-        bt = self._bt[:, cols]
+        full_cols = cols == slice(0, self._n) or cols == slice(None)
+        bt = self._bt_pad if full_cols else self._bt[:, cols]
         na = a.shape[0]
-        nb = bt.shape[1]
+        nb = self._n if full_cols else bt.shape[1]
         pa = (-na) % self.ti
-        pb = (-nb) % self.tj
+        pb = (-int(bt.shape[1])) % self.tj
         if pa:
             a = jnp.pad(a, ((0, pa), (0, 0)))
         if pb:
@@ -167,15 +173,59 @@ class DeviceCoreAccEngine:
         )
         return np.asarray(out[:na, :nb])
 
+    def _tile_dists_async(self, r0: int, r1: int, n: int):
+        """Dispatch one (row-block x all-columns) tile; returns the device
+        array (cropped lazily) without forcing a transfer."""
+        if self._use_pallas:
+            from .coreacc_pallas import coreacc_pallas
+
+            a = self._a_cm[r0:r1]
+            pa = (-(r1 - r0)) % self.ti
+            if pa:
+                a = jnp.pad(a, ((0, pa), (0, 0)))
+            out = coreacc_pallas(
+                a, self._bt_pad, self.s64, self.kmers, self.ms.sketch_size,
+                ti=self.ti, tj=self.tj,
+            )
+            return out[: r1 - r0, :n]
+        a = self._stack[:, r0:r1, :]
+        return coreacc_tile(a, self._stack, self.s64, self.kmers,
+                            self.ms.sketch_size)
+
     def stream_self_dense(self, out, names: list[str]) -> None:
         """Write the upper-triangle long-form core/acc output, computing
-        (tile x all-columns) blocks on device and streaming rows out."""
-        from .output import fmt_f32_column
+        (tile x all-columns) blocks on device and streaming rows out. The
+        next block is dispatched before the current one is formatted, so
+        device compute overlaps host text formatting."""
+        from .._native import get_lib
+        from .output import _name_table, _native_lines, fmt_f32_column
 
         n = len(names)
-        for r0 in range(0, n, self.tile):
+        starts = list(range(0, n, self.tile))
+        pending: list[tuple] = []
+        tab = _name_table(names) if get_lib() is not None else None
+
+        def dispatch(r0: int):
             r1 = min(r0 + self.tile, n)
-            block = self.tile_dists(slice(r0, r1), slice(0, n))
+            pending.append((r0, r1, self._tile_dists_async(r0, r1, n)))
+
+        dispatch(starts[0])
+        for nxt in starts[1:] + [None]:
+            r0, r1, block_dev = pending.pop(0)
+            if nxt is not None:
+                dispatch(nxt)
+            block = np.asarray(block_dev)[: r1 - r0]
+            if tab is not None:
+                counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
+                rows = np.repeat(np.arange(r0, r1, dtype=np.int32), counts)
+                cols = np.concatenate(
+                    [np.arange(i + 1, n, dtype=np.int32) for i in range(r0, r1)]
+                )
+                flat = block.reshape(-1, 2)[
+                    (rows - r0).astype(np.int64) * n + cols
+                ]
+                _native_lines(out, tab, tab, rows, cols, flat[:, 0], flat[:, 1])
+                continue
             for i in range(r0, r1):
                 cores = fmt_f32_column(block[i - r0, i + 1 :, 0])
                 accs = fmt_f32_column(block[i - r0, i + 1 :, 1])

@@ -63,16 +63,20 @@ class DeviceSamebitsEngine:
         a32 = self._to_u32(a)
         b32 = self._to_u32(b)
         nb = b32.shape[0]
-        outs = []
+        pending = []
         for j0 in range(0, nb, self.col_tile):
             tile = b32[j0 : j0 + self.col_tile]
             pad = 0
             if tile.shape[0] < min(self.col_tile, nb) and nb > self.col_tile:
                 pad = self.col_tile - tile.shape[0]
                 tile = np.pad(tile, ((0, pad), (0, 0)))
-            res = np.asarray(_samebits_tile(a32, tile, self.s64))
+            # async dispatch; collection below overlaps device compute
+            pending.append((pad, _samebits_tile(a32, tile, self.s64)))
+        outs = []
+        for pad, res in pending:
+            res = np.asarray(res)
             if pad:
-                res = res[:, : tile.shape[0] - pad]
+                res = res[:, : res.shape[1] - pad]
             outs.append(res)
         return np.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 

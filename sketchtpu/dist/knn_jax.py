@@ -204,6 +204,52 @@ def _knn_scan_block_ca_pallas(
     return -keys, accs, idxs
 
 
+class SparseKnnRows:
+    """Array-backed sparse kNN result from the device engines.
+
+    Iterating yields per-row item lists, identical to the host drivers'
+    output (so tests and the precluster post-processing see lists), while
+    dist/output.write_sparse consumes the arrays directly via as_arrays()
+    — building 5M+ Python tuples was a bigger cost than the device scan.
+
+    vals is (n, knn) f32 for Jaccard/ANI or (n, knn, 2) f32 for core/acc;
+    valid is an optional (n, knn) bool emission mask (invalid trailing
+    entries are truncated from the per-row lists, as the host path does).
+    """
+
+    def __init__(self, idx: np.ndarray, vals: np.ndarray,
+                 valid: np.ndarray | None):
+        self.idx = idx
+        self.vals = vals
+        self.valid = valid
+
+    def as_arrays(self):
+        return self.idx, self.vals, self.valid
+
+    def __len__(self):
+        return self.idx.shape[0]
+
+    def _row(self, r: int) -> list:
+        knn = self.idx.shape[1]
+        cols = range(knn)
+        if self.valid is not None:
+            cols = [c for c in cols if self.valid[r, c]]
+        if self.vals.ndim == 3:
+            return [
+                (int(self.idx[r, c]), np.float32(self.vals[r, c, 0]),
+                 np.float32(self.vals[r, c, 1]))
+                for c in cols
+            ]
+        return [(int(self.idx[r, c]), np.float32(self.vals[r, c])) for c in cols]
+
+    def __getitem__(self, r: int) -> list:
+        return self._row(r)
+
+    def __iter__(self):
+        for r in range(len(self)):
+            yield self._row(r)
+
+
 def _pad_rows(mat: np.ndarray, mult: int) -> np.ndarray:
     pad = (-mat.shape[0]) % mult
     if pad:
@@ -219,7 +265,7 @@ class DeviceKnnEngine:
     the selected neighbours.
     """
 
-    def __init__(self, ref_ms, row_tile: int = 256, col_tile: int = 2048):
+    def __init__(self, ref_ms, row_tile: int = 2048, col_tile: int = 2048):
         import os
 
         from ..runtime import enable_compilation_cache
@@ -282,6 +328,9 @@ class DeviceKnnEngine:
         out_v = np.empty((na, knn), dtype=np.int32)
         out_i = np.empty((na, knn), dtype=np.int32)
         dummy = self._dummy_sig
+        # dispatch every row block before collecting any (async): only the
+        # (rows x knn) results cross the link, so nothing bounds the window
+        pending = []
         for r0 in range(0, na, self.row_tile):
             r1 = min(r0 + self.row_tile, na)
             a_blk = a_mat[r0:r1]
@@ -299,12 +348,16 @@ class DeviceKnnEngine:
                 exclude_self=exclude_self,
                 masked=masked,
             )
+            pending.append((r0, r1, v, i))
+        for r0, r1, v, i in pending:
             out_v[r0:r1] = np.asarray(v)
             out_i[r0:r1] = np.asarray(i)
         return out_v, out_i
 
-    def _rows_from_samebits(self, sb: np.ndarray, idx: np.ndarray, dist_type):
-        """Exact f64 host post-processing of selected samebits -> item lists
+    def _rows_from_samebits(
+        self, sb: np.ndarray, idx: np.ndarray, dist_type, as_lists: bool = False
+    ):
+        """Exact f64 host post-processing of selected samebits -> sparse rows
         (ANI items hold the similarity, as the host driver emits). Entries
         with sb == _NEG are missing candidates and are truncated."""
         na, knn = sb.shape
@@ -313,13 +366,8 @@ class DeviceKnnEngine:
             d = ani_pois(j, dist_type.k).astype(np.float32)  # similarity
         else:
             d = (1.0 - j).astype(np.float32)
-        rows_out = []
-        for r in range(na):
-            valid = sb[r] != _NEG
-            rows_out.append(
-                [(int(idx[r, c]), d[r, c]) for c in range(knn) if valid[c]]
-            )
-        return rows_out
+        rows = SparseKnnRows(idx, d, sb != _NEG)
+        return list(rows) if as_lists else rows
 
     def self_knn(self, knn: int, dist_type):
         """Self kNN (Jaccard or ANI, no completeness)."""
@@ -354,7 +402,6 @@ class DeviceKnnEngine:
         """Shared row-block driver for self/cross core-acc kNN; row_stack is
         (nk, nrows, W2) u32."""
         kmers = tuple(self.ms.kmer_lengths)
-        rows_out = []
         if self._use_pallas_ca:
             from .coreacc_pallas import chunk_major
 
@@ -362,6 +409,7 @@ class DeviceKnnEngine:
             row_cm = chunk_major(jnp.asarray(row_stack), self.s64)
         else:
             b_stack = self._stack()
+        pending = []
         for r0 in range(0, nrows, self.row_tile):
             r1 = min(r0 + self.row_tile, nrows)
             if self._use_pallas_ca:
@@ -394,17 +442,19 @@ class DeviceKnnEngine:
                     tc=self.col_tile,
                     exclude_self=exclude_self,
                 )
-            core = np.asarray(core)
-            acc = np.asarray(acc)
-            idx = np.asarray(idx)
-            for r in range(r1 - r0):
-                rows_out.append(
-                    [
-                        (int(idx[r, c]), np.float32(core[r, c]), np.float32(acc[r, c]))
-                        for c in range(knn)
-                    ]
-                )
-        return rows_out
+            pending.append((r0, r1, core, acc, idx))
+        cores, accs, idxs = [], [], []
+        for r0, r1, core, acc, idx in pending:
+            cores.append(np.asarray(core)[: r1 - r0])
+            accs.append(np.asarray(acc)[: r1 - r0])
+            idxs.append(np.asarray(idx)[: r1 - r0])
+        return SparseKnnRows(
+            np.concatenate(idxs),
+            np.stack(
+                [np.concatenate(cores), np.concatenate(accs)], axis=-1
+            ).astype(np.float32),
+            None,
+        )
 
     def self_knn_coreacc(self, knn: int):
         b_stack = self._stack()
@@ -467,7 +517,7 @@ class DeviceKnnEngine:
             a_sig=signs,
             b_sig_dev=sig_dev,
         )
-        rows_out = self._rows_from_samebits(sb, idx, dist_type)
+        rows_out = self._rows_from_samebits(sb, idx, dist_type, as_lists=True)
 
         # rows with zero candidates: retain_unmatched handling
         empty = np.flatnonzero(sb[:, 0] == _NEG)

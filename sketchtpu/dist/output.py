@@ -3,11 +3,24 @@
 Matches Rust's `Display` for f32 (shortest decimal string that round-trips,
 positional notation, no trailing ".0") and the long-form / sparse layouts of
 /root/reference/src/distances/distance_matrix.rs:175-209,360-401.
+
+At scale the text itself is the bottleneck (a 100k-genome all-vs-all run is
+5e9 lines), so bulk line assembly runs in the native helper library
+(stpu_format_dist_lines: std::to_chars shortest round-trip + positional
+expansion, byte-identical to fmt_f32 below — asserted by
+tests/test_output_native.py). Pure-Python paths remain as fallback.
 """
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
+
+from .._native import get_lib
+
+# lines per native-formatting chunk (bounds the host buffer)
+_CHUNK = 1 << 21
 
 
 def fmt_f32(value) -> str:
@@ -21,11 +34,120 @@ def fmt_f32(value) -> str:
 
 
 def fmt_f32_column(values: np.ndarray) -> list[str]:
-    return [fmt_f32(v) for v in np.asarray(values, dtype=np.float32)]
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    lib = get_lib()
+    if lib is not None and values.size:
+        n = values.size
+        buf = ctypes.create_string_buffer(64 * n)
+        lens = np.empty(n, dtype=np.int32)
+        lib.stpu_format_f32(
+            values.ctypes.data, n, buf, lens.ctypes.data_as(ctypes.c_void_p)
+        )
+        raw = buf.raw
+        return [
+            raw[64 * i : 64 * i + lens[i]].decode("ascii") for i in range(n)
+        ]
+    return [fmt_f32(v) for v in values]
+
+
+def _name_table(names) -> tuple[bytes, np.ndarray]:
+    enc = [str(n).encode() for n in names]
+    off = np.zeros(len(enc) + 1, dtype=np.int64)
+    if enc:
+        off[1:] = np.cumsum([len(e) for e in enc])
+    return b"".join(enc), off
+
+
+def _native_lines(
+    out,
+    tab_r: tuple[bytes, np.ndarray],
+    tab_c: tuple[bytes, np.ndarray],
+    rows: np.ndarray,
+    cols: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray | None,
+) -> bool:
+    """Assemble and write "row\\tcol\\tv1[\\tv2]\\n" lines natively.
+    Returns False when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    names_r, off_r = tab_r
+    names_c, off_c = tab_c
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    v1 = np.ascontiguousarray(v1, dtype=np.float32)
+    if v2 is not None:
+        v2 = np.ascontiguousarray(v2, dtype=np.float32)
+    write = out.buffer.write if hasattr(out, "buffer") else None
+    for s in range(0, rows.size, _CHUNK):
+        e = min(s + _CHUNK, rows.size)
+        r = rows[s:e]
+        c = cols[s:e]
+        cap = int(
+            (off_r[r + 1] - off_r[r]).sum()
+            + (off_c[c + 1] - off_c[c]).sum()
+            + (2 * 64 + 4) * (e - s)
+        )
+        buf = ctypes.create_string_buffer(cap)
+        written = lib.stpu_format_dist_lines(
+            names_r,
+            off_r.ctypes.data_as(ctypes.c_void_p),
+            names_c,
+            off_c.ctypes.data_as(ctypes.c_void_p),
+            r.ctypes.data_as(ctypes.c_void_p),
+            c.ctypes.data_as(ctypes.c_void_p),
+            v1[s:e].ctypes.data_as(ctypes.c_void_p),
+            v2[s:e].ctypes.data_as(ctypes.c_void_p) if v2 is not None else None,
+            e - s,
+            buf,
+            cap,
+        )
+        if written < 0:  # cap is sufficient by construction (64B/value)
+            raise RuntimeError("native line formatting overflowed its buffer")
+        chunk = ctypes.string_at(buf, written)
+        if write is not None:
+            write(chunk)
+        else:
+            out.write(chunk.decode("ascii"))
+    if write is not None:
+        out.buffer.flush()
+    return True
 
 
 def write_dense_self(out, names, dists, coreacc: bool):
     """Upper-triangle long form. dists: (n_pairs,) or (n_pairs, 2)."""
+    n = len(names)
+    dists = np.asarray(dists)
+    if get_lib() is not None:
+        tab = _name_table(names)
+        idx = 0
+        # row-blocked i/j generation keeps the index arrays bounded
+        blk = max(1, _CHUNK // max(n, 1))
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            counts = np.arange(n - i0 - 1, n - i1 - 1, -1)
+            rows = np.repeat(np.arange(i0, i1, dtype=np.int32), counts)
+            cols = (
+                np.concatenate(
+                    [np.arange(i + 1, n, dtype=np.int32) for i in range(i0, i1)]
+                )
+                if i1 > i0
+                else np.zeros(0, np.int32)
+            )
+            m = rows.size
+            d = dists[idx : idx + m]
+            _native_lines(
+                out, tab, tab, rows, cols,
+                d[:, 0] if coreacc else d,
+                d[:, 1] if coreacc else None,
+            )
+            idx += m
+        return
+    _write_dense_self_py(out, names, dists, coreacc)
+
+
+def _write_dense_self_py(out, names, dists, coreacc: bool):
     n = len(names)
     idx = 0
     if coreacc:
@@ -45,6 +167,20 @@ def write_dense_self(out, names, dists, coreacc: bool):
 
 def write_dense_cross(out, ref_names, query_names, dists, coreacc: bool):
     """Rectangular long form, ref-major."""
+    nr, nq = len(ref_names), len(query_names)
+    dists = np.asarray(dists)
+    rows = np.repeat(np.arange(nr, dtype=np.int32), nq)
+    cols = np.tile(np.arange(nq, dtype=np.int32), nr)
+    if _native_lines(
+        out,
+        _name_table(ref_names),
+        _name_table(query_names),
+        rows,
+        cols,
+        dists[:, 0] if coreacc else dists,
+        dists[:, 1] if coreacc else None,
+    ):
+        return
     idx = 0
     if coreacc:
         for rn in ref_names:
@@ -62,12 +198,47 @@ def write_dense_cross(out, ref_names, query_names, dists, coreacc: bool):
 
 
 def write_sparse(out, row_names, ref_names, rows, coreacc: bool):
-    """Sparse kNN output; rows is a list (per row) of item lists.
+    """Sparse kNN output; rows is a list (per row) of item lists, or an
+    array-backed container from the device engines (knn_jax.SparseKnnRows).
 
     Jaccard items: (ref_idx, dist_f32); padding entries (dist == 1.0 and
     col == row) are skipped at print (distance_matrix.rs:377-380).
     CoreAcc items: (ref_idx, core_f32, acc_f32) — never skipped.
     """
+    arrays = getattr(rows, "as_arrays", None)
+    if arrays is not None:
+        idx, vals, valid = arrays()
+        n, knn = idx.shape
+        row_idx = np.repeat(np.arange(n, dtype=np.int32), knn)
+        col_idx = idx.reshape(-1)
+        keep = (
+            valid.reshape(-1)
+            if valid is not None
+            else np.ones(n * knn, dtype=bool)
+        )
+        if not coreacc:
+            d = vals.reshape(-1)
+            sel = np.flatnonzero(keep)
+            # padding skip rule: dist >= 1.0 AND same name — compare names
+            # only for the (typically rare) dist >= 1.0 entries
+            hi = np.flatnonzero(d[sel] >= np.float32(1.0))
+            if hi.size:
+                rn = np.asarray(row_names)[row_idx[sel[hi]]]
+                cn = np.asarray(ref_names)[col_idx[sel[hi]]]
+                sel = np.delete(sel, hi[rn == cn])
+            if _native_lines(
+                out, _name_table(row_names), _name_table(ref_names),
+                row_idx[sel], col_idx[sel], d[sel], None,
+            ):
+                return
+        else:
+            sel = np.flatnonzero(keep)
+            if _native_lines(
+                out, _name_table(row_names), _name_table(ref_names),
+                row_idx[sel], col_idx[sel],
+                vals.reshape(-1, 2)[sel, 0], vals.reshape(-1, 2)[sel, 1],
+            ):
+                return
     if coreacc:
         for row_name, items in zip(row_names, rows):
             for ref_idx, core, acc in items:

@@ -129,19 +129,18 @@ class DeviceInvertedEngine:
     def match_counts(self, queries: np.ndarray) -> np.ndarray:
         """(nq, S) u16 query signs -> (nq, n) int64 shared-bin counts."""
         q = jax.device_put(np.asarray(queries, dtype=np.int32))
-        outs = []
-        for j0 in range(0, self.n, self.tile):
-            outs.append(
-                np.asarray(_match_count_matrix(q, self._mat[j0 : j0 + self.tile]))
-            )
+        pending = [
+            _match_count_matrix(q, self._mat[j0 : j0 + self.tile])
+            for j0 in range(0, self.n, self.tile)
+        ]
+        outs = [np.asarray(x) for x in pending]
         return np.concatenate(outs, axis=1).astype(np.int64)
 
     def any_shared_rows(self, queries: np.ndarray) -> np.ndarray:
         """(nq, S) u16 query signs -> (nq, n) bool any-shared-bin mask."""
         q = jax.device_put(np.asarray(queries, dtype=np.int32))
-        outs = []
-        for j0 in range(0, self.n, self.tile):
-            outs.append(
-                np.asarray(_match_any_tile(q, self._mat[j0 : j0 + self.tile]))
-            )
-        return np.concatenate(outs, axis=1)
+        pending = [
+            _match_any_tile(q, self._mat[j0 : j0 + self.tile])
+            for j0 in range(0, self.n, self.tile)
+        ]
+        return np.concatenate([np.asarray(x) for x in pending], axis=1)
