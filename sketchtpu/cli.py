@@ -354,6 +354,27 @@ def main(argv=None) -> int:
                             file=sys.stderr,
                         )
                     return 0
+                if not dist_type.coreacc:
+                    from .runtime import select_dense_stream_engine
+
+                    stream_engine = select_dense_stream_engine(
+                        references, dist_type
+                    )
+                    if stream_engine is not None:
+                        log.info("Using on-device dense streaming engine")
+                        stream_engine.stream_self_dense(
+                            out, names, dist_type, ref_comp,
+                            args.completeness_cutoff,
+                        )
+                        if out is not sys.stdout:
+                            out.close()
+                        if print_success and not getattr(args, "quiet", False):
+                            print(
+                                f"\U0001f9ec\U0001f58b️ sketchtpu done in "
+                                f"{int(time.time() - start)}s",
+                                file=sys.stderr,
+                            )
+                        return 0
                 d = api.self_dists_all(
                     references,
                     dist_type,

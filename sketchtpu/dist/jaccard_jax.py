@@ -81,6 +81,101 @@ class DeviceSamebitsEngine:
         return np.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
+@functools.partial(jax.jit, static_argnames=("s64", "tc"))
+def _samebits_strip(a: jnp.ndarray, m: jnp.ndarray, s64: int, tc: int):
+    """(blk, W2) x (n, W2) -> (blk, n) int16 samebits, computed in tc-wide
+    column tiles on device (bounds the fused plane-mask intermediates).
+    samebits <= s64*64 <= 2^15 for any practical sketch size, so int16
+    halves the device->host strip traffic and stays exact."""
+    n, w2 = m.shape
+    n_tiles = n // tc
+
+    def body(_, t):
+        bt = jax.lax.dynamic_slice(m, (t * tc, 0), (tc, w2))
+        return None, _samebits_tile(a, bt, s64).astype(jnp.int16)
+
+    _, tiles = jax.lax.scan(
+        body, None, jnp.arange(n_tiles, dtype=jnp.int32)
+    )  # (n_tiles, blk, tc)
+    return tiles.transpose(1, 0, 2).reshape(a.shape[0], n)
+
+
+class DeviceDenseStreamEngine:
+    """Streaming dense self-distances for large single-k runs.
+
+    Device computes exact int32 samebits strips (row block x all columns);
+    the host runs the same f64 Jaccard/ANI/completeness chain as the oracle
+    on each strip and writes long-form output — so values are IDENTICAL to
+    the host path while the O(n^2) samebits work runs on chip. The next
+    strip is dispatched before the current one is formatted.
+    """
+
+    def __init__(self, ms, k_idx: int, tile: int = 2048):
+        from ..runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.s64 = ms.sketchsize64
+        self.tile = tile
+        self.n = ms.number_samples_loaded()
+        mat = np.ascontiguousarray(ms.bins_matrix(k_idx)).view(np.uint32)
+        pad = (-self.n) % tile
+        if pad:
+            mat = np.pad(mat, ((0, pad), (0, 0)))
+        self._mat = jax.device_put(mat)
+
+    def _strip(self, r0: int):
+        a = self._mat[r0 : r0 + self.tile]
+        return _samebits_strip(a, self._mat, self.s64, self.tile)
+
+    def stream_self_dense(
+        self, out, names, dist_type, comp=None, cutoff: float = 0.64
+    ) -> None:
+        from .jaccard_np import ani_pois, jaccard_from_samebits
+        from .output import _name_table, _native_lines, fmt_f32
+        from .._native import get_lib
+
+        n = self.n
+        comp = np.asarray(comp, dtype=np.float64) if comp is not None else None
+        tab = _name_table(names) if get_lib() is not None else None
+        starts = list(range(0, n, self.tile))
+        pending: list[tuple] = []
+
+        def dispatch(r0: int):
+            pending.append((r0, self._strip(r0)))
+
+        dispatch(starts[0])
+        for nxt in starts[1:] + [None]:
+            r0, strip_dev = pending.pop(0)
+            if nxt is not None:
+                dispatch(nxt)
+            r1 = min(r0 + self.tile, n)
+            strip = np.asarray(strip_dev)
+            npad = strip.shape[1]
+            counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
+            rows = np.repeat(np.arange(r0, r1, dtype=np.int32), counts)
+            cols = np.concatenate(
+                [np.arange(i + 1, n, dtype=np.int32) for i in range(r0, r1)]
+            )
+            flat_idx = (rows - r0).astype(np.int64) * npad + cols
+            sb = strip.reshape(-1)[flat_idx]
+            c1 = comp[rows] if comp is not None else None
+            c2 = comp[cols] if comp is not None else None
+            j = jaccard_from_samebits(sb, self.s64, c1, c2, cutoff)
+            if dist_type.ani:
+                d = ani_pois(j, dist_type.k).astype(np.float32)
+            else:
+                d = (1.0 - j).astype(np.float32)
+            if tab is not None:
+                _native_lines(out, tab, tab, rows, cols, d, None)
+            else:
+                out.write(
+                    "".join(
+                        f"{names[i]}\t{names[jx]}\t{fmt_f32(v)}\n"
+                        for i, jx, v in zip(rows, cols, d)
+                    )
+                )
+
+
 @functools.partial(jax.jit, static_argnames=("s64", "ani", "k"))
 def jaccard_dist_block(
     a: jnp.ndarray, b: jnp.ndarray, s64: int, k: float = 0.0, ani: bool = False

@@ -108,6 +108,31 @@ def select_coreacc_engine(ms, has_completeness: bool):
 
 _MIN_SAMPLES_FOR_DEVICE_INVERTED = 512
 _MIN_SAMPLES_FOR_DEVICE_KNN = 4096
+_MIN_SAMPLES_FOR_DEVICE_DENSE_STREAM = 8192
+
+
+def select_dense_stream_engine(ms, dist_type):
+    """Streaming device engine for large single-k dense self runs. Output
+    values are identical to the host path (exact int32 samebits on device,
+    f64 chain on host), so this is purely a throughput decision; supports
+    completeness correction."""
+    mode = _mode()
+    if mode == "host" or dist_type.coreacc:
+        return None
+    n = ms.number_samples_loaded()
+    if mode == "tpu" or (
+        _device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_DENSE_STREAM
+    ):
+        try:
+            from .dist.jaccard_jax import DeviceDenseStreamEngine
+
+            return DeviceDenseStreamEngine(ms, dist_type.k_idx)
+        except Exception as exc:  # pragma: no cover
+            log.warning(
+                "device dense-stream engine unavailable (%s); using host", exc
+            )
+            return None
+    return None
 
 
 def select_knn_engine(ms, dist_type, has_completeness: bool):

@@ -128,3 +128,35 @@ def test_device_sketch_nonpow2_bins():
         streams, ["g0"], [21], 10048, True, 0
     )
     assert np.array_equal(host[0].usigs, dev[0].usigs)
+
+
+def test_dense_stream_engine_bit_exact():
+    """The streaming dense engine (device samebits + host f64 chain) must
+    produce byte-identical output to the host driver, including ANI and
+    completeness correction."""
+    import io
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.jaccard_jax import DeviceDenseStreamEngine
+    from sketchtpu.dist.output import write_dense_self
+
+    ms = _fake_ms(n=37, nk=2, s64=4, kmers=(17, 21), seed=5)
+    names = [f"g{i}" for i in range(37)]
+    rng = np.random.default_rng(0)
+    comp = rng.uniform(0.6, 1.0, 37)
+    for ani in (False, True):
+        for use_comp in (False, True):
+            dist_type = api.set_k(ms, 17, ani)
+            c = comp if use_comp else None
+            d = api.self_dists_all(ms, dist_type, c, 0.64)
+            want = io.StringIO()
+            write_dense_self(want, names, d, False)
+            got = io.StringIO()
+            DeviceDenseStreamEngine(ms, dist_type.k_idx, tile=16).stream_self_dense(
+                got, names, dist_type, c, 0.64
+            )
+            assert got.getvalue() == want.getvalue(), (ani, use_comp)
