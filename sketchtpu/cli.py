@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_kmers(p)
     p.add_argument("-s", "--sketch-size", type=int, default=DEFAULT_SKETCHSIZE)
     p.add_argument("--seq-type", choices=["dna", "aa", "pdb"], default="dna")
+    p.add_argument(
+        "--convert-pdb",
+        action="store_true",
+        help="Input files are .pdb; convert them to 3Di first (requires the "
+        "optional mini3di + biopython packages)",
+    )
     p.add_argument("--level", choices=["level1", "level2", "level3"], default="level1")
     p.add_argument("--single-strand", action="store_true")
     p.add_argument("--min-count", type=int, default=DEFAULT_MINCOUNT)
@@ -262,6 +268,7 @@ def main(argv=None) -> int:
                 min_count=args.min_count,
                 min_qual=args.min_qual,
                 threads=args.threads,
+                convert_pdb=args.convert_pdb,
             )
             try:
                 import jax
@@ -304,6 +311,7 @@ def main(argv=None) -> int:
                 args.min_qual,
                 threads=args.threads,
                 backend=backend,
+                convert_pdb=args.convert_pdb,
             )
             ms = MultiSketch(sketches, sketch_bins, kmers, seq_type)
             ms.save_metadata(args.output)

@@ -73,6 +73,7 @@ def sketch_shard(
     min_count: int,
     min_qual: int,
     threads: int = 1,
+    convert_pdb: bool = False,
 ) -> str:
     """Sketch this process's slice of the input list into
     {output_prefix}.part{i}.skd/.skm. Returns the shard prefix."""
@@ -96,6 +97,7 @@ def sketch_shard(
         min_qual,
         threads=threads,
         backend=backend,
+        convert_pdb=convert_pdb,
     )
     ms = MultiSketch(sketches, sketch_bins, kmers, seq_type)
     ms.save_metadata(prefix)

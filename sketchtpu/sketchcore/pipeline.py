@@ -32,6 +32,7 @@ def sketch_files(
     threads: int = 1,
     backend=None,
     progress=None,
+    convert_pdb: bool = False,
 ) -> list[Sketch]:
     """Sketch every input sample and write {output_prefix}.skd.
 
@@ -65,7 +66,7 @@ def sketch_files(
                 )
             return out
         else:  # pdb: inputs are 3Di sequences hashed as AA level 1
-            streams = read_aa_sample(files, False)
+            streams = _pdb_streams(name, files, convert_pdb)
             return [
                 sketch_aa_sample(stream, name, kmers, sketch_bins, 1, rc)
                 for stream in streams
@@ -104,7 +105,10 @@ def sketch_files(
             streams = []
             split = concat_fasta and seq_type.kind == "aa"
             for name, files in input_files:
-                sample_streams = read_aa_sample(files, split)
+                if seq_type.kind == "pdb":
+                    sample_streams = _pdb_streams(name, files, convert_pdb)
+                else:
+                    sample_streams = read_aa_sample(files, split)
                 for idx, stream in enumerate(sample_streams):
                     names.append(f"{name}_{idx + 1}" if split else name)
                     streams.append(stream)
@@ -139,3 +143,16 @@ def sketch_files(
                 if progress is not None:
                     progress()
     return sketches
+
+
+def _pdb_streams(name: str, files: list[str], convert_pdb: bool):
+    """3Di streams for one sample: from .pdb via mini3di when convert_pdb
+    (sketch/mod.rs:301-306), else the files already hold 3Di text."""
+    if convert_pdb:
+        from ..ingest.pdb3di import pdb_to_3di
+
+        # one sample = one 3Di stream; chains/files join on ',' (an invalid
+        # aa byte, so it breaks hash windows like the reference's comma join)
+        joined = ",".join(pdb_to_3di(name, f) for f in files)
+        return [aa_stream_from_string(joined)]
+    return read_aa_sample(files, False)

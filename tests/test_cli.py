@@ -152,3 +152,21 @@ def test_inverted_ski_roundtrip(wd):
     assert inv.sample_names == inv2.sample_names
     assert inv.kmer_size == inv2.kmer_size
     assert inv.rc == inv2.rc
+
+
+def test_convert_pdb_requires_mini3di(wd, tmp_path):
+    """--convert-pdb is gated on the optional mini3di package, mirroring
+    the reference's '3di' cargo feature (cli.rs:143-146)."""
+    import pytest
+
+    from sketchtpu.cli import main as cli_main
+
+    pdb = tmp_path / "x.pdb"
+    pdb.write_text("ATOM\n")
+    rfile = tmp_path / "rfile.txt"
+    rfile.write_text(f"x\t{pdb}\n")
+    with pytest.raises((RuntimeError, ImportError), match="mini3di"):
+        cli_main(
+            ["sketch", "-f", str(rfile), "-o", str(tmp_path / "db"),
+             "--seq-type", "pdb", "--convert-pdb", "-k", "5", "-s", "64"]
+        )
