@@ -116,6 +116,43 @@ def main():
         )
     except Exception as exc:  # pragma: no cover
         print(f"core-acc secondary bench skipped: {exc}", file=sys.stderr)
+
+    # Tertiary: end-to-end multi-k sketching throughput (pack + transfer +
+    # fused multi-k kernel + collect), distinct inputs per call so the
+    # remote runtime cannot memoize.
+    try:
+        from sketchtpu.ingest.fastx import DnaStream
+        from sketchtpu.sketchcore.sketch_jax import DeviceSketchBackend
+
+        rng = np.random.default_rng(11)
+        kset = [17, 21, 25]
+
+        def batch(seed):
+            r = np.random.default_rng(seed)
+            return [
+                DnaStream(
+                    codes=r.integers(0, 4, 2_000_000).astype(np.uint8),
+                    breaks=np.zeros(0, dtype=np.int64),
+                    acgt=np.array([1, 1, 1, 1], dtype=np.int64),
+                )
+                for _ in range(14)
+            ]
+
+        be = DeviceSketchBackend()
+        be.bin_minima_multi_k(batch(1), kset, True, 1024)  # warm/compile
+        streams = batch(2)
+        t0 = time.time()
+        be.bin_minima_multi_k(streams, kset, True, 1024)
+        dt_sk = time.time() - t0
+        rate = 14 * 2.0 * len(kset) / dt_sk
+        print(
+            f"multi-k sketching (14 x 2Mb genomes, 3 k): {dt_sk:.2f} s "
+            f"-> {rate:.0f} Mbase-k/s end-to-end",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # pragma: no cover
+        print(f"sketching tertiary bench skipped: {exc}", file=sys.stderr)
+
     result = {
         "metric": "pairwise sketch comparisons/s/chip (samebits, s=1000, one k)",
         "value": round(pairs_per_s, 1),
