@@ -242,7 +242,7 @@ def multik_hash_bin_kernel(
 
 
 def group_thresholds(
-    lengths: list[int], num_bins: int, c: int = 12
+    lengths: list[int], num_bins: int, c: int = 16
 ) -> tuple[np.ndarray, np.ndarray, bool, float]:
     """Per-genome residual thresholds T_g ~ c * binsize * num_bins / m_g.
 
@@ -250,6 +250,11 @@ def group_thresholds(
     genome is so small that the prefilter would keep >1/8 of its windows
     (route the group to the exact kernel instead); max_density is the
     largest per-window keep probability, used to size compaction blocks.
+
+    c = 16 keeps ~16 expected candidates per (genome, bin): the per-bin
+    empty probability ~e^-16 (slightly worse at the mod-fold density
+    ripple) makes the exact fallback a <1%-of-groups event, where c = 12
+    measured ~14% of groups losing some bin and re-running exactly.
     """
     binsize = (SIGN_MOD + num_bins - 1) // num_bins
     t_lo = np.zeros(len(lengths), dtype=np.uint32)
