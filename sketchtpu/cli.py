@@ -613,6 +613,8 @@ def _inverted_main(args) -> None:
             for idx, (name, _f) in zip(file_order, input_files):
                 metadata_vec[idx] = md[name]
 
+        from .runtime import select_backend
+
         inv = Inverted.build(
             input_files,
             file_order,
@@ -625,18 +627,24 @@ def _inverted_main(args) -> None:
             metadata=metadata_vec,
             labels=labels_vec,
             hash_type=HashType("dna"),
+            backend=select_backend(HashType("dna"), len(input_files)),
+            threads=args.threads,
         )
         inv.save(args.output)
         log.info("Index info:\n%s", inv.debug_str())
 
     elif args.inverted_command == "query":
-        from .runtime import select_inverted_engine
+        from .runtime import select_backend, select_inverted_engine
 
         out = _ostream(args.output)
         inv = Inverted.load(strip_sketch_extension(args.ski))
         input_files = io_inputs.get_input_list(args.file_list, args.seq_files or None)
         queries, query_names = inv.sketch_queries(
-            input_files, args.min_count, args.min_qual
+            input_files,
+            args.min_count,
+            args.min_qual,
+            backend=select_backend(HashType("dna"), len(input_files)),
+            threads=args.threads,
         )
         engine = select_inverted_engine(inv)
         batch_counts = batch_any = None

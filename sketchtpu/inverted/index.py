@@ -72,6 +72,8 @@ class Inverted:
         labels: list[str] | None = None,
         hash_type: HashType | None = None,
         progress=None,
+        backend=None,
+        threads: int = 1,
     ) -> "Inverted":
         hash_type = hash_type or HashType("dna")
         if hash_type.kind != "dna":
@@ -85,6 +87,8 @@ class Inverted:
             min_count,
             min_qual,
             progress=progress,
+            backend=backend,
+            threads=threads,
         )
         if write_skq:
             with skd.SketchDataWriter(write_skq, dtype=np.uint16) as w:
@@ -106,6 +110,8 @@ class Inverted:
         min_count: int,
         min_qual: int,
         progress=None,
+        backend=None,
+        threads: int = 1,
     ):
         file_order = list(range(len(input_files)))
         return sketch_files_inverted(
@@ -117,6 +123,8 @@ class Inverted:
             min_count,
             min_qual,
             progress=progress,
+            backend=backend,
+            threads=threads,
         )
 
     # --- file IO (inverted.rs:194-225) ---
@@ -268,6 +276,8 @@ def sketch_files_inverted(
     min_count: int,
     min_qual: int,
     progress=None,
+    backend=None,
+    threads: int = 1,
 ) -> tuple[np.ndarray, list[str]]:
     """Sketch without bit-plane transpose; returns the (n, sketch_size) u16
     sign matrix and sample names in index order.
@@ -277,6 +287,11 @@ def sketch_files_inverted(
     and — exactly as the reference does — are never densified afterwards,
     because the truncated empty-bin marker 0xFFFF no longer equals u64::MAX
     (inverted.rs:376-405).
+
+    With `backend` (the batched device sketcher), assembly inputs are
+    hashed/binned on TPU in chunks of samples (streams are parsed on host
+    threads and released per chunk, so memory stays bounded at 661k scale);
+    bin minima are bit-identical to the host loop.
     """
     n_distinct = len(set(name for name, _ in input_files))
     results: list[np.ndarray | None] = [None] * n_distinct
@@ -290,16 +305,7 @@ def sketch_files_inverted(
     for idx, (name, _files) in zip(file_order, input_files):
         names_out[idx] = name
 
-    for (name, files), genome_idx in zip(input_files, file_order):
-        stream = read_dna_sample(files, min_qual)
-        if stream.seq_len == 0:
-            raise ValueError(f"Genome {genome_idx} has no valid sequence")
-        hashes = nthash_valid(stream, k, rc)
-        signs = signs_from_hashes(hashes)
-        if stream.reads:
-            binned = bin_minima_filtered(signs, sketch_size, min_count)
-        else:
-            binned = bin_minima(signs, sketch_size)
+    def merge_binned(name: str, genome_idx: int, binned: np.ndarray):
         if name not in seen_names:
             if name not in multi:
                 densify(binned)
@@ -311,6 +317,49 @@ def sketch_files_inverted(
             )
         if progress is not None:
             progress()
+
+    if backend is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunk = 256
+        with ThreadPoolExecutor(max_workers=max(threads, 1)) as pool:
+            for c0 in range(0, len(input_files), chunk):
+                part = input_files[c0 : c0 + chunk]
+                order = file_order[c0 : c0 + chunk]
+                streams = list(
+                    pool.map(lambda nf: read_dna_sample(nf[1], min_qual), part)
+                )
+                for (name, _f), gi, s in zip(part, order, streams):
+                    if s.seq_len == 0:
+                        raise ValueError(f"Genome {gi} has no valid sequence")
+                asm = [i for i, s in enumerate(streams) if not s.reads]
+                if asm:
+                    bins = backend.bin_minima_multi_k(
+                        [streams[i] for i in asm], [k], rc, sketch_size
+                    )[k]
+                for bi, i in enumerate(asm) if asm else []:
+                    merge_binned(part[i][0], order[i], bins[bi].copy())
+                for i, s in enumerate(streams):
+                    if s.reads:
+                        signs = backend.signs_in_order(s, k, rc)
+                        binned = bin_minima_filtered(
+                            signs, sketch_size, min_count
+                        )
+                        merge_binned(part[i][0], order[i], binned)
+        mat = np.stack([r for r in results])
+        return mat, names_out
+
+    for (name, files), genome_idx in zip(input_files, file_order):
+        stream = read_dna_sample(files, min_qual)
+        if stream.seq_len == 0:
+            raise ValueError(f"Genome {genome_idx} has no valid sequence")
+        hashes = nthash_valid(stream, k, rc)
+        signs = signs_from_hashes(hashes)
+        if stream.reads:
+            binned = bin_minima_filtered(signs, sketch_size, min_count)
+        else:
+            binned = bin_minima(signs, sketch_size)
+        merge_binned(name, genome_idx, binned)
 
     mat = np.stack([r for r in results])
     return mat, names_out

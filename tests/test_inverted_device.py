@@ -58,3 +58,29 @@ def test_match_counts_and_any_rows_match_host():
         np.testing.assert_array_equal(
             np.flatnonzero(anyrows[qi]), inv.any_shared_bins(queries[qi])
         )
+
+
+def test_inverted_build_device_backend_bit_exact(tmp_path, ref_in):
+    """sketch_files_inverted with the device backend must produce the exact
+    sign matrix of the host loop (incl. multi-entry merge + no-densify)."""
+    from sketchtpu.inverted.index import sketch_files_inverted
+    from sketchtpu.sketchcore.sketch_jax import DeviceSketchBackend
+
+    files = [
+        ("R6", [str(ref_in / "R6.fa.gz")]),
+        ("TIGR4", [str(ref_in / "TIGR4.fa.gz")]),
+        # multi-entry sample: two rows, one genome index
+        ("both", [str(ref_in / "14412_3#82.contigs_velvet.fa.gz")]),
+        ("both", [str(ref_in / "14412_3#84.contigs_velvet.fa.gz")]),
+        ("short", [str(ref_in / "short_sequence.fa")]),
+    ]
+    file_order = [0, 1, 2, 2, 3]
+    host_mat, host_names = sketch_files_inverted(
+        files, file_order, 17, 100, True, 0, 20
+    )
+    dev_mat, dev_names = sketch_files_inverted(
+        files, file_order, 17, 100, True, 0, 20,
+        backend=DeviceSketchBackend(), threads=2,
+    )
+    assert host_names == dev_names
+    np.testing.assert_array_equal(host_mat, dev_mat)
