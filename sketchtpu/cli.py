@@ -460,16 +460,32 @@ def main(argv=None) -> int:
                     )
                 dist_output.write_sparse(out, qnames, names, rows, dist_type.coreacc)
             else:
-                d = api.cross_dists_all(
-                    references,
-                    queries,
-                    dist_type,
-                    ref_comp,
-                    q_comp,
-                    args.completeness_cutoff,
-                    engine=engine,
-                )
-                dist_output.write_dense_cross(out, names, qnames, d, dist_type.coreacc)
+                stream_engine = None
+                if not dist_type.coreacc:
+                    from .runtime import select_dense_stream_engine
+
+                    stream_engine = select_dense_stream_engine(
+                        references, dist_type
+                    )
+                if stream_engine is not None:
+                    log.info("Using on-device dense streaming engine")
+                    stream_engine.stream_cross_dense(
+                        out, names, qnames, queries, dist_type, ref_comp,
+                        q_comp, args.completeness_cutoff,
+                    )
+                else:
+                    d = api.cross_dists_all(
+                        references,
+                        queries,
+                        dist_type,
+                        ref_comp,
+                        q_comp,
+                        args.completeness_cutoff,
+                        engine=engine,
+                    )
+                    dist_output.write_dense_cross(
+                        out, names, qnames, d, dist_type.coreacc
+                    )
         if out is not sys.stdout:
             out.close()
 

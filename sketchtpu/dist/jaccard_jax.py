@@ -175,6 +175,74 @@ class DeviceDenseStreamEngine:
                     )
                 )
 
+    def stream_cross_dense(
+        self,
+        out,
+        ref_names,
+        query_names,
+        query_ms,
+        dist_type,
+        rcomp=None,
+        qcomp=None,
+        cutoff: float = 0.64,
+    ) -> None:
+        """Ref-major rectangular output (cross_dists_all semantics); ref
+        row blocks stream against the device-resident query matrix."""
+        from .jaccard_np import ani_pois, jaccard_from_samebits
+        from .output import _name_table, _native_lines, fmt_f32
+        from .._native import get_lib
+
+        n = self.n
+        nq = query_ms.number_samples_loaded()
+        qmat = np.ascontiguousarray(
+            query_ms.bins_matrix(dist_type.k_idx)
+        ).view(np.uint32)
+        pad = (-nq) % self.tile
+        if pad:
+            qmat = np.pad(qmat, ((0, pad), (0, 0)))
+        q_dev = jax.device_put(qmat)
+        rcomp = np.asarray(rcomp, dtype=np.float64) if rcomp is not None else None
+        qcomp = np.asarray(qcomp, dtype=np.float64) if qcomp is not None else None
+        tab_r = _name_table(ref_names) if get_lib() is not None else None
+        tab_q = _name_table(query_names) if tab_r is not None else None
+        starts = list(range(0, n, self.tile))
+        pending: list[tuple] = []
+
+        def dispatch(r0: int):
+            a = self._mat[r0 : r0 + self.tile]
+            pending.append(
+                (r0, _samebits_strip(a, q_dev, self.s64, self.tile))
+            )
+
+        dispatch(starts[0])
+        for nxt in starts[1:] + [None]:
+            r0, strip_dev = pending.pop(0)
+            if nxt is not None:
+                dispatch(nxt)
+            r1 = min(r0 + self.tile, n)
+            strip = np.asarray(strip_dev)
+            npad = strip.shape[1]
+            rows = np.repeat(np.arange(r0, r1, dtype=np.int32), nq)
+            cols = np.tile(np.arange(nq, dtype=np.int32), r1 - r0)
+            flat_idx = (rows - r0).astype(np.int64) * npad + cols
+            sb = strip.reshape(-1)[flat_idx]
+            c1 = rcomp[rows] if rcomp is not None else None
+            c2 = qcomp[cols] if qcomp is not None else None
+            j = jaccard_from_samebits(sb, self.s64, c1, c2, cutoff)
+            if dist_type.ani:
+                d = ani_pois(j, dist_type.k).astype(np.float32)
+            else:
+                d = (1.0 - j).astype(np.float32)
+            if tab_r is not None:
+                _native_lines(out, tab_r, tab_q, rows, cols, d, None)
+            else:
+                out.write(
+                    "".join(
+                        f"{ref_names[i]}\t{query_names[jx]}\t{fmt_f32(v)}\n"
+                        for i, jx, v in zip(rows, cols, d)
+                    )
+                )
+
 
 @functools.partial(jax.jit, static_argnames=("s64", "ani", "k"))
 def jaccard_dist_block(

@@ -160,3 +160,38 @@ def test_dense_stream_engine_bit_exact():
                 got, names, dist_type, c, 0.64
             )
             assert got.getvalue() == want.getvalue(), (ani, use_comp)
+
+
+def test_cross_dense_stream_engine_bit_exact():
+    """Cross streaming engine must match the host cross driver + writer
+    byte-for-byte, including completeness on both sides."""
+    import io
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.jaccard_jax import DeviceDenseStreamEngine
+    from sketchtpu.dist.output import write_dense_cross
+
+    refs = _fake_ms(n=23, nk=2, s64=4, kmers=(17, 21), seed=6)
+    queries = _fake_ms(n=11, nk=2, s64=4, kmers=(17, 21), seed=7)
+    rnames = [f"r{i}" for i in range(23)]
+    qnames = [f"q{i}" for i in range(11)]
+    rng = np.random.default_rng(1)
+    rcomp = rng.uniform(0.6, 1.0, 23)
+    qcomp = rng.uniform(0.6, 1.0, 11)
+    for ani in (False, True):
+        for use_comp in (False, True):
+            dist_type = api.set_k(refs, 17, ani)
+            rc_ = rcomp if use_comp else None
+            qc_ = qcomp if use_comp else None
+            d = api.cross_dists_all(refs, queries, dist_type, rc_, qc_, 0.64)
+            want = io.StringIO()
+            write_dense_cross(want, rnames, qnames, d, False)
+            got = io.StringIO()
+            DeviceDenseStreamEngine(refs, dist_type.k_idx, tile=16).stream_cross_dense(
+                got, rnames, qnames, queries, dist_type, rc_, qc_, 0.64
+            )
+            assert got.getvalue() == want.getvalue(), (ani, use_comp)
