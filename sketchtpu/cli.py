@@ -299,6 +299,11 @@ def main(argv=None) -> int:
                     )
         else:
             backend = select_backend(seq_type, len(input_files))
+            from .progress import progress_printer
+
+            tick, finish = progress_printer(
+                len(input_files), getattr(args, "quiet", False), "Sketching "
+            )
             sketches = sketch_files(
                 args.output,
                 input_files,
@@ -312,7 +317,9 @@ def main(argv=None) -> int:
                 threads=args.threads,
                 backend=backend,
                 convert_pdb=args.convert_pdb,
+                progress=tick,
             )
+            finish()
             ms = MultiSketch(sketches, sketch_bins, kmers, seq_type)
             ms.save_metadata(args.output)
 
@@ -630,7 +637,11 @@ def _inverted_main(args) -> None:
                 metadata_vec[idx] = md[name]
 
         from .runtime import select_backend
+        from .progress import progress_printer
 
+        _inv_tick, _inv_finish = progress_printer(
+            len(input_files), getattr(args, "quiet", False), "Sketching "
+        )
         inv = Inverted.build(
             input_files,
             file_order,
@@ -645,7 +656,9 @@ def _inverted_main(args) -> None:
             hash_type=HashType("dna"),
             backend=select_backend(HashType("dna"), len(input_files)),
             threads=args.threads,
+            progress=_inv_tick,
         )
+        _inv_finish()
         inv.save(args.output)
         log.info("Index info:\n%s", inv.debug_str())
 

@@ -179,13 +179,23 @@ def select_inverted_engine(inv):
 
 
 def select_engine(ms):
-    """samebits engine for distance drivers, or None for the host path."""
+    """samebits engine for distance drivers, or None for the host path.
+
+    With more than one device, row blocks shard over the full mesh
+    (ShardedSamebitsEngine); output is identical either way (exact int32
+    samebits)."""
     mode = _mode()
     if mode == "host":
         return None
     n = ms.number_samples_loaded()
     if mode == "tpu" or (_device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_DIST):
         try:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from .shard.mesh import ShardedSamebitsEngine
+
+                return ShardedSamebitsEngine(ms.sketchsize64).matrix
             from .dist.jaccard_jax import DeviceSamebitsEngine
 
             return DeviceSamebitsEngine(ms.sketchsize64).matrix

@@ -137,3 +137,22 @@ def test_sharded_knn_step(eight_devices):
         np.testing.assert_array_equal(np.sort(v[r])[::-1], want_v, err_msg=str(r))
         # indices must be actual argmax-class columns (ties allowed)
         assert all(sb_full[r, c] == vv for c, vv in zip(i[r], v[r]))
+
+
+def test_select_engine_uses_mesh_on_multidevice(eight_devices, monkeypatch):
+    """With >1 device and a forced device backend, the samebits engine
+    shards rows over the whole mesh and stays exact."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu import runtime
+
+    monkeypatch.setenv("SKETCHTPU_BACKEND", "tpu")
+    ms = _fake_ms(n=19, nk=1, s64=2, kmers=(17,), seed=9)
+    engine = runtime.select_engine(ms)
+    assert engine is not None
+    a = ms.bins_matrix(0)
+    got = engine(a, a)
+    want = samebits_matrix(a, a)
+    assert np.array_equal(got, want)
