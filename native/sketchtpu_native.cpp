@@ -443,3 +443,152 @@ int64_t stpu_format_dist_lines(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// DNA fastx parsing: the per-line Python loop is the sketch pipeline's
+// host bottleneck on large inputs. Operates on the fully decompressed byte
+// buffer; semantics replicate ingest/fastx.read_dna_sample exactly
+// (line strip(), blank-line tolerance, per-record break, quality-byte
+// filter against raw PHRED+33, break = #valid bases before each invalid).
+// Returns 0 on success, negative on malformed input (caller falls back to
+// the Python parser for its error messages).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct DnaParseOut {
+    uint8_t* codes;       // caller-allocated, capacity n
+    int64_t* breaks;      // caller-allocated, capacity n + 1 (worst case)
+    int64_t n_codes = 0;
+    int64_t n_breaks = 0;
+    int64_t acgt[4] = {0, 0, 0, 0};
+    int64_t non_acgt = 0;
+};
+
+inline bool is_space(uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\v' ||
+           c == '\f';
+}
+
+// [s, e) with ascii whitespace stripped from both ends
+inline void strip_span(const uint8_t* b, int64_t& s, int64_t& e) {
+    while (s < e && is_space(b[s])) s++;
+    while (e > s && is_space(b[e - 1])) e--;
+}
+
+inline void emit_seq(const uint8_t* seq, const uint8_t* qual, int64_t len,
+                     const uint8_t* enc, int min_qual, DnaParseOut& o) {
+    // one record's sequence (qual may be null): append codes + breaks
+    int64_t rec_valid = 0;
+    for (int64_t i = 0; i < len; i++) {
+        uint8_t code = enc[seq[i]];
+        bool ok = code < 4;
+        if (qual != nullptr && min_qual > 0 && qual[i] < (uint8_t)min_qual)
+            ok = false;
+        if (ok) {
+            o.codes[o.n_codes++] = code;
+            o.acgt[code]++;
+            rec_valid++;
+        } else {
+            o.non_acgt++;
+            o.breaks[o.n_breaks++] = o.n_codes;  // #valid before this base
+        }
+    }
+    (void)rec_valid;
+    o.breaks[o.n_breaks++] = o.n_codes;  // end-of-record break
+}
+
+}  // namespace
+
+extern "C" {
+
+// buf: whole decompressed file; fmt: 0 = fasta, 1 = fastq.
+// codes cap >= n; breaks cap >= n + #records + 1 (n + n/2 is safe: every
+// break consumes an input byte or terminates a record of >= 2 lines).
+int stpu_parse_dna(const uint8_t* buf, int64_t n, int fmt,
+                   const uint8_t* enc, int min_qual, uint8_t* codes,
+                   int64_t* breaks, int64_t* n_codes, int64_t* n_breaks,
+                   int64_t* acgt, int64_t* non_acgt) {
+    DnaParseOut o;
+    o.codes = codes;
+    o.breaks = breaks;
+    int64_t pos = 0;
+    if (fmt == 0) {
+        // FASTA: accumulate body lines per record; process base-by-base,
+        // breaks only depend on running valid count so no buffering needed
+        bool started = false;
+        bool pending_record = false;  // emitted bases since last header?
+        while (pos < n) {
+            int64_t e = pos;
+            while (e < n && buf[e] != '\n') e++;
+            int64_t s = pos;
+            int64_t se = e;
+            strip_span(buf, s, se);
+            pos = e + 1;
+            if (s == se) continue;  // blank line
+            if (buf[s] == '>') {
+                if (started && pending_record) {
+                    o.breaks[o.n_breaks++] = o.n_codes;  // end previous record
+                }
+                started = true;
+                pending_record = true;
+                continue;
+            }
+            if (!started) return -1;
+            // body line: no end-of-record break yet
+            for (int64_t i = s; i < se; i++) {
+                uint8_t code = enc[buf[i]];
+                if (code < 4) {
+                    o.codes[o.n_codes++] = code;
+                    o.acgt[code]++;
+                } else {
+                    o.non_acgt++;
+                    o.breaks[o.n_breaks++] = o.n_codes;
+                }
+            }
+        }
+        if (started && pending_record)
+            o.breaks[o.n_breaks++] = o.n_codes;
+    } else {
+        // FASTQ: 4-line records, blank lines tolerated between records
+        while (pos < n) {
+            int64_t e = pos;
+            while (e < n && buf[e] != '\n') e++;
+            int64_t hs = pos, he = e;
+            strip_span(buf, hs, he);
+            pos = e + 1;
+            if (hs == he) continue;
+            if (buf[hs] != '@') return -2;
+            // seq line
+            if (pos >= n) return -3;
+            e = pos;
+            while (e < n && buf[e] != '\n') e++;
+            int64_t ss = pos, se = e;
+            strip_span(buf, ss, se);
+            pos = e + 1;
+            // plus line (must start with '+', unstripped leading check on
+            // the raw line like Python's startswith on the readline)
+            if (pos >= n) return -4;
+            e = pos;
+            while (e < n && buf[e] != '\n') e++;
+            if (buf[pos] != '+') return -5;
+            pos = e + 1;
+            // qual line
+            if (pos > n) return -6;
+            e = pos;
+            while (e < n && buf[e] != '\n') e++;
+            int64_t qs = pos, qe = e;
+            strip_span(buf, qs, qe);
+            pos = e + 1;
+            if (qe - qs != se - ss) return -7;
+            emit_seq(buf + ss, buf + qs, se - ss, enc, min_qual, o);
+        }
+    }
+    *n_codes = o.n_codes;
+    *n_breaks = o.n_breaks;
+    for (int i = 0; i < 4; i++) acgt[i] = o.acgt[i];
+    *non_acgt = o.non_acgt;
+    return 0;
+}
+
+}  // extern "C"

@@ -101,6 +101,20 @@ def get_lib():
                 ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
+            lib.stpu_parse_dna.restype = ctypes.c_int
+            lib.stpu_parse_dna.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_void_p,
+                ctypes.c_int,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
             lib.stpu_format_dist_lines.restype = ctypes.c_int64
             lib.stpu_format_dist_lines.argtypes = [
                 ctypes.c_char_p,

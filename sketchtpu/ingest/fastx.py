@@ -111,6 +111,61 @@ class DnaStream:
         return int(self.codes.shape[0])
 
 
+# byte -> 2-bit code for the native parser; invalid bytes -> 255
+_ENC_NATIVE = np.where(_VALID_DNA, _ENCODE_DNA, np.uint8(255))
+
+
+def _parse_dna_native(path: str, min_qual: int) -> tuple | None:
+    """Single-file parse via the C++ state machine (the per-line Python loop
+    is the host bottleneck at scale). Returns (codes, breaks, acgt,
+    non_acgt) or None to fall back (no native lib / malformed input, whose
+    error messages come from the Python parser)."""
+    import ctypes
+
+    from .._native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open_maybe_gzip(path) as f:
+        raw = f.read()
+    first = raw[:1]
+    if first == b">":
+        fmt = 0
+    elif first == b"@":
+        fmt = 1
+    else:
+        raise ValueError(f"Invalid FASTA/Q record in {path}")
+    n = len(raw)
+    codes = np.empty(n + 1, dtype=np.uint8)
+    breaks = np.empty(n + 2, dtype=np.int64)
+    acgt = np.zeros(4, dtype=np.int64)
+    n_codes = ctypes.c_int64()
+    n_breaks = ctypes.c_int64()
+    non_acgt = ctypes.c_int64()
+    rc = lib.stpu_parse_dna(
+        raw,
+        n,
+        fmt,
+        _ENC_NATIVE.ctypes.data,
+        min_qual if fmt == 1 else 0,
+        codes.ctypes.data,
+        breaks.ctypes.data,
+        ctypes.byref(n_codes),
+        ctypes.byref(n_breaks),
+        acgt.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(non_acgt),
+    )
+    if rc != 0:
+        return None
+    return (
+        codes[: n_codes.value].copy(),
+        breaks[: n_breaks.value].copy(),
+        acgt,
+        int(non_acgt.value),
+    )
+
+
 def read_dna_sample(files: list[str], min_qual: int = 0) -> DnaStream:
     """Read one sample's file set into a DnaStream.
 
@@ -124,6 +179,41 @@ def read_dna_sample(files: list[str], min_qual: int = 0) -> DnaStream:
     if reads and len(files) > 2:
         raise ValueError(
             "Input files are reads, but there are more than two input files"
+        )
+
+    native_parts = []
+    for path in files:
+        parsed = _parse_dna_native(path, min_qual)
+        if parsed is None:
+            native_parts = None
+            break
+        native_parts.append(parsed)
+    if native_parts is not None:
+        code_parts = []
+        break_parts = []
+        acgt = np.zeros(4, dtype=np.int64)
+        non_acgt = 0
+        base_count = 0
+        for codes_f, breaks_f, acgt_f, na_f in native_parts:
+            code_parts.append(codes_f)
+            break_parts.append(breaks_f + base_count)
+            acgt += acgt_f
+            non_acgt += na_f
+            base_count += codes_f.shape[0]
+        return DnaStream(
+            codes=(
+                np.concatenate(code_parts)
+                if code_parts
+                else np.zeros(0, dtype=np.uint8)
+            ),
+            breaks=(
+                np.concatenate(break_parts)
+                if break_parts
+                else np.zeros(0, dtype=np.int64)
+            ),
+            acgt=acgt,
+            non_acgt=non_acgt,
+            reads=reads,
         )
 
     code_parts: list[np.ndarray] = []
