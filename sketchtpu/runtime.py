@@ -97,6 +97,12 @@ def select_coreacc_engine(ms, has_completeness: bool):
         _device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_COREACC
     ):
         try:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from .shard.mesh import ShardedCoreAccEngine
+
+                return ShardedCoreAccEngine(ms)
             from .dist.coreacc_jax import DeviceCoreAccEngine
 
             return DeviceCoreAccEngine(ms)
@@ -151,6 +157,12 @@ def select_knn_engine(ms, dist_type, has_completeness: bool):
         _device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_KNN
     ):
         try:
+            import jax
+
+            if len(jax.devices()) > 1 and not dist_type.coreacc:
+                from .shard.mesh import ShardedKnnEngine
+
+                return ShardedKnnEngine(ms)
             from .dist.knn_jax import DeviceKnnEngine
 
             return DeviceKnnEngine(ms)

@@ -184,6 +184,150 @@ class ShardedSamebitsEngine:
         return np.asarray(out)[:na]
 
 
+class ShardedCoreAccEngine:
+    """Dense multi-k core/accessory engine over a whole device mesh.
+
+    Same tile_dists/stream_self_dense interface as
+    dist.coreacc_jax.DeviceCoreAccEngine (the CLI uses either
+    interchangeably): rows of each tile shard over 'rows', sketch words
+    over 'words' (per-k samebits partials psum-reduced), so one tile call
+    engages every chip. Values match the single-device f32 engine exactly
+    (the math is identical; only the partition differs).
+    """
+
+    def __init__(self, ms, mesh: Mesh | None = None, tile: int = 4096):
+        from ..runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.ms = ms
+        self.mesh = mesh or make_mesh()
+        self.tile = tile
+        self.s64 = ms.sketchsize64
+        self.kmers = tuple(ms.kmer_lengths)
+        nk = len(self.kmers)
+        n = ms.number_samples_loaded()
+        w = ms.kmer_stride
+        mat = ms.sketch_bins.reshape(n, nk, w)
+        stack = np.ascontiguousarray(mat.transpose(1, 0, 2)).view(np.uint32)
+        self._stack_host = stack
+        self._b = jax.device_put(
+            stack, NamedSharding(self.mesh, P(None, None, "words"))
+        )
+
+    def _rows_mult(self) -> int:
+        return self.mesh.shape["rows"]
+
+    def tile_dists(self, rows: slice, cols: slice) -> np.ndarray:
+        a = self._stack_host[:, rows, :]
+        na = a.shape[1]
+        pad = (-na) % self._rows_mult()
+        if pad:
+            a = np.pad(a, ((0, 0), (0, pad), (0, 0)))
+        a_dev = jax.device_put(
+            a, NamedSharding(self.mesh, P(None, "rows", "words"))
+        )
+        b = self._b if cols == slice(0, self.ms.number_samples_loaded()) else (
+            jax.device_put(
+                self._stack_host[:, cols, :],
+                NamedSharding(self.mesh, P(None, None, "words")),
+            )
+        )
+        out = sharded_coreacc_step(
+            a_dev, b, self.s64, self.mesh, self.kmers, self.ms.sketch_size
+        )
+        return np.asarray(out)[:na]
+
+    def stream_self_dense(self, out, names: list[str]) -> None:
+        from ..dist.output import _name_table, _native_lines, fmt_f32_column
+        from .._native import get_lib
+
+        n = len(names)
+        tab = _name_table(names) if get_lib() is not None else None
+        for r0 in range(0, n, self.tile):
+            r1 = min(r0 + self.tile, n)
+            block = self.tile_dists(slice(r0, r1), slice(0, n))
+            if tab is not None:
+                counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
+                rows = np.repeat(np.arange(r0, r1, dtype=np.int32), counts)
+                cols = np.concatenate(
+                    [np.arange(i + 1, n, dtype=np.int32) for i in range(r0, r1)]
+                )
+                flat = block.reshape(-1, 2)[
+                    (rows - r0).astype(np.int64) * n + cols
+                ]
+                _native_lines(out, tab, tab, rows, cols, flat[:, 0], flat[:, 1])
+                continue
+            for i in range(r0, r1):
+                cores = fmt_f32_column(block[i - r0, i + 1 :, 0])
+                accs = fmt_f32_column(block[i - r0, i + 1 :, 1])
+                out.write(
+                    "".join(
+                        f"{names[i]}\t{names[j]}\t{c}\t{a}\n"
+                        for j, c, a in zip(range(i + 1, n), cores, accs)
+                    )
+                )
+
+
+class ShardedKnnEngine:
+    """Sparse single-k kNN over a device mesh: rows shard over 'rows', all
+    columns stream on every device; per-shard top-k results come back
+    row-sharded. Same self_knn/cross_knn interface as DeviceKnnEngine."""
+
+    def __init__(self, ms, mesh: Mesh | None = None, col_tile: int = 2048):
+        from ..runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.ms = ms
+        self.mesh = mesh or make_mesh(n_words=1)
+        if self.mesh.shape["words"] != 1:
+            raise ValueError("sharded kNN requires an unsharded word axis")
+        self.col_tile = col_tile
+        self.s64 = ms.sketchsize64
+        self.n = ms.number_samples_loaded()
+
+    def _mats(self, k_idx: int):
+        mat = np.ascontiguousarray(self.ms.bins_matrix(k_idx)).view(np.uint32)
+        padc = (-self.n) % self.col_tile
+        b = np.pad(mat, ((0, padc), (0, 0))) if padc else mat
+        return mat, b
+
+    def _run(self, a_mat: np.ndarray, b_mat: np.ndarray, knn: int,
+             exclude_self: bool):
+        rows_mult = self.mesh.shape["rows"]
+        na = a_mat.shape[0]
+        pad = (-na) % rows_mult
+        if pad:
+            a_mat = np.pad(a_mat, ((0, pad), (0, 0)))
+        a_dev = jax.device_put(a_mat, NamedSharding(self.mesh, P("rows", None)))
+        b_dev = jax.device_put(b_mat, NamedSharding(self.mesh, P(None, None)))
+        v, i = sharded_knn_step(
+            a_dev, b_dev, self.s64, self.mesh, knn, n_real=self.n,
+            exclude_self=exclude_self, col_tile=self.col_tile,
+        )
+        return np.asarray(v)[:na], np.asarray(i)[:na]
+
+    def self_knn(self, knn: int, dist_type):
+        from ..dist.knn_jax import DeviceKnnEngine
+
+        a_mat, b_mat = self._mats(dist_type.k_idx)
+        sb, idx = self._run(a_mat, b_mat, knn, exclude_self=True)
+        helper = DeviceKnnEngine.__new__(DeviceKnnEngine)
+        helper.s64 = self.s64
+        return DeviceKnnEngine._rows_from_samebits(helper, sb, idx, dist_type)
+
+    def cross_knn(self, query_ms, knn: int, dist_type):
+        from ..dist.knn_jax import DeviceKnnEngine
+
+        _, b_mat = self._mats(dist_type.k_idx)
+        q = np.ascontiguousarray(query_ms.bins_matrix(dist_type.k_idx)).view(
+            np.uint32
+        )
+        sb, idx = self._run(q, b_mat, knn, exclude_self=False)
+        helper = DeviceKnnEngine.__new__(DeviceKnnEngine)
+        helper.s64 = self.s64
+        return DeviceKnnEngine._rows_from_samebits(helper, sb, idx, dist_type)
+
+
 def sharded_dist_step(a, b, s64: int, mesh: Mesh, k: float, ani: bool):
     """One full sharded distance step (samebits -> f32 distances), jittable
     over a mesh. This is the 'training step' analogue the multi-chip dry

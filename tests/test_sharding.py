@@ -156,3 +156,44 @@ def test_select_engine_uses_mesh_on_multidevice(eight_devices, monkeypatch):
     got = engine(a, a)
     want = samebits_matrix(a, a)
     assert np.array_equal(got, want)
+
+
+def test_sharded_coreacc_engine_matches_device_engine(eight_devices, monkeypatch):
+    import io
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist.coreacc_jax import DeviceCoreAccEngine
+    from sketchtpu.shard.mesh import ShardedCoreAccEngine
+
+    monkeypatch.setenv("SKETCHTPU_COREACC_KERNEL", "xla")
+    ms = _fake_ms(n=21, nk=3, s64=2, kmers=(15, 19, 23), seed=12)
+    names = [f"g{i}" for i in range(21)]
+    single = io.StringIO()
+    DeviceCoreAccEngine(ms, tile=8).stream_self_dense(single, names)
+    sharded = io.StringIO()
+    ShardedCoreAccEngine(ms, tile=8).stream_self_dense(sharded, names)
+    assert sharded.getvalue() == single.getvalue()
+
+
+def test_sharded_knn_engine_matches_host(eight_devices):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _fake_ms, _assert_rows_equal
+
+    from sketchtpu.dist import api
+    from sketchtpu.shard.mesh import ShardedKnnEngine
+
+    ms = _fake_ms(n=52, nk=2, s64=2, kmers=(17, 21), seed=13)
+    queries = _fake_ms(n=9, nk=2, s64=2, kmers=(17, 21), seed=14)
+    for ani in (False, True):
+        dist_type = api.set_k(ms, 17, ani)
+        host = api.self_dists_knn(ms, 5, dist_type)
+        dev = ShardedKnnEngine(ms, col_tile=16).self_knn(5, dist_type)
+        _assert_rows_equal(dev, host)
+        host_x = api.cross_dists_knn(ms, queries, 4, dist_type)
+        dev_x = ShardedKnnEngine(ms, col_tile=16).cross_knn(
+            queries, 4, dist_type
+        )
+        _assert_rows_equal(dev_x, host_x)
