@@ -170,3 +170,59 @@ def test_convert_pdb_requires_mini3di(wd, tmp_path):
             ["sketch", "-f", str(rfile), "-o", str(tmp_path / "db"),
              "--seq-type", "pdb", "--convert-pdb", "-k", "5", "-s", "64"]
         )
+
+
+def test_inverted_query_any_all_goldens(wd, ref_correct):
+    """any-bins / all-bins query snapshots (inverted.rs:208-240)."""
+    run("inverted", "build", "-o", "inv", "-k", "21", "-s", "10", "-f",
+        "rfile.txt", "--quiet")
+    for qtype, golden in (
+        ("any-bins", "inverted_query_any.stdout"),
+        ("all-bins", "inverted_query_all.stdout"),
+    ):
+        run("inverted", "query", "-f", "rfile.txt", "inv.ski", "-o",
+            f"{qtype}.out", "--query-type", qtype, "--quiet")
+        got = sorted((wd / f"{qtype}.out").read_text().splitlines())
+        want = sorted((ref_correct / golden).read_text().splitlines())
+        assert got == want, qtype
+
+
+def test_inverted_info_goldens(wd, ref_correct, capsys):
+    """info on a .ski built from direct args at default sketch size
+    (inverted.rs:15-48)."""
+    run("inverted", "build", "-o", "inverted", "-k", "31", GENOMES[0],
+        GENOMES[1], "--quiet")
+    run("info", "inverted.ski")
+    got = capsys.readouterr().out
+    want = (ref_correct / "inverted_sketch_info.stdout").read_text()
+    assert got.splitlines()[1:] == want.splitlines()[1:]  # line 0 has version
+    run("info", "--sample-info", "inverted.ski")
+    got = capsys.readouterr().out
+    want = (ref_correct / "inverted_sketch_full_info.stdout").read_text()
+    assert got.splitlines()[1:] == want.splitlines()[1:]
+
+
+def test_read_sketch_info_golden(wd, ref_in, ref_correct, capsys):
+    """Summary info of a read sketch (sketch.rs:50-71)."""
+    with open("fq_rfile.txt", "w") as f:
+        for p in ("test_1", "test_2"):
+            f.write(
+                f"{p}\t{ref_in}/{p}_fwd.fastq.gz\t{ref_in}/{p}_rev.fastq.gz\n"
+            )
+    run("sketch", "-f", "fq_rfile.txt", "-o", "reads", "--min-count", "2",
+        "-k", "9", "--min-qual", "2", "--quiet")
+    run("info", "reads")
+    got = capsys.readouterr().out
+    want = (ref_correct / "read_sketch_info.stdout").read_text()
+    assert got.splitlines()[1:] == want.splitlines()[1:]  # line 0 has version
+
+
+def test_inverted_reorder_info_golden(wd, ref_in, ref_correct, capsys):
+    """Species-reordered build with k=61, s=63 (inverted.rs:130-166)."""
+    run("inverted", "build", "-o", "invr", "-k", "61", "-s", "63",
+        "--species-names", str(ref_in / "species_names.txt"),
+        GENOMES[0], GENOMES[1], GENOMES[2], GENOMES[3], "--quiet")
+    run("info", "invr.ski", "--sample-info")
+    got = capsys.readouterr().out
+    want = (ref_correct / "inverted_sketch_info_reorder.stdout").read_text()
+    assert got.splitlines()[1:] == want.splitlines()[1:]
