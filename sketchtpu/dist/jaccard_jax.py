@@ -81,18 +81,42 @@ class DeviceSamebitsEngine:
         return np.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
-@functools.partial(jax.jit, static_argnames=("s64", "tc"))
-def _samebits_strip(a: jnp.ndarray, m: jnp.ndarray, s64: int, tc: int):
+@functools.partial(jax.jit, static_argnames=("s64", "tc", "tri"))
+def _samebits_strip(
+    a: jnp.ndarray,
+    m: jnp.ndarray,
+    s64: int,
+    tc: int,
+    i0: jnp.ndarray = 0,
+    tri: bool = False,
+):
     """(blk, W2) x (n, W2) -> (blk, n) int16 samebits, computed in tc-wide
     column tiles on device (bounds the fused plane-mask intermediates).
     samebits <= s64*64 <= 2^15 for any practical sketch size, so int16
-    halves the device->host strip traffic and stays exact."""
+    halves the device->host strip traffic and stays exact.
+
+    tri=True skips tiles wholly below the strip's diagonal (a real branch;
+    upper-triangle consumers never read those columns), halving the
+    all-vs-all compute; i0 is the strip's global row offset."""
     n, w2 = m.shape
     n_tiles = n // tc
 
+    def tile(j0):
+        bt = jax.lax.dynamic_slice(m, (j0, 0), (tc, w2))
+        return _samebits_tile(a, bt, s64).astype(jnp.int16)
+
     def body(_, t):
-        bt = jax.lax.dynamic_slice(m, (t * tc, 0), (tc, w2))
-        return None, _samebits_tile(a, bt, s64).astype(jnp.int16)
+        j0 = t * tc
+        if tri:
+            out = jax.lax.cond(
+                j0 + tc > i0,
+                tile,
+                lambda _: jnp.zeros((a.shape[0], tc), jnp.int16),
+                j0,
+            )
+        else:
+            out = tile(j0)
+        return None, out
 
     _, tiles = jax.lax.scan(
         body, None, jnp.arange(n_tiles, dtype=jnp.int32)
@@ -125,7 +149,9 @@ class DeviceDenseStreamEngine:
 
     def _strip(self, r0: int):
         a = self._mat[r0 : r0 + self.tile]
-        return _samebits_strip(a, self._mat, self.s64, self.tile)
+        return _samebits_strip(
+            a, self._mat, self.s64, self.tile, jnp.int32(r0), tri=True
+        )
 
     def stream_self_dense(
         self, out, names, dist_type, comp=None, cutoff: float = 0.64
