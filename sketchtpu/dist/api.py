@@ -13,7 +13,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import BBITS
 from .jaccard_np import (
     ani_pois,
     core_acc_from_jaccards,

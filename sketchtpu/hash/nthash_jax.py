@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import SIGN_MOD, nt_tap_tables
+from ..constants import nt_tap_tables
 
 _U32 = jnp.uint32
 _I32 = jnp.int32

@@ -53,7 +53,6 @@ from .nthash_jax import (
     _tap_select,
     _unpack_bits,
     _unpack_codes,
-    magic_divider,
 )
 
 _U32 = jnp.uint32

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import num_bins
 from ..formats import msgpack, roaring, skd, snappy
 from ..formats.skm import FORMAT_VERSION
 from ..sketchcore.sketch import HashType
