@@ -34,6 +34,11 @@ default 7-k core/accessory sketch workload:
 
 Everything lands bit-identical to `hash_bin_kernel` whenever the fast path
 reports no fallback — asserted by tests/test_multik.py.
+
+Single-k requests stay on the exact kernel deliberately: measured on-chip,
+the prefilter + compaction machinery costs more than the full sort saves
+when there is no multi-k pass sharing (0.9 s vs 0.5 s for 14x2Mb at
+s=1024), so the routing in sketch_jax ( len(kmers) >= 2 ) is optimal.
 """
 
 from __future__ import annotations
