@@ -101,6 +101,18 @@ def get_lib():
                 ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
+            lib.stpu_parse_aa.restype = ctypes.c_int
+            lib.stpu_parse_aa.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_uint8,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
             lib.stpu_parse_dna.restype = ctypes.c_int
             lib.stpu_parse_dna.argtypes = [
                 ctypes.c_char_p,

@@ -280,11 +280,86 @@ class AaStream:
         return int(self.seq.shape[0])
 
 
+def _parse_aa_native(path: str) -> tuple | None:
+    """(records list of byte arrays with invalid -> SEQSEP, per-record
+    invalid counts) via the C++ parser, or None to fall back."""
+    import ctypes
+
+    from .._native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open_maybe_gzip(path) as f:
+        raw = f.read()
+    if raw[:1] == b"@":
+        raise ValueError(
+            f"Unexpected quality information with AA sequences in {path}. "
+            "Correct sequence type set?"
+        )
+    n = len(raw)
+    seq = np.empty(n + 1, dtype=np.uint8)
+    rec_off = np.empty(n + 2, dtype=np.int64)
+    n_seq = ctypes.c_int64()
+    n_rec = ctypes.c_int64()
+    invalid = ctypes.c_int64()
+    rc = lib.stpu_parse_aa(
+        raw,
+        n,
+        _VALID_AA.ctypes.data,
+        SEQSEP,
+        seq.ctypes.data,
+        rec_off.ctypes.data,
+        ctypes.byref(n_seq),
+        ctypes.byref(n_rec),
+        ctypes.byref(invalid),
+    )
+    if rc != 0:
+        return None
+    records = []
+    counts = []
+    start = 0
+    for r in range(n_rec.value):
+        end = int(rec_off[r])
+        rec = seq[start:end].copy()
+        records.append(rec)
+        counts.append(int((rec == SEQSEP).sum()))
+        start = end
+    return records, counts
+
+
 def read_aa_sample(files: list[str], concat_fasta: bool) -> list[AaStream]:
     """Read amino-acid fasta file(s) -> one AaStream (or one per record when
     concat_fasta). Mirrors AaHashIterator::new (aahash_iterator.rs:84-124)."""
     out: list[AaStream] = []
     parts: list[np.ndarray] = []
+    invalid = 0
+
+    native_ok = True
+    for path in files:
+        parsed = _parse_aa_native(path)
+        if parsed is None:
+            native_ok = False
+            break
+        records, counts = parsed
+        for rec, cnt in zip(records, counts):
+            invalid += cnt
+            if concat_fasta:
+                out.append(AaStream(seq=rec, invalid_count=invalid))
+                invalid = 0
+            else:
+                parts.append(rec)
+                parts.append(np.array([SEQSEP], dtype=np.uint8))
+    if native_ok:
+        if not concat_fasta:
+            seq = (
+                np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+            )
+            out.append(AaStream(seq=seq, invalid_count=invalid))
+        return out
+
+    out = []
+    parts = []
     invalid = 0
     for path in files:
         fmt = _sniff_format(path)

@@ -75,3 +75,41 @@ def test_native_parse_malformed_falls_back(tmp_path):
     fq.write_bytes(b"@a\nACGT\nNOPLUS\nIIII\n")
     with pytest.raises(ValueError, match="Invalid FASTQ record"):
         fx.read_dna_sample([str(fq)], 0)
+
+
+@needs_native
+@pytest.mark.parametrize("concat", [False, True])
+def test_native_aa_parse_matches_python(ref_in, concat):
+    files = [str(ref_in / "test_aa_sequence.fa")]
+    native = fx._parse_aa_native
+    fx._parse_aa_native = lambda *a, **k: None
+    try:
+        want = fx.read_aa_sample(files, concat)
+    finally:
+        fx._parse_aa_native = native
+    got = fx.read_aa_sample(files, concat)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.seq, w.seq)
+        assert g.invalid_count == w.invalid_count
+
+
+@needs_native
+@pytest.mark.parametrize("concat", [False, True])
+def test_native_aa_parse_edge_cases(tmp_path, concat):
+    fa = tmp_path / "p.fa"
+    fa.write_bytes(
+        b">a\r\nACDE fgXz\r\n\r\nKLM\r\n>empty\r\n>c\nwy*12\n"
+    )
+    files = [str(fa)]
+    native = fx._parse_aa_native
+    fx._parse_aa_native = lambda *a, **k: None
+    try:
+        want = fx.read_aa_sample(files, concat)
+    finally:
+        fx._parse_aa_native = native
+    got = fx.read_aa_sample(files, concat)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.seq, w.seq)
+        assert g.invalid_count == w.invalid_count
