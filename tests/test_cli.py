@@ -226,3 +226,26 @@ def test_inverted_reorder_info_golden(wd, ref_in, ref_correct, capsys):
     got = capsys.readouterr().out
     want = (ref_correct / "inverted_sketch_info_reorder.stdout").read_text()
     assert got.splitlines()[1:] == want.splitlines()[1:]
+
+
+def test_precluster_with_completeness(wd, ref_correct):
+    """Precluster kNN with completeness correction runs and yields valid
+    distances, and correction actually changes values
+    (completeness.rs:382-460)."""
+    run("inverted", "build", "-o", "pci", "-k", "21", "-s", "10",
+        "--write-skq", GENOMES[0], GENOMES[1], GENOMES[2], "--quiet")
+    run("sketch", "-o", "pcs", "--k-vals", "21", "-s", "1000",
+        GENOMES[0], GENOMES[1], GENOMES[2], "--quiet")
+    with open("comp.txt", "w") as f:
+        f.write(f"{GENOMES[0]}\t0.8\n{GENOMES[1]}\t0.9\n{GENOMES[2]}\t0.7\n")
+    run("inverted", "precluster", "pci.ski", "--skd", "pcs", "--knn", "2",
+        "--ref-completeness-file", "comp.txt", "-o", "pc_comp.out", "--quiet")
+    run("inverted", "precluster", "pci.ski", "--skd", "pcs", "--knn", "2",
+        "-o", "pc_plain.out", "--quiet")
+    corr = (wd / "pc_comp.out").read_text().splitlines()
+    plain = (wd / "pc_plain.out").read_text().splitlines()
+    assert len(corr) > 0
+    for line in corr:
+        d = float(line.split("\t")[2])
+        assert np.isfinite(d) and 0.0 <= d <= 1.0
+    assert corr != plain  # the correction must have an effect
