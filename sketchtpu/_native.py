@@ -101,6 +101,24 @@ def get_lib():
                 ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
+            lib.stpu_ski_bin_msgpack.restype = ctypes.c_int64
+            lib.stpu_ski_bin_msgpack.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
+            lib.stpu_ski_bin_unpack.restype = ctypes.c_int64
+            lib.stpu_ski_bin_unpack.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
             lib.stpu_parse_aa.restype = ctypes.c_int
             lib.stpu_parse_aa.argtypes = [
                 ctypes.c_char_p,

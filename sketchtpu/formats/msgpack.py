@@ -14,8 +14,19 @@ import struct
 from typing import Any
 
 
+class Raw:
+    """Pre-encoded msgpack bytes embedded verbatim (native fast paths)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+
 def _encode(obj: Any, out: bytearray) -> None:
-    if obj is None:
+    if isinstance(obj, Raw):
+        out += obj.data
+    elif obj is None:
         out.append(0xC0)
     elif obj is True:
         out.append(0xC3)

@@ -28,6 +28,23 @@ from ..ingest.fastx import read_dna_sample
 _U16_MAX = np.uint16(0xFFFF)
 
 
+def _msgpack_list_header(n: int) -> bytes:
+    if n < 16:
+        return bytes([0x90 | n])
+    if n < 1 << 16:
+        return b"\xdc" + n.to_bytes(2, "big")
+    return b"\xdd" + n.to_bytes(4, "big")
+
+
+def _decode_tail(payload: bytes, pos: int):
+    """Decode the 8 top-level fields following the index list."""
+    out = []
+    for _ in range(8):
+        value, pos = msgpack._decode(payload, pos)
+        out.append(value)
+    return tuple(out), pos
+
+
 class Inverted:
     def __init__(
         self,
@@ -149,12 +166,58 @@ class Inverted:
             maps.append(bin_map)
         return maps
 
+    def _index_raw(self):
+        """The per-bin {sign: roaring} index as a pre-encoded msgpack.Raw
+        list (C++ fast path; byte-identical to the Python encoder —
+        tests/test_native_ski.py), or None when the native lib is absent."""
+        import ctypes
+
+        from .._native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return None
+        mat = self.sign_matrix
+        n, s = mat.shape
+        parts = [_msgpack_list_header(s)]
+        # worst case per bin: map hdr + per distinct sign (3B key + 5B bin
+        # hdr + roaring hdr/offsets 16B + 8192B bitset) bounded by 2B/member
+        cap = 5 + n * 64 + 32
+        buf = ctypes.create_string_buffer(cap)
+        for b in range(s):
+            col = mat[:, b]
+            order = np.argsort(col, kind="stable").astype(np.uint32)
+            svals = col[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], svals[1:] != svals[:-1]])
+            )
+            ent_off = np.append(starts, n).astype(np.int64)
+            signs = np.ascontiguousarray(svals[starts], dtype=np.uint16)
+            members = np.ascontiguousarray(order)
+            written = lib.stpu_ski_bin_msgpack(
+                signs.ctypes.data,
+                ent_off.ctypes.data,
+                members.ctypes.data,
+                signs.shape[0],
+                buf,
+                cap,
+            )
+            if written < 0:
+                return None
+            parts.append(ctypes.string_at(buf, written))
+        return msgpack.Raw(b"".join(parts))
+
     def to_serde(self):
         """rmp-serde compact representation: struct as positional array."""
-        index = [
-            {sign: roaring.serialize(members) for sign, members in bin_map.items()}
-            for bin_map in self._index_maps()
-        ]
+        index = self._index_raw()
+        if index is None:
+            index = [
+                {
+                    sign: roaring.serialize(members)
+                    for sign, members in bin_map.items()
+                }
+                for bin_map in self._index_maps()
+            ]
         return [
             index,
             self.n_samples,
@@ -173,9 +236,99 @@ class Inverted:
             f.write(snappy.frame_compress(payload))
 
     @classmethod
+    def _load_index_native(cls, payload: bytes):
+        """((bin, members, signs) per-bin arrays, resume_pos) via the C++
+        parser, or None to fall back (no lib / unsupported encodings, e.g.
+        run-container roaring from a foreign writer)."""
+        import ctypes
+
+        from .._native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return None
+        # top-level array header, then the index list header (python-side)
+        try:
+            pos = 0
+            b = payload[pos]
+            pos += 1
+            if (b & 0xF0) != 0x90:
+                if b == 0xDC:
+                    pos += 2
+                elif b == 0xDD:
+                    pos += 4
+                else:
+                    return None
+            lb = payload[pos]
+            pos += 1
+            if (lb & 0xF0) == 0x90:
+                s = lb & 0x0F
+            elif lb == 0xDC:
+                s = int.from_bytes(payload[pos : pos + 2], "big")
+                pos += 2
+            elif lb == 0xDD:
+                s = int.from_bytes(payload[pos : pos + 4], "big")
+                pos += 4
+            else:
+                return None
+        except IndexError:
+            return None
+        cap = len(payload) // 2 + 16
+        members = np.empty(cap, dtype=np.uint32)
+        signs = np.empty(cap, dtype=np.uint16)
+        n_out = ctypes.c_int64()
+        out = []
+        for b_idx in range(s):
+            consumed = lib.stpu_ski_bin_unpack(
+                payload[pos:],
+                len(payload) - pos,
+                members.ctypes.data,
+                signs.ctypes.data,
+                cap,
+                ctypes.byref(n_out),
+            )
+            if consumed <= 0:
+                return None
+            k = n_out.value
+            out.append((members[:k].copy(), signs[:k].copy()))
+            pos += consumed
+        return out, pos
+
+    @classmethod
     def load(cls, file_prefix: str) -> "Inverted":
         with open(f"{file_prefix}.ski", "rb") as f:
             payload = snappy.frame_decompress(f.read())
+
+        native = cls._load_index_native(payload)
+        if native is not None:
+            bins, pos = native
+            (
+                n_samples,
+                sample_names,
+                metadata,
+                labels,
+                kmer_size,
+                sketch_version,
+                rc,
+                hash_type,
+            ), pos = _decode_tail(payload, pos)
+            sketch_size = len(bins)
+            mat = np.full((n_samples, sketch_size), _U16_MAX, dtype=np.uint16)
+            for b, (mem, sg) in enumerate(bins):
+                mat[mem, b] = sg
+            inv = cls(
+                sign_matrix=mat,
+                sample_names=list(sample_names),
+                kmer_size=kmer_size,
+                rc=rc,
+                hash_type=HashType.from_serde(hash_type),
+                metadata=metadata,
+                labels=labels,
+                sketch_version=sketch_version,
+            )
+            inv.n_samples = n_samples
+            return inv
+
         obj = msgpack.loads(payload)
         (
             index,
