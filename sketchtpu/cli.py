@@ -752,6 +752,14 @@ def _inverted_main(args) -> None:
             knn_engine = select_knn_engine(
                 references, dist_type, ref_comp is not None
             )
+            if knn_engine is not None and not hasattr(
+                knn_engine, "precluster_knn"
+            ):
+                # multi-device selection returns the sharded engine, which
+                # has no fused-prefilter mode; use the single-device one
+                from .dist.knn_jax import DeviceKnnEngine
+
+                knn_engine = DeviceKnnEngine(references)
             if knn_engine is not None:
                 log.info("Using on-device preclustered kNN engine")
                 rows = knn_engine.precluster_knn(
