@@ -43,14 +43,6 @@ _MAX_GROUP_FAST = 96
 _BATCH_BASES_FAST = 1 << 24
 
 
-def _bucket(n: int) -> int:
-    """Pad lengths to half-power-of-two buckets to bound recompilation."""
-    b = 1 << 14
-    while b < n:
-        b += b // 2 if (b & (b - 1)) else b // 2
-    return b
-
-
 def _bucket_size(n: int) -> int:
     b = 1 << 14
     while b < n:

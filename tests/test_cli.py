@@ -249,3 +249,10 @@ def test_precluster_with_completeness(wd, ref_correct):
         d = float(line.split("\t")[2])
         assert np.isfinite(d) and 0.0 <= d <= 1.0
     assert corr != plain  # the correction must have an effect
+
+
+def test_k_seq_flag(wd):
+    """--k-seq start,end,step expands to the same db as the explicit list."""
+    run("sketch", "--k-seq", "17,26,4", GENOMES[2], "-o", "kseq", "--quiet")
+    run("sketch", "--k-vals", "17,21,25", GENOMES[2], "-o", "klist", "--quiet")
+    assert (wd / "kseq.skd").read_bytes() == (wd / "klist.skd").read_bytes()
