@@ -216,6 +216,9 @@ def write_sparse(out, row_names, ref_names, rows, coreacc: bool):
             if valid is not None
             else np.ones(n * knn, dtype=bool)
         )
+        # engines mark missing candidates with an out-of-range sentinel
+        # index; never let one reach the native name-table lookup
+        keep = keep & (col_idx < len(ref_names))
         if not coreacc:
             d = vals.reshape(-1)
             sel = np.flatnonzero(keep)
