@@ -125,6 +125,8 @@ def select_dense_stream_engine(ms, dist_type):
     mode = _mode()
     if mode == "host" or dist_type.coreacc:
         return None
+    if ms.sketchsize64 * 64 > 32767:
+        return None  # samebits would overflow the engine's int16 strips
     n = ms.number_samples_loaded()
     if mode == "tpu" or (
         _device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_DENSE_STREAM
