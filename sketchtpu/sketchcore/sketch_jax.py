@@ -367,6 +367,10 @@ class DeviceSketchBackend:
             if s.breaks.size:
                 break_parts.append(s.breaks + pos)
             pos += n
+            # windows must never roll across a genome boundary: the parser
+            # always ends a stream with a break at seq_len, but arbitrary
+            # DnaStreams may not — force one (duplicates are idempotent)
+            break_parts.append(np.array([pos], dtype=np.int64))
         bflags = np.zeros(n_pad, dtype=np.uint8)
         if break_parts:
             breaks = np.concatenate(break_parts)
