@@ -120,9 +120,10 @@ def _knn_scan_block_ca(
     nk, nbp, w2 = b_stack.shape
     tr = a_stack.shape[1]
     n_tiles = nbp // tc
-    init_key = jnp.full((tr, knn), -jnp.inf, jnp.float32)
-    init_acc = jnp.zeros((tr, knn), jnp.float32)
-    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32)
+    # + row0*0: inherit row0's device-varying type under shard_map (scan-vma)
+    init_key = jnp.full((tr, knn), -jnp.inf, jnp.float32) + row0 * 0
+    init_acc = jnp.zeros((tr, knn), jnp.float32) + row0 * 0
+    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32) + row0 * 0
 
     def body(carry, t):
         keys, accs, idxs = carry

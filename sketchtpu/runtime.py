@@ -161,7 +161,7 @@ def select_knn_engine(ms, dist_type, has_completeness: bool):
         try:
             import jax
 
-            if len(jax.devices()) > 1 and not dist_type.coreacc:
+            if len(jax.devices()) > 1:
                 from .shard.mesh import ShardedKnnEngine
 
                 return ShardedKnnEngine(ms)

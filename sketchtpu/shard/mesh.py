@@ -137,6 +137,49 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
     )(a, b)
 
 
+def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
+                        n_real: int, exclude_self: bool,
+                        kmers: tuple[int, ...], sketch_size: int,
+                        col_tile: int = 2048):
+    """Sharded multi-k core/accessory kNN: rows shard over 'rows', the
+    (nk, nbp, W2) column stack replicates; each device keeps a running
+    top-k by core distance over streamed column tiles. Returns
+    (core, acc, idx) each (na, knn), row-sharded."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..dist.knn_jax import _knn_scan_block_ca
+
+    if mesh.shape["words"] != 1:
+        raise ValueError("sharded kNN requires an unsharded word axis")
+    rows = mesh.shape["rows"]
+    rows_per = a_stack.shape[1] // rows
+    tc = min(col_tile, b_stack.shape[1])
+
+    def shard_fn(a_blk, b_blk):
+        row0 = jax.lax.axis_index("rows").astype(jnp.int32) * jnp.int32(
+            rows_per
+        )
+        return _knn_scan_block_ca(
+            a_blk,
+            b_blk,
+            row0,
+            jnp.int32(n_real),
+            s64=s64,
+            kmers=kmers,
+            sketch_size=sketch_size,
+            knn=knn,
+            tc=tc,
+            exclude_self=exclude_self,
+        )
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, "rows", None), P(None, None, None)),
+        out_specs=(P("rows", None), P("rows", None), P("rows", None)),
+    )(a_stack, b_stack)
+
+
 class ShardedSamebitsEngine:
     """samebits engine distributing row blocks over all devices in a mesh.
 
@@ -326,6 +369,48 @@ class ShardedKnnEngine:
         helper = DeviceKnnEngine.__new__(DeviceKnnEngine)
         helper.s64 = self.s64
         return DeviceKnnEngine._rows_from_samebits(helper, sb, idx, dist_type)
+
+    def _stack(self, ms) -> np.ndarray:
+        nk = len(ms.kmer_lengths)
+        w = ms.kmer_stride
+        n = ms.number_samples_loaded()
+        mat = ms.sketch_bins.reshape(n, nk, w)
+        return np.ascontiguousarray(mat.transpose(1, 0, 2)).view(np.uint32)
+
+    def _run_ca(self, a_stack: np.ndarray, knn: int, exclude_self: bool):
+        from ..dist.knn_jax import SparseKnnRows
+
+        kmers = tuple(self.ms.kmer_lengths)
+        b_stack = self._stack(self.ms)
+        padc = (-self.n) % self.col_tile
+        if padc:
+            b_stack = np.pad(b_stack, ((0, 0), (0, padc), (0, 0)))
+        rows_mult = self.mesh.shape["rows"]
+        na = a_stack.shape[1]
+        pad = (-na) % rows_mult
+        if pad:
+            a_stack = np.pad(a_stack, ((0, 0), (0, pad), (0, 0)))
+        a_dev = jax.device_put(
+            a_stack, NamedSharding(self.mesh, P(None, "rows", None))
+        )
+        b_dev = jax.device_put(
+            b_stack, NamedSharding(self.mesh, P(None, None, None))
+        )
+        core, acc, idx = sharded_knn_ca_step(
+            a_dev, b_dev, self.s64, self.mesh, knn, n_real=self.n,
+            exclude_self=exclude_self, kmers=kmers,
+            sketch_size=self.ms.sketch_size, col_tile=self.col_tile,
+        )
+        vals = np.stack(
+            [np.asarray(core)[:na], np.asarray(acc)[:na]], axis=-1
+        ).astype(np.float32)
+        return SparseKnnRows(np.asarray(idx)[:na], vals, None)
+
+    def self_knn_coreacc(self, knn: int):
+        return self._run_ca(self._stack(self.ms), knn, exclude_self=True)
+
+    def cross_knn_coreacc(self, query_ms, knn: int):
+        return self._run_ca(self._stack(query_ms), knn, exclude_self=False)
 
 
 def sharded_dist_step(a, b, s64: int, mesh: Mesh, k: float, ani: bool):

@@ -197,3 +197,32 @@ def test_sharded_knn_engine_matches_host(eight_devices):
             queries, 4, dist_type
         )
         _assert_rows_equal(dev_x, host_x)
+
+
+def test_sharded_knn_coreacc_matches_device(eight_devices, monkeypatch):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _fake_ms, _assert_rows_equal
+
+    from sketchtpu.dist.knn_jax import DeviceKnnEngine
+    from sketchtpu.shard.mesh import ShardedKnnEngine
+
+    monkeypatch.setenv("SKETCHTPU_COREACC_KERNEL", "xla")
+    ms = _fake_ms(n=48, nk=3, s64=2, kmers=(15, 19, 23), seed=21)
+    queries = _fake_ms(n=10, nk=3, s64=2, kmers=(15, 19, 23), seed=22)
+    single = DeviceKnnEngine(ms, row_tile=16, col_tile=16)
+    sharded = ShardedKnnEngine(ms, col_tile=16)
+
+    def rows_eq(a, b):
+        for ra, rb in zip(a, b):
+            assert len(ra) == len(rb)
+            for (ia, ca, aa), (ib, cb, ab) in zip(ra, rb):
+                assert ia == ib
+                assert np.float32(ca) == np.float32(cb)
+                assert np.float32(aa) == np.float32(ab)
+
+    rows_eq(sharded.self_knn_coreacc(5), single.self_knn_coreacc(5))
+    rows_eq(
+        sharded.cross_knn_coreacc(queries, 4),
+        single.cross_knn_coreacc(queries, 4),
+    )
