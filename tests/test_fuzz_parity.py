@@ -58,3 +58,77 @@ def test_random_config_bit_exact(seed):
         assert np.array_equal(h.usigs, d.usigs), (seed, h.name)
         assert h.densified == d.densified
         assert h.seq_length == d.seq_length
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_aa_config_bit_exact(seed):
+    from sketchtpu.constants import SEQSEP
+    from sketchtpu.ingest.fastx import AaStream
+    from sketchtpu.sketchcore.sketch import sketch_aa_sample
+    from sketchtpu.sketchcore.sketch_aa_jax import DeviceAaSketchBackend
+
+    rng = np.random.default_rng(100 + seed)
+    letters = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWYacdefghiklmnpqrstvwy",
+                            dtype=np.uint8)
+    streams = []
+    for n in rng.integers(30, 3000, size=rng.integers(2, 10)):
+        seq = letters[rng.integers(0, letters.size, n)]
+        bad = rng.random(n) < 0.03
+        streams.append(
+            AaStream(seq=np.where(bad, SEQSEP, seq).astype(np.uint8),
+                     invalid_count=int(bad.sum()))
+        )
+    names = [f"p{i}" for i in range(len(streams))]
+    kmers = sorted(rng.choice(np.arange(4, 15), size=rng.integers(1, 3),
+                              replace=False).tolist())
+    level = int(rng.integers(1, 4))
+    sketch_size = int(rng.choice([64, 128]))
+
+    def host_one(s, name):
+        try:
+            return sketch_aa_sample(s, name, kmers, sketch_size, level)
+        except ValueError as e:
+            return ("err", str(e))
+
+    host = [host_one(s, n) for s, n in zip(streams, names)]
+    backend = DeviceAaSketchBackend()
+    if any(isinstance(h, tuple) for h in host):
+        with pytest.raises(ValueError):
+            backend.sketch_aa_streams(streams, names, kmers, sketch_size,
+                                      level, True)
+        return
+    dev = backend.sketch_aa_streams(streams, names, kmers, sketch_size,
+                                    level, True)
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs), (seed, h.name)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_inverted_engine_parity(seed):
+    from sketchtpu.inverted.device import DeviceInvertedEngine
+    from sketchtpu.inverted.index import Inverted
+    from sketchtpu.sketchcore.sketch import HashType
+
+    rng = np.random.default_rng(200 + seed)
+    n, s = 96, 32  # fixed shapes: one compile across seeds
+    # low sign cardinality so matches actually occur
+    mat = rng.integers(0, 12, (n, s)).astype(np.uint16)
+    inv = Inverted(sign_matrix=mat, sample_names=[f"g{i}" for i in range(n)],
+                   kmer_size=17, rc=True, hash_type=HashType("dna"))
+    eng = DeviceInvertedEngine(mat, tile=32)
+    queries = rng.integers(0, 12, (5, s)).astype(np.uint16)
+
+    got = eng.match_counts(queries)
+    want = np.stack([inv.query_match_count(q) for q in queries])
+    np.testing.assert_array_equal(got, want)
+
+    got_any = eng.any_shared_rows(queries)
+    for qi, q in enumerate(queries):
+        np.testing.assert_array_equal(
+            np.flatnonzero(got_any[qi]), inv.any_shared_bins(q)
+        )
+
+    # brute-force pair count oracle
+    eq_any = (mat[:, None, :] == mat[None, :, :]).any(axis=2)
+    want_pairs = int(np.triu(eq_any, 1).sum())
+    assert eng.any_shared_bin_count() == want_pairs
