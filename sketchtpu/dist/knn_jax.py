@@ -251,6 +251,23 @@ class SparseKnnRows:
             yield self._row(r)
 
 
+def rows_from_samebits(
+    sb: np.ndarray, idx: np.ndarray, dist_type, s64: int,
+    as_lists: bool = False,
+):
+    """Exact f64 host post-processing of selected samebits -> sparse rows
+    (ANI items hold the similarity, as the host driver emits). Entries
+    with sb == _NEG are missing candidates and are truncated."""
+    na, knn = sb.shape
+    j = jaccard_from_samebits(sb.ravel(), s64).reshape(na, knn)
+    if dist_type.ani:
+        d = ani_pois(j, dist_type.k).astype(np.float32)  # similarity
+    else:
+        d = (1.0 - j).astype(np.float32)
+    rows = SparseKnnRows(idx, d, sb != _NEG)
+    return list(rows) if as_lists else rows
+
+
 def _pad_rows(mat: np.ndarray, mult: int) -> np.ndarray:
     pad = (-mat.shape[0]) % mult
     if pad:
@@ -358,17 +375,7 @@ class DeviceKnnEngine:
     def _rows_from_samebits(
         self, sb: np.ndarray, idx: np.ndarray, dist_type, as_lists: bool = False
     ):
-        """Exact f64 host post-processing of selected samebits -> sparse rows
-        (ANI items hold the similarity, as the host driver emits). Entries
-        with sb == _NEG are missing candidates and are truncated."""
-        na, knn = sb.shape
-        j = jaccard_from_samebits(sb.ravel(), self.s64).reshape(na, knn)
-        if dist_type.ani:
-            d = ani_pois(j, dist_type.k).astype(np.float32)  # similarity
-        else:
-            d = (1.0 - j).astype(np.float32)
-        rows = SparseKnnRows(idx, d, sb != _NEG)
-        return list(rows) if as_lists else rows
+        return rows_from_samebits(sb, idx, dist_type, self.s64, as_lists)
 
     def self_knn(self, knn: int, dist_type):
         """Self kNN (Jaccard or ANI, no completeness)."""

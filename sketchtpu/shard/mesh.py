@@ -350,25 +350,21 @@ class ShardedKnnEngine:
         return np.asarray(v)[:na], np.asarray(i)[:na]
 
     def self_knn(self, knn: int, dist_type):
-        from ..dist.knn_jax import DeviceKnnEngine
+        from ..dist.knn_jax import rows_from_samebits
 
         a_mat, b_mat = self._mats(dist_type.k_idx)
         sb, idx = self._run(a_mat, b_mat, knn, exclude_self=True)
-        helper = DeviceKnnEngine.__new__(DeviceKnnEngine)
-        helper.s64 = self.s64
-        return DeviceKnnEngine._rows_from_samebits(helper, sb, idx, dist_type)
+        return rows_from_samebits(sb, idx, dist_type, self.s64)
 
     def cross_knn(self, query_ms, knn: int, dist_type):
-        from ..dist.knn_jax import DeviceKnnEngine
+        from ..dist.knn_jax import rows_from_samebits
 
         _, b_mat = self._mats(dist_type.k_idx)
         q = np.ascontiguousarray(query_ms.bins_matrix(dist_type.k_idx)).view(
             np.uint32
         )
         sb, idx = self._run(q, b_mat, knn, exclude_self=False)
-        helper = DeviceKnnEngine.__new__(DeviceKnnEngine)
-        helper.s64 = self.s64
-        return DeviceKnnEngine._rows_from_samebits(helper, sb, idx, dist_type)
+        return rows_from_samebits(sb, idx, dist_type, self.s64)
 
     def _stack(self, ms) -> np.ndarray:
         nk = len(ms.kmer_lengths)
