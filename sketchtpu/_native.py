@@ -112,7 +112,7 @@ def get_lib():
             ]
             lib.stpu_ski_bin_unpack.restype = ctypes.c_int64
             lib.stpu_ski_bin_unpack.argtypes = [
-                ctypes.c_char_p,
+                ctypes.c_void_p,
                 ctypes.c_int64,
                 ctypes.c_void_p,
                 ctypes.c_void_p,

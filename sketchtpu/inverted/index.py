@@ -278,9 +278,13 @@ class Inverted:
         signs = np.empty(cap, dtype=np.uint16)
         n_out = ctypes.c_int64()
         out = []
+        # pass base pointer + offset: slicing bytes would copy the tail per
+        # bin (O(bins * payload) memory traffic)
+        pbuf = np.frombuffer(payload, dtype=np.uint8)
+        base = pbuf.ctypes.data
         for b_idx in range(s):
             consumed = lib.stpu_ski_bin_unpack(
-                payload[pos:],
+                base + pos,
                 len(payload) - pos,
                 members.ctypes.data,
                 signs.ctypes.data,
