@@ -50,7 +50,7 @@ def _sharded_samebits(a, b, s64: int, mesh: Mesh):
         partial = _samebits_tile(a_blk, b_blk, s64 // mesh.shape["words"])
         return jax.lax.psum(partial, "words")
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return shard_map(
         tile_fn,
@@ -70,7 +70,7 @@ def sharded_coreacc_step(a_stack, b_stack, s64: int, mesh: Mesh,
     counts ride ICI), then each device runs the regression chain for its
     row block. Returns (na, nb, 2) f32, row-sharded.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..dist.coreacc_jax import coreacc_tile
 
@@ -99,7 +99,7 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
     samebits + global column indices leave the devices (row-sharded).
     The word axis must be unsharded (selection needs whole samebits).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..dist.knn_jax import _knn_scan_block
 
@@ -145,7 +145,7 @@ def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
     (nk, nbp, W2) column stack replicates; each device keeps a running
     top-k by core distance over streamed column tiles. Returns
     (core, acc, idx) each (na, knn), row-sharded."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..dist.knn_jax import _knn_scan_block_ca
 
@@ -415,7 +415,7 @@ def sharded_dist_step(a, b, s64: int, mesh: Mesh, k: float, ani: bool):
     run compiles: row-sharded A, word-sharded contraction with psum, and a
     replicated query block."""
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     words = mesh.shape["words"]
 
