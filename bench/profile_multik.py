@@ -12,7 +12,11 @@ Run on the real chip: `python bench/profile_multik.py`.
 """
 
 import functools
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

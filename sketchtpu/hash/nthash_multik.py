@@ -138,7 +138,9 @@ def multik_hash_bin_kernel(
     sflags = jnp.zeros(n0, dtype=_I32).at[starts].add(1, mode="drop")
     gidx = jnp.cumsum(sflags, dtype=_I32)[:m] - 1
 
-    # per-element thresholds (one-hot select over the small genome table)
+    # per-element thresholds (one-hot select over the small genome table;
+    # measured 36 ms at 16M x 96 rows on the v5e — cheaper than a gather,
+    # which the TPU runs at ~5x that, and than a prefix-xor scan)
     tl = jnp.zeros(m, dtype=_U32)
     th = jnp.zeros(m, dtype=_U32)
     for g in range(out_rows):
@@ -279,9 +281,15 @@ def group_thresholds(
     return t_lo, t_hi, eligible, max_density
 
 
-def pick_block_geometry(max_density: float, blk: int = 8192) -> tuple[int, int]:
+def pick_block_geometry(max_density: float, blk: int = 1024) -> tuple[int, int]:
     """(blk, w): compaction slots sized for Poisson(lambda = density * blk)
-    with a ~6-sigma margin, bucketed to limit recompilation."""
+    with a ~6-sigma margin, bucketed to limit recompilation.
+
+    The compaction reduce costs O(stream * w) per k (the (B, blk, w)
+    one-hot hit tensor), so small blocks keep w near the 128-lane floor:
+    at the 0.125 density cap, blk=1024 needs w=256 where blk=8192 needed
+    w=1024+ — measured ~1.5x end-to-end on 250 kb genomes, identical
+    results (any overflow still falls back to the exact kernel)."""
     lam = max_density * blk
     need = int(lam + 6.0 * np.sqrt(lam + 1.0) + 8.0)
     for w in (32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024):

@@ -1,0 +1,123 @@
+"""Randomized distance-driver fuzz at the CLI level: on random genome
+sets / sketch sizes / k sets, the distance surfaces must agree with each
+other the way the reference guarantees (tests/distance.rs:388-687):
+
+- kNN rows = the knn smallest entries of the dense self matrix,
+- cross(db, db) off-diagonal = dense self, diagonal = 0,
+- --subset output = the corresponding rows of the full dense output,
+- completeness correction = the documented per-pair formula applied to
+  the uncorrected Jaccard (jaccard.rs:36-57), cutoff semantics included.
+"""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from sketchtpu.cli import main
+
+
+def run(*argv):
+    assert main(list(argv)) == 0
+
+
+def _write_fasta(path, rng, length):
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with gzip.open(path, "wb") as f:
+        f.write(b">r0\n")
+        f.write(alphabet[rng.integers(0, 4, length)].tobytes() + b"\n")
+
+
+def _parse_pairs(path):
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            out[(parts[0], parts[1])] = tuple(float(x) for x in parts[2:])
+    return out
+
+
+@pytest.fixture()
+def wd(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SKETCHTPU_BACKEND", "host")
+    return tmp_path
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dist_surfaces_consistent(wd, seed):
+    rng = np.random.default_rng(2000 + seed)
+    ngen = int(rng.integers(5, 10))
+    genomes = []
+    for i in range(ngen):
+        name = f"g{i}.fa.gz"
+        _write_fasta(wd / name, rng, int(rng.integers(1500, 5000)))
+        genomes.append(name)
+
+    s = int(rng.choice([64, 156, 288]))
+    single_k = int(rng.choice([15, 17, 21]))
+    run("sketch", "--k-vals", str(single_k), "-s", str(s), *genomes, "-o",
+        "db", "--quiet")
+
+    run("dist", "db", "-k", str(single_k), "-o", "dense.txt", "--quiet")
+    dense = _parse_pairs(wd / "dense.txt")
+    assert len(dense) == ngen * (ngen - 1) // 2
+
+    # kNN distances per row match the dense row's smallest knn
+    knn = int(rng.integers(1, ngen - 1))
+    run("dist", "db", "-k", str(single_k), "--knn", str(knn), "-o",
+        "knn.txt", "--quiet")
+    knn_rows = {}
+    for (a, b), v in _parse_pairs(wd / "knn.txt").items():
+        knn_rows.setdefault(a, []).append(v[0])
+    names = [g for g in genomes]
+    for nm in names:
+        row = sorted(
+            v[0] for (a, b), v in dense.items() if nm in (a, b)
+        )[:knn]
+        got = sorted(knn_rows.get(nm, []))
+        assert np.allclose(got, row, atol=1e-6), (nm, got, row)
+
+    # cross(db, db): off-diagonal equals dense (symmetric), diagonal = 0
+    run("dist", "db", "db", "-k", str(single_k), "-o", "cross.txt", "--quiet")
+    cross = _parse_pairs(wd / "cross.txt")
+    assert len(cross) == ngen * ngen
+    for (a, b), v in cross.items():
+        if a == b:
+            assert v[0] == 0.0
+        else:
+            want = dense.get((a, b), dense.get((b, a)))
+            assert np.isclose(v[0], want[0], atol=1e-6)
+
+    # subset = the matching rows of the dense output
+    sub_n = int(rng.integers(2, ngen))
+    subset = sorted(rng.choice(genomes, size=sub_n, replace=False).tolist())
+    with open("subset.txt", "w") as f:
+        for nm in subset:
+            f.write(nm + "\n")
+    run("dist", "db", "-k", str(single_k), "--subset", "subset.txt", "-o",
+        "sub.txt", "--quiet")
+    sub = _parse_pairs(wd / "sub.txt")
+    assert len(sub) == sub_n * (sub_n - 1) // 2
+    for (a, b), v in sub.items():
+        want = dense.get((a, b), dense.get((b, a)))
+        assert np.isclose(v[0], want[0], atol=1e-6)
+
+    # completeness correction: J' = min(J / (c1*c2/(c1+c2-c1*c2)), 1) when
+    # c1*c2 >= cutoff, else J unchanged (jaccard.rs:36-57)
+    comp = {g: float(rng.uniform(0.5, 1.0)) for g in genomes}
+    with open("comp.txt", "w") as f:
+        for g, c in comp.items():
+            f.write(f"{g}\t{c}\n")
+    cutoff = float(rng.choice([0.0, 0.64, 0.9]))
+    run("dist", "db", "-k", str(single_k), "--ref-completeness-file",
+        "comp.txt", "--completeness-cutoff", str(cutoff), "-o", "corr.txt",
+        "--quiet")
+    corr = _parse_pairs(wd / "corr.txt")
+    for (a, b), v in corr.items():
+        j = 1.0 - dense.get((a, b), dense.get((b, a)))[0]
+        c1, c2 = comp[a], comp[b]
+        if c1 * c2 >= cutoff:
+            j = min(j / (c1 * c2 / (c1 + c2 - c1 * c2)), 1.0)
+        want = np.float32(1.0 - j)
+        assert np.isclose(v[0], want, atol=1e-6), ((a, b), v[0], want)
