@@ -154,9 +154,17 @@ def densify(signs: np.ndarray) -> bool:
     (src/sketch/mod.rs:237-258): bins are filled in index order and probes
     may read earlier, already-densified entries. Returns whether any bin was
     densified.
+
+    Divergence: when EVERY bin is empty (possible when the FASTQ count
+    filter rejects all k-mers) the reference's probe loop never terminates
+    (mod.rs:250-253 spins — its "K-mer larger than smallest valid sequence"
+    panic only guards the zero-hashes case, nthash_iterator.rs:56). We
+    raise that same error instead of hanging; the device backends do too.
     """
     if signs.size == 0 or int(signs.max()) != int(_FULL):
         return False
+    if int(signs.min()) == int(_FULL):
+        raise ValueError("K-mer larger than smallest valid sequence")
     n = signs.shape[0]
     for i in range(n):
         j = i

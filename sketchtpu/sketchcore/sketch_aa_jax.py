@@ -56,9 +56,17 @@ class DeviceAaSketchBackend:
         import jax
 
         out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
-        for start, end in self._groups(streams):
+
+        # Same dispatch discipline as the DNA backend: issue a window of
+        # groups (round-robin over local devices — sketching is per-sample
+        # independent) before collecting any result, overlapping host mask
+        # packing with device compute.
+        devices = jax.local_devices()
+        window = max(8, 2 * len(devices))
+        in_flight: list[tuple] = []
+
+        def dispatch(start: int, end: int, dev):
             group = streams[start:end]
-            g = len(group)
             total = sum(s.seq_len for s in group)
             n_pad = _bucket_size(total + MAX_K)
             codes = np.zeros(n_pad, dtype=np.uint8)
@@ -68,8 +76,9 @@ class DeviceAaSketchBackend:
                 codes[pos : pos + s.seq_len] = AA_COMPACT[s.seq]
                 starts[i] = pos
                 pos += s.seq_len
-            codes_d = jax.device_put(codes)
+            codes_d = jax.device_put(codes, dev)
 
+            results = {}
             for kk in kmers:
                 # emission mask: exact host oracle per sample, concatenated
                 vflags = np.zeros(n_pad, dtype=np.uint8)
@@ -79,7 +88,7 @@ class DeviceAaSketchBackend:
                     vflags[p : p + wv.shape[0]] = wv
                     p += s.seq_len
                 validbits = np.packbits(vflags, bitorder="little")
-                min_hi, min_lo, found = aa_hash_bin_kernel(
+                results[kk] = aa_hash_bin_kernel(
                     codes_d,
                     validbits,
                     starts,
@@ -89,10 +98,23 @@ class DeviceAaSketchBackend:
                     magic=self._magic(nbins),
                     out_rows=_MAX_GROUP,
                 )
+            return start, end, results
+
+        def collect(item):
+            start, end, results = item
+            g = end - start
+            for kk, (min_hi, min_lo, found) in results.items():
                 mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:g]
                 ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:g]
                 fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:g]
                 out[kk][start:end] = combine_bin_minima(mh, ml, fd)
+
+        for gi, (start, end) in enumerate(self._groups(streams)):
+            if len(in_flight) >= window:
+                collect(in_flight.pop(0))
+            in_flight.append(dispatch(start, end, devices[gi % len(devices)]))
+        for item in in_flight:
+            collect(item)
         return out
 
     def sketch_aa_streams(

@@ -115,21 +115,6 @@ class DeviceSketchBackend:
             yield start, end, is_fast
             start = end
 
-    def bin_minima_batch(
-        self,
-        streams: list[DnaStream],
-        k: int,
-        rc: bool,
-        nbins: int,
-    ) -> np.ndarray:
-        """Per-bin minima for a batch of streams at one k: (G, nbins) u64."""
-        out = np.empty((len(streams), nbins), dtype=np.uint64)
-        for start, end in self._groups(streams):
-            out[start:end] = self._bin_minima_group(
-                streams[start:end], k, rc, nbins
-            )
-        return out
-
     def bin_minima_multi_k(
         self,
         streams: list[DnaStream],
@@ -155,10 +140,17 @@ class DeviceSketchBackend:
         # compute, and amortises the dispatch round-trip (which dwarfs the
         # per-group kernel time on a remote-tunneled chip). The window
         # bounds device memory to a few packed streams.
-        window = 8
+        #
+        # Sketching is per-sample independent, so on a multi-chip host the
+        # groups round-robin over the local devices (the data-parallel
+        # axis); each group's kernels run on the device holding its packed
+        # stream. The reference's analogue is the rayon par_iter over
+        # samples (sketch/mod.rs:318-391).
+        devices = jax.local_devices()
+        window = max(8, 2 * len(devices))
         in_flight: list[tuple] = []
 
-        def dispatch(start: int, end: int, is_fast: bool):
+        def dispatch(start: int, end: int, is_fast: bool, dev):
             group = streams[start:end]
             g = len(group)
             rows = _MAX_GROUP_FAST if is_fast else _MAX_GROUP
@@ -166,8 +158,8 @@ class DeviceSketchBackend:
             packed, breakbits, starts, total = self._prepare_group(
                 group, min(kmers)
             )
-            packed_d = jax.device_put(packed)
-            breakbits_d = jax.device_put(breakbits)
+            packed_d = jax.device_put(packed, dev)
+            breakbits_d = jax.device_put(breakbits, dev)
             starts_pad = np.full(rows, total, dtype=np.int32)
             starts_pad[:g] = starts
             fast = exact = None
@@ -215,10 +207,14 @@ class DeviceSketchBackend:
                 fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:g]
                 out[kk][start:end] = combine_bin_minima(mh, ml, fd)
 
-        for start, end, is_fast in self._groups_mixed(streams, kmers, nbins):
+        for gi, (start, end, is_fast) in enumerate(
+            self._groups_mixed(streams, kmers, nbins)
+        ):
             if len(in_flight) >= window:
                 collect(in_flight.pop(0))
-            in_flight.append(dispatch(start, end, is_fast))
+            in_flight.append(
+                dispatch(start, end, is_fast, devices[gi % len(devices)])
+            )
         for item in in_flight:
             collect(item)
         return out
@@ -381,34 +377,8 @@ class DeviceSketchBackend:
         packed[:] = (c[:, 0] << 6) | (c[:, 1] << 4) | (c[:, 2] << 2) | c[:, 3]
         return packed, breakbits, np.array(starts, dtype=np.int32), total
 
-    def _bin_minima_group(self, streams, k, rc, nbins) -> np.ndarray:
-        g = len(streams)
-        packed, breakbits, starts, total = self._prepare_group(streams, k)
-        out_rows = _MAX_GROUP
-        starts_pad = np.full(out_rows, total, dtype=np.int32)
-        starts_pad[:g] = starts
-        taps_fwd, taps_rev = tap_tables_u32(k, rc)
-        min_hi, min_lo, found = hash_bin_kernel(
-            packed,
-            breakbits,
-            starts_pad,
-            np.int32(total),
-            np.int32(k),
-            taps_fwd,
-            taps_rev,
-            rc=rc,
-            num_bins=nbins,
-            magic=self._magic(nbins),
-            out_rows=out_rows,
-        )
-        min_hi = np.asarray(min_hi).reshape(out_rows, nbins)[:g]
-        min_lo = np.asarray(min_lo).reshape(out_rows, nbins)[:g]
-        found = np.asarray(found).reshape(out_rows, nbins)[:g]
-        return combine_bin_minima(min_hi, min_lo, found)
-
-    def signs_in_order(self, stream: DnaStream, k: int, rc: bool) -> np.ndarray:
-        """Valid-window signs in sequence order (for the order-dependent
-        FASTQ count-filter, which must run sequentially on the host)."""
+    def _dispatch_signs(self, stream: DnaStream, k: int, rc: bool, dev=None):
+        """Issue the in-order hash kernel for one stream (async)."""
         n = stream.seq_len
         n_pad = _bucket_size(n + MAX_K)
         codes = np.zeros(n_pad, dtype=np.uint8)
@@ -417,12 +387,26 @@ class DeviceSketchBackend:
         c = codes.reshape(-1, 4)
         packed[:] = (c[:, 0] << 6) | (c[:, 1] << 4) | (c[:, 2] << 2) | c[:, 3]
         taps_fwd, taps_rev = tap_tables_u32(k, rc)
-        lo, hi = hash_signs_kernel(packed, np.int32(k), taps_fwd, taps_rev, rc=rc)
+        if dev is not None:
+            import jax
+
+            packed = jax.device_put(packed, dev)
+        return hash_signs_kernel(packed, np.int32(k), taps_fwd, taps_rev, rc=rc)
+
+    @staticmethod
+    def _collect_signs(handle, stream: DnaStream, k: int) -> np.ndarray:
+        lo, hi = handle
+        n = stream.seq_len
         lo = np.asarray(lo)[: n - k + 1].astype(np.uint64)
         hi = np.asarray(hi)[: n - k + 1].astype(np.uint64)
         signs = (hi << np.uint64(32)) | lo
         mask = valid_window_mask(n, stream.breaks, k)
         return signs[mask]
+
+    def signs_in_order(self, stream: DnaStream, k: int, rc: bool) -> np.ndarray:
+        """Valid-window signs in sequence order (for the order-dependent
+        FASTQ count-filter, which must run sequentially on the host)."""
+        return self._collect_signs(self._dispatch_signs(stream, k, rc), stream, k)
 
     def sketch_dna_streams(
         self,
@@ -446,10 +430,36 @@ class DeviceSketchBackend:
             for kk in kmers:
                 for bi, i in enumerate(assembly_idx):
                     bins_per_k[kk][i] = multi[kk][bi]
-        for kk in kmers:
-            for i in read_idx:
-                signs = self.signs_in_order(streams[i], kk, rc)
-                bins_per_k[kk][i] = bin_minima_filtered(signs, nbins, min_count)
+        if read_idx:
+            # The count filter itself is order-dependent *within* one
+            # (stream, k) sign sequence but independent across pairs, so
+            # hash kernels dispatch ahead (round-robin over chips) while
+            # the host filters collected ones.
+            import jax
+
+            devices = jax.local_devices()
+            window = max(4, 2 * len(devices))
+            pending: list[tuple] = []
+
+            def collect_one():
+                kk0, i0, h = pending.pop(0)
+                signs = self._collect_signs(h, streams[i0], kk0)
+                bins_per_k[kk0][i0] = bin_minima_filtered(
+                    signs, nbins, min_count
+                )
+
+            order = [(kk, i) for kk in kmers for i in read_idx]
+            for j, (kk, i) in enumerate(order):
+                if len(pending) >= window:
+                    collect_one()
+                pending.append(
+                    (kk, i,
+                     self._dispatch_signs(
+                         streams[i], kk, rc, devices[j % len(devices)]
+                     ))
+                )
+            while pending:
+                collect_one()
 
         out = []
         for i, (stream, name) in enumerate(zip(streams, names)):

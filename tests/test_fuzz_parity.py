@@ -61,6 +61,54 @@ def test_random_config_bit_exact(seed):
 
 
 @pytest.mark.parametrize("seed", range(3))
+def test_random_reads_config_bit_exact(seed):
+    """Reads (FASTQ) streams route through the order-dependent count
+    filter: in-order device hashing + host filtering, with the hash
+    kernels for all (stream, k) pairs dispatched ahead round-robin over
+    the local devices. Mixed with assembly streams to exercise both
+    paths in one batch."""
+    rng = np.random.default_rng(300 + seed)
+    streams = []
+    for n in rng.integers(200, 40_000, size=rng.integers(2, 6)):
+        s = _stream(rng, int(n))
+        s.reads = bool(rng.integers(0, 2))
+        streams.append(s)
+    if not any(s.reads for s in streams):
+        streams[0].reads = True
+    names = [f"r{i}" for i in range(len(streams))]
+    kmers = sorted(
+        rng.choice(np.arange(5, 28), size=rng.integers(1, 4), replace=False)
+        .tolist()
+    )
+    rc = bool(rng.integers(0, 2))
+    sketch_size = int(rng.choice([64, 100]))
+    min_count = int(rng.integers(1, 4))
+
+    # Random reads + min_count can legitimately filter away every k-mer
+    # (all bins empty). The reference's densify would hang on that input
+    # (mod.rs:250-253); both our paths must raise the same clean error.
+    try:
+        host = [
+            sketch_dna_sample(s, n, kmers, sketch_size, rc, min_count)
+            for s, n in zip(streams, names)
+        ]
+    except ValueError as e:
+        assert "K-mer larger than smallest valid sequence" in str(e)
+        with pytest.raises(ValueError, match="K-mer larger"):
+            DeviceSketchBackend().sketch_dna_streams(
+                streams, names, kmers, sketch_size, rc, min_count
+            )
+        return
+    dev = DeviceSketchBackend().sketch_dna_streams(
+        streams, names, kmers, sketch_size, rc, min_count
+    )
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs), (seed, h.name)
+        assert h.seq_length == d.seq_length
+        assert h.reads == d.reads
+
+
+@pytest.mark.parametrize("seed", range(3))
 def test_random_aa_config_bit_exact(seed):
     from sketchtpu.constants import SEQSEP
     from sketchtpu.ingest.fastx import AaStream
