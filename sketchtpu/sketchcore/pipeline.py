@@ -76,27 +76,47 @@ def sketch_files(
     with SketchDataWriter(f"{output_prefix}.skd") as writer:
         if backend is not None and seq_type.kind == "dna":
             # Device-batched path: parse on host threads, hash/bin on TPU.
-            with ThreadPoolExecutor(max_workers=max(threads, 1)) as pool:
-                streams = list(
-                    pool.map(lambda nf: read_dna_sample(nf[1], min_qual), input_files)
-                )
-            for (name, _files), stream in zip(input_files, streams):
-                if stream.seq_len == 0:
-                    raise ValueError(f"{name} has no valid sequence")
-            batch = backend.sketch_dna_streams(
-                streams,
-                [name for name, _ in input_files],
-                kmers,
-                sketch_bins,
-                rc,
-                min_count,
-            )
-            for sketch in batch:
-                sketch.index = writer.write_sketch(sketch.usigs)
-                sketch.usigs = None
-                sketches.append(sketch)
-                if progress is not None:
-                    progress()
+            # Inputs are processed in chunks with one chunk of parse-ahead,
+            # so host memory stays bounded (~2 chunks of decoded streams)
+            # and parsing chunk i+1 overlaps device compute on chunk i —
+            # the streaming analogue of the reference's rayon producers
+            # feeding a serial writer (sketch/mod.rs:318-391).
+            chunks = _chunk_inputs(input_files)
+            with ThreadPoolExecutor(max_workers=max(threads, 1)) as io_pool:
+                with ThreadPoolExecutor(max_workers=1) as ahead:
+
+                    def parse_chunk(chunk):
+                        return list(
+                            io_pool.map(
+                                lambda nf: read_dna_sample(nf[1], min_qual), chunk
+                            )
+                        )
+
+                    fut = ahead.submit(parse_chunk, chunks[0]) if chunks else None
+                    for ci, chunk in enumerate(chunks):
+                        streams = fut.result()
+                        fut = (
+                            ahead.submit(parse_chunk, chunks[ci + 1])
+                            if ci + 1 < len(chunks)
+                            else None
+                        )
+                        for (name, _files), stream in zip(chunk, streams):
+                            if stream.seq_len == 0:
+                                raise ValueError(f"{name} has no valid sequence")
+                        batch = backend.sketch_dna_streams(
+                            streams,
+                            [name for name, _ in chunk],
+                            kmers,
+                            sketch_bins,
+                            rc,
+                            min_count,
+                        )
+                        for sketch in batch:
+                            sketch.index = writer.write_sketch(sketch.usigs)
+                            sketch.usigs = None
+                            sketches.append(sketch)
+                            if progress is not None:
+                                progress()
             return sketches
 
         if backend is not None and seq_type.kind in ("aa", "pdb"):
@@ -143,6 +163,44 @@ def sketch_files(
                 if progress is not None:
                     progress()
     return sketches
+
+
+# Device-path chunking: bounds on samples and on-disk bytes per chunk.
+# Big enough that device groups (<=96 samples / 16M bases) never straddle
+# a chunk boundary in a way that matters; small enough that two chunks of
+# decoded streams fit comfortably in host RAM.
+_CHUNK_SAMPLES = 512
+_CHUNK_FILE_BYTES = 1 << 30
+
+
+def _chunk_inputs(
+    input_files: list[tuple[str, list[str]]],
+) -> list[list[tuple[str, list[str]]]]:
+    """Split the input list into parse chunks by sample count and summed
+    (compressed, on-disk) file size."""
+    import os
+
+    chunks: list[list[tuple[str, list[str]]]] = []
+    cur: list[tuple[str, list[str]]] = []
+    cur_bytes = 0
+    for nf in input_files:
+        size = 0
+        for f in nf[1]:
+            try:
+                size += os.path.getsize(f)
+            except OSError:
+                pass
+        if cur and (
+            len(cur) >= _CHUNK_SAMPLES or cur_bytes + size > _CHUNK_FILE_BYTES
+        ):
+            chunks.append(cur)
+            cur = []
+            cur_bytes = 0
+        cur.append(nf)
+        cur_bytes += size
+    if cur:
+        chunks.append(cur)
+    return chunks
 
 
 def _pdb_streams(name: str, files: list[str], convert_pdb: bool):

@@ -55,3 +55,37 @@ def test_metadata_matches_reference_skm(streams, ref_in_module):
         assert sk.reads == ref_meta.reads
         assert sk.densified == ref_meta.densified
         assert sk.rc == ref_meta.rc
+
+
+def test_chunked_pipeline_bit_exact(ref_in_module, tmp_path, monkeypatch):
+    """The device pipeline's chunked parse-ahead (pipeline._chunk_inputs)
+    must write the same .skd/metadata as a single chunk."""
+    from sketchtpu.sketchcore import pipeline
+    from sketchtpu.sketchcore.pipeline import sketch_files
+    from sketchtpu.sketchcore.sketch import HashType
+    from sketchtpu.sketchcore.sketch_jax import DeviceSketchBackend
+
+    inputs = [(g, [str(ref_in_module / g)]) for g in GENOMES]
+    backend = DeviceSketchBackend()
+
+    def run(prefix):
+        return sketch_files(
+            str(tmp_path / prefix),
+            inputs,
+            concat_fasta=False,
+            kmers=[17],
+            sketch_bins=128,
+            seq_type=HashType("dna"),
+            rc=True,
+            min_count=0,
+            min_qual=0,
+            backend=backend,
+        )
+
+    one = run("one")
+    monkeypatch.setattr(pipeline, "_CHUNK_SAMPLES", 1)
+    many = run("many")
+    assert (tmp_path / "one.skd").read_bytes() == (tmp_path / "many.skd").read_bytes()
+    assert [s.name for s in one] == [s.name for s in many]
+    assert [s.index for s in one] == [s.index for s in many]
+    assert [s.seq_length for s in one] == [s.seq_length for s in many]
