@@ -41,6 +41,11 @@ _MAX_GROUP_FAST = 96
 # 64M-element program compiled minutes and ran at ~1/4 the 16M efficiency),
 # so big groups only help workloads of many sub-2M genomes.
 _BATCH_BASES_FAST = 1 << 24
+# A single stream above this routes to the host oracle instead of forming
+# a one-off giant device program (compile time and efficiency degrade
+# superlinearly past ~64M elements; the reference streams per-base and has
+# no such cliff). Covers any bacterial/archaeal genome with huge margin.
+_MAX_DEVICE_BASES = 3 << 24
 
 
 def _bucket_size(n: int) -> int:
@@ -419,6 +424,37 @@ class DeviceSketchBackend:
     ) -> list[Sketch]:
         _s64, nbins, _u = num_bins_fn(sketch_size)
         g = len(streams)
+
+        # Oversized streams (beyond the batch bucket budget) take the host
+        # oracle — same results, no giant one-off compile.
+        huge_idx = [
+            i for i, s in enumerate(streams) if s.seq_len > _MAX_DEVICE_BASES
+        ]
+        if huge_idx:
+            from .sketch import sketch_dna_sample
+
+            huge = set(huge_idx)
+            host_sketches = {
+                i: sketch_dna_sample(
+                    streams[i], names[i], kmers, sketch_size, rc, min_count
+                )
+                for i in huge_idx
+            }
+            rest_idx = [i for i in range(g) if i not in huge]
+            rest = self.sketch_dna_streams(
+                [streams[i] for i in rest_idx],
+                [names[i] for i in rest_idx],
+                kmers,
+                sketch_size,
+                rc,
+                min_count,
+            )
+            merged: list[Sketch] = []
+            it = iter(rest)
+            for i in range(g):
+                merged.append(host_sketches[i] if i in huge else next(it))
+            return merged
+
         assembly_idx = [i for i, s in enumerate(streams) if not s.reads]
         read_idx = [i for i, s in enumerate(streams) if s.reads]
 

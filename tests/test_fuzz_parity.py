@@ -180,3 +180,29 @@ def test_random_inverted_engine_parity(seed):
     eq_any = (mat[:, None, :] == mat[None, :, :]).any(axis=2)
     want_pairs = int(np.triu(eq_any, 1).sum())
     assert eng.any_shared_bin_count() == want_pairs
+
+
+def test_oversized_stream_host_fallback(monkeypatch):
+    """Streams past _MAX_DEVICE_BASES route to the host oracle inside the
+    device backend (no giant one-off compile), interleaved with device
+    groups, preserving order and bit-exactness."""
+    from sketchtpu.sketchcore import sketch_jax
+
+    monkeypatch.setattr(sketch_jax, "_MAX_DEVICE_BASES", 50_000)
+    rng = np.random.default_rng(7)
+    sizes = [20_000, 120_000, 8_000, 90_000]
+    streams = [_stream(rng, n) for n in sizes]
+    names = [f"g{i}" for i in range(len(streams))]
+    kmers = [15, 19]
+
+    host = [
+        sketch_dna_sample(s, n, kmers, 100, True, 0)
+        for s, n in zip(streams, names)
+    ]
+    dev = DeviceSketchBackend().sketch_dna_streams(
+        streams, names, kmers, 100, True, 0
+    )
+    assert [d.name for d in dev] == names
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs), h.name
+        assert h.seq_length == d.seq_length
