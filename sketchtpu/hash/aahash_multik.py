@@ -1,0 +1,169 @@
+"""Fast multi-k device sketching kernel for amino acids / 3Di.
+
+The aaHash analogue of nthash_multik.py, sharing one pass over the
+stream across every requested k-mer length:
+
+1. **Incremental hashing over k.** aaHash's forward recurrence in k is
+   fh_k(p) = srol(fh_{k-1}(p)) ^ SEED_level[seq[p+k-1]] (unrolling
+   /root/reference/src/hashing/aahash_iterator.rs:138-210 in k instead of
+   p) — simpler than the DNA case since aaHash has no reverse strand.
+2. **Residual prefilter + blockwise compaction + one candidate sort**,
+   identical in structure to multik_hash_bin_kernel (see nthash_multik.py
+   for the derivation and why each step is exact).
+
+Window validity is decided on the host with the exact oracle
+(aahash_np.aa_window_valid, including the reference's final-window
+quirk) and shipped as one bit per (k, position) — nk masks of n/8 bytes,
+negligible next to the code stream.
+
+Bit-identical to the per-k aa_hash_bin_kernel whenever no fallback is
+reported — asserted by tests/test_aa_device.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .aahash_jax import _tap_select32_dyn
+from .nthash_jax import MAX_K, _mod_mersenne61, _mul_shift, _unpack_bits
+from .nthash_multik import _srol1_pair, _sub_pair
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kmers", "num_bins", "magic", "out_rows", "blk", "w"),
+)
+def multik_aa_hash_bin_kernel(
+    codes: jnp.ndarray,  # (N,) uint8 compact 5-bit aa codes, padded
+    validbits_all: jnp.ndarray,  # (nk, N/8) uint8 per-k emission masks
+    starts: jnp.ndarray,  # (out_rows,) int32 sample start offsets
+    t_lo: jnp.ndarray,  # (out_rows,) u32 per-sample threshold low word
+    t_hi: jnp.ndarray,  # (out_rows,) u32 threshold high word
+    seed_row: jnp.ndarray,  # (32, 2) u32 base seed table for the level
+    kmers: tuple[int, ...],  # ascending k-mer lengths (static)
+    num_bins: int,
+    magic: tuple[int, int],
+    out_rows: int,
+    blk: int,
+    w: int,
+):
+    """Returns (min_hi, min_lo, found) each (nk, out_rows * num_bins) plus
+    `overflow` () int32, with the same fallback contract as the DNA
+    multik kernel (overflow > w or missing bin -> exact re-run)."""
+    kmax = kmers[-1]
+    c = codes.astype(_I32)
+    n0 = c.shape[0]
+    m = n0 - MAX_K
+    mm, ss = magic
+
+    sflags = jnp.zeros(n0, dtype=_I32).at[starts].add(1, mode="drop")
+    gidx = jnp.cumsum(sflags, dtype=_I32)[:m] - 1
+
+    # per-element thresholds (one-hot select; see nthash_multik)
+    tl = jnp.zeros(m, dtype=_U32)
+    th = jnp.zeros(m, dtype=_U32)
+    for g in range(out_rows):
+        sel = gidx == g
+        tl = jnp.where(sel, t_lo[g], tl)
+        th = jnp.where(sel, t_hi[g], th)
+
+    nb_blocks = n0 // blk
+    assert nb_blocks * blk == n0, (n0, blk)
+    n_slots = nb_blocks * w
+    pad_tail = n0 - m
+
+    f_lo = jnp.zeros(m, dtype=_U32)
+    f_hi = jnp.zeros(m, dtype=_U32)
+
+    cand_k0 = []
+    cand_hi = []
+    cand_lo = []
+    overflow = jnp.int32(0)
+
+    for step in range(1, kmax + 1):
+        # extend every window by one residue: seq[p + step - 1]
+        cj = jax.lax.slice(c, (step - 1,), (step - 1 + m,))
+        f_lo, f_hi = _srol1_pair(f_lo, f_hi)
+        sl, sh = _tap_select32_dyn(cj, seed_row)
+        f_lo = f_lo ^ sl
+        f_hi = f_hi ^ sh
+        if step not in kmers:
+            continue
+        k_idx = kmers.index(step)
+        h_lo, h_hi = _mod_mersenne61(f_lo, f_hi)
+
+        ok = _unpack_bits(validbits_all[k_idx])[:m] == 1
+
+        # residual prefilter: keep iff sign < T or bin(sign) != bin(sign-T)
+        bin_idx = _mul_shift(h_lo, h_hi, mm, ss)
+        d_lo, d_hi, under = _sub_pair(h_lo, h_hi, tl, th)
+        bin_shift = _mul_shift(
+            jnp.where(under, _U32(0), d_lo),
+            jnp.where(under, _U32(0), d_hi),
+            mm,
+            ss,
+        )
+        keep = ok & (under | (bin_idx != bin_shift))
+
+        # blockwise monotone compaction (nthash_multik idea 3)
+        kb = jnp.pad(keep, (0, pad_tail)).reshape(nb_blocks, blk)
+        key0 = jnp.pad((_I32(k_idx) << 8) | gidx, (0, pad_tail)).reshape(
+            nb_blocks, blk
+        )
+        e_hi = jnp.pad(h_hi, (0, pad_tail)).reshape(nb_blocks, blk)
+        e_lo = jnp.pad(h_lo, (0, pad_tail)).reshape(nb_blocks, blk)
+        kpos = jnp.cumsum(kb.astype(_I32), axis=1) - kb.astype(_I32)
+        overflow = jnp.maximum(overflow, jnp.max(kpos[:, -1] + kb[:, -1]))
+        slot = jax.lax.broadcasted_iota(_I32, (1, 1, w), 2)
+        hit = kb[:, :, None] & (kpos[:, :, None] == slot)
+        c_k0 = jnp.max(jnp.where(hit, key0[:, :, None], -1), axis=1)
+        c_hi = jnp.max(jnp.where(hit, e_hi[:, :, None], _U32(0)), axis=1)
+        c_lo = jnp.max(jnp.where(hit, e_lo[:, :, None], _U32(0)), axis=1)
+        c_k0 = jnp.where(c_k0 < 0, _I32(len(kmers)) << 8, c_k0)
+        cand_k0.append(c_k0.reshape(n_slots))
+        cand_hi.append(c_hi.reshape(n_slots))
+        cand_lo.append(c_lo.reshape(n_slots))
+
+    all_k0 = jnp.concatenate(cand_k0)
+    all_hi = jnp.concatenate(cand_hi)
+    all_lo = jnp.concatenate(cand_lo)
+    s_k0, s_hi, s_lo = jax.lax.sort((all_k0, all_hi, all_lo), num_keys=3)
+
+    s_bins = s_k0 * num_bins + _mul_shift(s_lo, s_hi, mm, ss)
+    n_cand = s_bins.shape[0]
+    targets = (
+        (jnp.arange(len(kmers), dtype=_I32)[:, None, None] << 8)
+        + jnp.arange(out_rows, dtype=_I32)[None, :, None]
+    ) * num_bins + jnp.arange(num_bins, dtype=_I32)[None, None, :]
+    targets = targets.reshape(-1)
+    idx = jnp.searchsorted(s_bins, targets)
+    idx_c = jnp.clip(idx, 0, n_cand - 1)
+    found = s_bins[idx_c] == targets
+    out_hi = s_hi[idx_c].reshape(len(kmers), out_rows * num_bins)
+    out_lo = s_lo[idx_c].reshape(len(kmers), out_rows * num_bins)
+    found = found.reshape(len(kmers), out_rows * num_bins)
+    return out_hi, out_lo, found, overflow
+
+
+def aa_seed_row_u32(level: int) -> np.ndarray:
+    """Base (un-rotated) seed table for one reduced-alphabet level as a
+    (32, 2) u32 [lo, hi] compact-code table — the j = k-1 tap."""
+    from ..constants import aa_tap_table
+
+    from .aahash_jax import AA_LETTERS
+
+    tab = aa_tap_table(1, level)  # (1, 256) u64: srol^0(SEED)
+    cols = np.frombuffer(AA_LETTERS, dtype=np.uint8)
+    vals = tab[0, cols]  # (20,) u64
+    out = np.zeros((32, 2), dtype=np.uint32)
+    out[:20, 0] = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out[:20, 1] = (vals >> np.uint64(32)).astype(np.uint32)
+    return out

@@ -20,7 +20,12 @@ from ..hash.aahash_np import aa_window_valid
 from ..hash.nthash_jax import MAX_K, combine_bin_minima
 from ..ingest.fastx import AaStream
 from .sketch import Sketch
-from .sketch_jax import _MAX_GROUP, _bucket_size, DeviceSketchBackend
+from .sketch_jax import (
+    _MAX_GROUP,
+    _MAX_GROUP_FAST,
+    _bucket_size,
+    DeviceSketchBackend,
+)
 
 
 class DeviceAaSketchBackend:
@@ -30,20 +35,41 @@ class DeviceAaSketchBackend:
         enable_compilation_cache()
         self._magic = DeviceSketchBackend()._magic
 
-    def _groups(self, streams):
+    @staticmethod
+    def _fast_eligible(stream, kmers, nbins) -> bool:
+        """Multi-k prefilter eligibility (nthash_multik.group_thresholds
+        semantics): big-enough samples share one fused pass over all k."""
+        if len(kmers) < 2 or max(kmers) > MAX_K:
+            return False
+        from ..hash.nthash_multik import group_thresholds
+
+        n = stream.seq_len
+        return n > 0 and group_thresholds([n], nbins)[2]
+
+    def _groups(self, streams, kmers=(), nbins=0):
+        """Yield (start, end, is_fast): consecutive prefilter-eligible
+        streams in large fused-kernel groups, the rest in exact-size ones
+        (mirrors DeviceSketchBackend._groups_mixed)."""
         start = 0
+        n = len(streams)
         batch_limit = 1 << 24
-        while start < len(streams):
+        while start < n:
+            is_fast = self._fast_eligible(streams[start], kmers, nbins)
+            cap = _MAX_GROUP_FAST if is_fast else _MAX_GROUP
             end = start
             total = 0
             while (
-                end < len(streams)
-                and end - start < _MAX_GROUP
+                end < n
+                and end - start < cap
                 and (end == start or total + streams[end].seq_len <= batch_limit)
+                and (
+                    end == start
+                    or self._fast_eligible(streams[end], kmers, nbins) == is_fast
+                )
             ):
                 total += streams[end].seq_len
                 end += 1
-            yield start, end
+            yield start, end, is_fast
             start = end
 
     def bin_minima_multi_k(
@@ -65,43 +91,95 @@ class DeviceAaSketchBackend:
         window = max(8, 2 * len(devices))
         in_flight: list[tuple] = []
 
-        def dispatch(start: int, end: int, dev):
-            group = streams[start:end]
+        def prepare(group):
             total = sum(s.seq_len for s in group)
             n_pad = _bucket_size(total + MAX_K)
             codes = np.zeros(n_pad, dtype=np.uint8)
-            starts = np.full(_MAX_GROUP, total, dtype=np.int32)
+            starts = []
             pos = 0
-            for i, s in enumerate(group):
+            for s in group:
                 codes[pos : pos + s.seq_len] = AA_COMPACT[s.seq]
-                starts[i] = pos
+                starts.append(pos)
                 pos += s.seq_len
-            codes_d = jax.device_put(codes, dev)
+            return codes, np.array(starts, dtype=np.int32), total, n_pad
 
+        def masks(group, kk, n_pad):
+            # emission mask: exact host oracle per sample, concatenated
+            vflags = np.zeros(n_pad, dtype=np.uint8)
+            p = 0
+            for s in group:
+                wv = aa_window_valid(s.seq, kk)  # raises like the host
+                vflags[p : p + wv.shape[0]] = wv
+                p += s.seq_len
+            return np.packbits(vflags, bitorder="little")
+
+        def dispatch_exact(group, codes_d, starts, total, n_pad):
+            starts_pad = np.full(_MAX_GROUP, total, dtype=np.int32)
+            starts_pad[: starts.shape[0]] = starts
             results = {}
             for kk in kmers:
-                # emission mask: exact host oracle per sample, concatenated
-                vflags = np.zeros(n_pad, dtype=np.uint8)
-                p = 0
-                for s in group:
-                    wv = aa_window_valid(s.seq, kk)  # raises like the host
-                    vflags[p : p + wv.shape[0]] = wv
-                    p += s.seq_len
-                validbits = np.packbits(vflags, bitorder="little")
                 results[kk] = aa_hash_bin_kernel(
                     codes_d,
-                    validbits,
-                    starts,
+                    masks(group, kk, n_pad),
+                    starts_pad,
                     np.int32(kk),
                     aa_tap_tables_u32(kk, level),
                     num_bins=nbins,
                     magic=self._magic(nbins),
                     out_rows=_MAX_GROUP,
                 )
-            return start, end, results
+            return results
 
-        def collect(item):
-            start, end, results = item
+        def dispatch_fast(group, codes_d, starts, total, n_pad):
+            """Fused multi-k kernel (one pass over the stream for all k);
+            returns None when the group is ineligible."""
+            from ..hash.aahash_multik import (
+                aa_seed_row_u32,
+                multik_aa_hash_bin_kernel,
+            )
+            from ..hash.nthash_multik import (
+                group_thresholds,
+                pick_block_geometry,
+            )
+
+            lengths = [s.seq_len for s in group] + [10**12] * (
+                _MAX_GROUP_FAST - len(group)
+            )
+            t_lo, t_hi, eligible, max_density = group_thresholds(lengths, nbins)
+            if not eligible:
+                return None
+            blk, w = pick_block_geometry(max_density)
+            validbits_all = np.stack([masks(group, kk, n_pad) for kk in kmers])
+            starts_pad = np.full(_MAX_GROUP_FAST, total, dtype=np.int32)
+            starts_pad[: starts.shape[0]] = starts
+            o_hi, o_lo, found, overflow = multik_aa_hash_bin_kernel(
+                codes_d,
+                validbits_all,
+                starts_pad,
+                t_lo,
+                t_hi,
+                aa_seed_row_u32(level),
+                kmers=tuple(kmers),
+                num_bins=nbins,
+                magic=self._magic(nbins),
+                out_rows=_MAX_GROUP_FAST,
+                blk=blk,
+                w=w,
+            )
+            return (o_hi, o_lo, found, overflow, w)
+
+        def dispatch(start: int, end: int, is_fast: bool, dev):
+            group = streams[start:end]
+            codes, starts, total, n_pad = prepare(group)
+            codes_d = jax.device_put(codes, dev)
+            fast = exact = None
+            if is_fast:
+                fast = dispatch_fast(group, codes_d, starts, total, n_pad)
+            if fast is None and len(group) <= _MAX_GROUP:
+                exact = dispatch_exact(group, codes_d, starts, total, n_pad)
+            return start, end, codes_d, starts, total, n_pad, fast, exact
+
+        def collect_exact(results, start, end):
             g = end - start
             for kk, (min_hi, min_lo, found) in results.items():
                 mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:g]
@@ -109,10 +187,53 @@ class DeviceAaSketchBackend:
                 fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:g]
                 out[kk][start:end] = combine_bin_minima(mh, ml, fd)
 
-        for gi, (start, end) in enumerate(self._groups(streams)):
+        def collect(item):
+            start, end, codes_d, starts, total, n_pad, fast, exact = item
+            g = end - start
+            if fast is not None:
+                o_hi, o_lo, found, overflow, w = fast
+                fd_all = np.asarray(found).reshape(
+                    len(kmers), _MAX_GROUP_FAST, nbins
+                )
+                if int(overflow) <= w and fd_all[:, :g, :].all():
+                    o_hi = np.asarray(o_hi)
+                    o_lo = np.asarray(o_lo)
+                    for ki, kk in enumerate(kmers):
+                        mh = o_hi[ki].reshape(_MAX_GROUP_FAST, nbins)[:g]
+                        ml = o_lo[ki].reshape(_MAX_GROUP_FAST, nbins)[:g]
+                        out[kk][start:end] = combine_bin_minima(
+                            mh, ml, fd_all[ki, :g]
+                        )
+                    return
+                # rare fallback (block overflow / ambiguous empty bin)
+                if g <= _MAX_GROUP:
+                    group = streams[start:end]
+                    exact = dispatch_exact(group, codes_d, starts, total, n_pad)
+            if exact is not None:
+                collect_exact(exact, start, end)
+                return
+            # fast refusal on a large group: exact kernels in _MAX_GROUP
+            # chunks (blocking; rare)
+            for s0 in range(start, end, _MAX_GROUP):
+                e0 = min(s0 + _MAX_GROUP, end)
+                group = streams[s0:e0]
+                codes, starts2, total2, n_pad2 = prepare(group)
+                collect_exact(
+                    dispatch_exact(
+                        group, jax.device_put(codes), starts2, total2, n_pad2
+                    ),
+                    s0,
+                    e0,
+                )
+
+        for gi, (start, end, is_fast) in enumerate(
+            self._groups(streams, kmers, nbins)
+        ):
             if len(in_flight) >= window:
                 collect(in_flight.pop(0))
-            in_flight.append(dispatch(start, end, devices[gi % len(devices)]))
+            in_flight.append(
+                dispatch(start, end, is_fast, devices[gi % len(devices)])
+            )
         for item in in_flight:
             collect(item)
         return out

@@ -92,3 +92,49 @@ def test_aa_device_kmer_too_large():
         DeviceAaSketchBackend().sketch_aa_streams(
             [s], ["x"], [6], 64, 1, rc=True
         )
+
+
+@pytest.mark.parametrize("level", [1, 2, 3])
+def test_multik_fused_path_bit_exact(level, monkeypatch):
+    """Samples big enough for the residual prefilter route through the
+    fused multi-k kernel (one pass shared across k); results must be
+    bit-identical to the host oracle, and the per-k exact kernel must not
+    run (the fallback is a <1% event and deterministic per seed)."""
+    from sketchtpu.sketchcore import sketch_aa_jax
+
+    calls = {"exact": 0}
+    orig = sketch_aa_jax.aa_hash_bin_kernel
+
+    def spy(*a, **kw):
+        calls["exact"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sketch_aa_jax, "aa_hash_bin_kernel", spy)
+
+    rng = np.random.default_rng(40 + level)
+    streams = [_rand_stream(rng, int(n)) for n in (60_000, 25_000, 90_000)]
+    names = [f"p{i}" for i in range(len(streams))]
+    kmers = [6, 9, 12]
+
+    host = _host_sketches(streams, names, kmers, 100, level)
+    dev = DeviceAaSketchBackend().sketch_aa_streams(
+        streams, names, kmers, 100, level, True
+    )
+    _assert_equal(dev, host)
+    assert calls["exact"] == 0, "fused multi-k path did not engage"
+
+
+def test_multik_mixed_small_large_groups():
+    """Small (exact-path) and large (fused-path) samples interleaved in
+    one batch: group routing must preserve order and bit-exactness."""
+    rng = np.random.default_rng(77)
+    sizes = [400, 30_000, 1_200, 45_000, 700]
+    streams = [_rand_stream(rng, n) for n in sizes]
+    names = [f"p{i}" for i in range(len(streams))]
+    kmers = [5, 8]
+
+    host = _host_sketches(streams, names, kmers, 64, 2)
+    dev = DeviceAaSketchBackend().sketch_aa_streams(
+        streams, names, kmers, 64, 2, True
+    )
+    _assert_equal(dev, host)
