@@ -23,9 +23,38 @@ from .sketch import Sketch
 from .sketch_jax import (
     _MAX_GROUP,
     _MAX_GROUP_FAST,
+    _SEG_BASES,
     _bucket_size,
     DeviceSketchBackend,
 )
+
+
+def _segment_aa_stream(stream: AaStream, kmers, seg: int | None = None):
+    """Split an oversized AA stream into window-covering segments (the DNA
+    backend's _segment_stream, adapted): segment i owns windows starting
+    in [p0, p1) with max(k)-1 overlap bases past p1; duplicates in the
+    overlap are harmless for the min-reduction.
+
+    AA window validity depends on *global* sequence position (the
+    reference's final-window quirk applies only at the true sequence end,
+    aahash_iterator.rs:138-210), so the oracle mask is computed once on
+    the whole stream here and sliced per segment — stashed on each segment
+    as `_win_valid[k]` for the masks() packer."""
+    seg = seg or _SEG_BASES
+    n = stream.seq_len
+    kmax = max(kmers)
+    global_wv = {kk: aa_window_valid(stream.seq, kk) for kk in kmers}
+    segs, spans = [], []
+    for p0 in range(0, n, seg):
+        p1 = min(p0 + seg, n)
+        end = min(p1 + kmax - 1, n)
+        s = AaStream(seq=stream.seq[p0:end])
+        s._win_valid = {
+            kk: global_wv[kk][p0 : max(p0, end - kk + 1)] for kk in kmers
+        }
+        segs.append(s)
+        spans.append((p0, p1))
+    return segs, spans
 
 
 class DeviceAaSketchBackend:
@@ -81,6 +110,30 @@ class DeviceAaSketchBackend:
     ) -> dict[int, np.ndarray]:
         import jax
 
+        if any(s.seq_len > _SEG_BASES + MAX_K for s in streams):
+            expanded: list[AaStream] = []
+            owner: list[int] = []
+            for i, s in enumerate(streams):
+                if s.seq_len > _SEG_BASES + MAX_K:
+                    segs, _spans = _segment_aa_stream(s, kmers)
+                else:
+                    segs = [s]
+                expanded.extend(segs)
+                owner.extend([i] * len(segs))
+            part = self.bin_minima_multi_k(expanded, kmers, level, nbins)
+            owner_a = np.array(owner, dtype=np.int64)
+            out = {
+                kk: np.full(
+                    (len(streams), nbins),
+                    np.uint64(0xFFFFFFFFFFFFFFFF),
+                    dtype=np.uint64,
+                )
+                for kk in kmers
+            }
+            for kk in kmers:
+                np.minimum.at(out[kk], owner_a, part[kk])
+            return out
+
         out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
 
         # Same dispatch discipline as the DNA backend: issue a window of
@@ -104,11 +157,14 @@ class DeviceAaSketchBackend:
             return codes, np.array(starts, dtype=np.int32), total, n_pad
 
         def masks(group, kk, n_pad):
-            # emission mask: exact host oracle per sample, concatenated
+            # emission mask: exact host oracle per sample, concatenated;
+            # segments of an oversized stream carry a pre-sliced global
+            # mask (the final-window quirk is a whole-sequence property)
             vflags = np.zeros(n_pad, dtype=np.uint8)
             p = 0
             for s in group:
-                wv = aa_window_valid(s.seq, kk)  # raises like the host
+                pre = getattr(s, "_win_valid", None)
+                wv = pre[kk] if pre else aa_window_valid(s.seq, kk)
                 vflags[p : p + wv.shape[0]] = wv
                 p += s.seq_len
             return np.packbits(vflags, bitorder="little")

@@ -41,11 +41,13 @@ _MAX_GROUP_FAST = 96
 # 64M-element program compiled minutes and ran at ~1/4 the 16M efficiency),
 # so big groups only help workloads of many sub-2M genomes.
 _BATCH_BASES_FAST = 1 << 24
-# A single stream above this routes to the host oracle instead of forming
-# a one-off giant device program (compile time and efficiency degrade
-# superlinearly past ~64M elements; the reference streams per-base and has
-# no such cliff). Covers any bacterial/archaeal genome with huge margin.
-_MAX_DEVICE_BASES = 3 << 24
+# A single stream above this is split into overlapping segments rather
+# than forming a one-off giant device program (compile time and efficiency
+# degrade superlinearly past ~64M elements; the reference streams per-base
+# and has no such cliff). Sized so a segment plus its MAX_K-1 window
+# overlap still packs into the standard 2^24 bucket, keeping eukaryote-
+# scale contigs on the same cached program as everything else.
+_SEG_BASES = _BATCH_BASES - 2 * MAX_K
 
 
 def _bucket_size(n: int) -> int:
@@ -53,6 +55,31 @@ def _bucket_size(n: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _segment_stream(stream: DnaStream, seg: int | None = None):
+    """Split an oversized stream into window-covering segments.
+
+    Segment i owns windows *starting* in [p0, p1) and carries MAX_K-1
+    extra bases past p1 so those windows are complete; breaks are shifted
+    into segment coordinates. Windows starting inside the overlap are
+    emitted by both neighbouring segments — harmless for a min-reduction,
+    so the per-bin min over segments equals the whole stream's (the
+    in-order FASTQ path instead truncates each segment to its owned
+    starts; see signs_in_order). Returns (segments, [(p0, p1), ...])."""
+    seg = seg or _SEG_BASES
+    n = stream.seq_len
+    segs, spans = [], []
+    for p0 in range(0, n, seg):
+        p1 = min(p0 + seg, n)
+        end = min(p1 + MAX_K - 1, n)
+        br = stream.breaks
+        b = (br[(br > p0) & (br <= end)] - p0).astype(np.int64)
+        segs.append(
+            DnaStream(codes=stream.codes[p0:end], breaks=b, reads=stream.reads)
+        )
+        spans.append((p0, p1))
+    return segs, spans
 
 
 class DeviceSketchBackend:
@@ -135,8 +162,37 @@ class DeviceSketchBackend:
         over k + residual prefilter + one candidate sort, hash/nthash_multik
         .py); a group falls back to the exact per-k full-sort kernel when a
         genome is too small for the prefilter, a compaction block overflows,
-        or any bin lost all candidates — so results are always bit-exact."""
+        or any bin lost all candidates — so results are always bit-exact.
+
+        Streams past _SEG_BASES are split into overlapping segments
+        (one standard-size device program each, see _segment_stream) and
+        their per-segment bin minima min-combined — the empty-bin
+        sentinel is u64::MAX, so np.minimum composes exactly."""
         import jax
+
+        if any(s.seq_len > _SEG_BASES + MAX_K for s in streams):
+            expanded: list[DnaStream] = []
+            owner: list[int] = []
+            for i, s in enumerate(streams):
+                if s.seq_len > _SEG_BASES + MAX_K:
+                    segs, _spans = _segment_stream(s)
+                else:
+                    segs = [s]
+                expanded.extend(segs)
+                owner.extend([i] * len(segs))
+            part = self.bin_minima_multi_k(expanded, kmers, rc, nbins)
+            owner_a = np.array(owner, dtype=np.int64)
+            out = {
+                kk: np.full(
+                    (len(streams), nbins),
+                    np.uint64(0xFFFFFFFFFFFFFFFF),
+                    dtype=np.uint64,
+                )
+                for kk in kmers
+            }
+            for kk in kmers:
+                np.minimum.at(out[kk], owner_a, part[kk])
+            return out
 
         out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
 
@@ -399,19 +455,47 @@ class DeviceSketchBackend:
         return hash_signs_kernel(packed, np.int32(k), taps_fwd, taps_rev, rc=rc)
 
     @staticmethod
-    def _collect_signs(handle, stream: DnaStream, k: int) -> np.ndarray:
+    def _collect_signs(
+        handle, stream: DnaStream, k: int, n_starts: int | None = None
+    ) -> np.ndarray:
+        """Valid signs for windows starting at [0, n_starts) — the whole
+        stream by default; segments pass their owned-start count so
+        overlap windows are not double-collected."""
         lo, hi = handle
         n = stream.seq_len
-        lo = np.asarray(lo)[: n - k + 1].astype(np.uint64)
-        hi = np.asarray(hi)[: n - k + 1].astype(np.uint64)
+        take = n - k + 1 if n_starts is None else min(n_starts, n - k + 1)
+        lo = np.asarray(lo)[:take].astype(np.uint64)
+        hi = np.asarray(hi)[:take].astype(np.uint64)
         signs = (hi << np.uint64(32)) | lo
-        mask = valid_window_mask(n, stream.breaks, k)
+        mask = valid_window_mask(n, stream.breaks, k)[:take]
         return signs[mask]
 
     def signs_in_order(self, stream: DnaStream, k: int, rc: bool) -> np.ndarray:
         """Valid-window signs in sequence order (for the order-dependent
-        FASTQ count-filter, which must run sequentially on the host)."""
-        return self._collect_signs(self._dispatch_signs(stream, k, rc), stream, k)
+        FASTQ count-filter, which must run sequentially on the host).
+
+        Oversized streams dispatch one standard-size program per segment
+        (all issued before any collect, so transfers and device compute
+        overlap); each segment contributes only its owned window starts,
+        so the concatenation is the exact in-order sign sequence."""
+        if stream.seq_len <= _SEG_BASES + MAX_K:
+            return self._collect_signs(
+                self._dispatch_signs(stream, k, rc), stream, k
+            )
+        import jax
+
+        devices = jax.local_devices()
+        segs, spans = _segment_stream(stream)
+        handles = [
+            self._dispatch_signs(s, k, rc, devices[j % len(devices)])
+            for j, s in enumerate(segs)
+        ]
+        return np.concatenate(
+            [
+                self._collect_signs(h, s, k, n_starts=p1 - p0)
+                for h, s, (p0, p1) in zip(handles, segs, spans)
+            ]
+        )
 
     def sketch_dna_streams(
         self,
@@ -423,37 +507,6 @@ class DeviceSketchBackend:
         min_count: int,
     ) -> list[Sketch]:
         _s64, nbins, _u = num_bins_fn(sketch_size)
-        g = len(streams)
-
-        # Oversized streams (beyond the batch bucket budget) take the host
-        # oracle — same results, no giant one-off compile.
-        huge_idx = [
-            i for i, s in enumerate(streams) if s.seq_len > _MAX_DEVICE_BASES
-        ]
-        if huge_idx:
-            from .sketch import sketch_dna_sample
-
-            huge = set(huge_idx)
-            host_sketches = {
-                i: sketch_dna_sample(
-                    streams[i], names[i], kmers, sketch_size, rc, min_count
-                )
-                for i in huge_idx
-            }
-            rest_idx = [i for i in range(g) if i not in huge]
-            rest = self.sketch_dna_streams(
-                [streams[i] for i in rest_idx],
-                [names[i] for i in rest_idx],
-                kmers,
-                sketch_size,
-                rc,
-                min_count,
-            )
-            merged: list[Sketch] = []
-            it = iter(rest)
-            for i in range(g):
-                merged.append(host_sketches[i] if i in huge else next(it))
-            return merged
 
         assembly_idx = [i for i, s in enumerate(streams) if not s.reads]
         read_idx = [i for i, s in enumerate(streams) if s.reads]
@@ -483,6 +536,19 @@ class DeviceSketchBackend:
                 bins_per_k[kk0][i0] = bin_minima_filtered(
                     signs, nbins, min_count
                 )
+
+            # oversized read streams go through the segmented in-order
+            # path (itself pipelined across its segments)
+            for i in [j for j in read_idx if streams[j].seq_len > _SEG_BASES + MAX_K]:
+                for kk in kmers:
+                    bins_per_k[kk][i] = bin_minima_filtered(
+                        self.signs_in_order(streams[i], kk, rc),
+                        nbins,
+                        min_count,
+                    )
+            read_idx = [
+                j for j in read_idx if streams[j].seq_len <= _SEG_BASES + MAX_K
+            ]
 
             order = [(kk, i) for kk in kmers for i in read_idx]
             for j, (kk, i) in enumerate(order):

@@ -138,3 +138,22 @@ def test_multik_mixed_small_large_groups():
         streams, names, kmers, 64, 2, True
     )
     _assert_equal(dev, host)
+
+
+def test_oversized_aa_stream_segmented(monkeypatch):
+    """AA streams past the segment budget split into overlapping segments
+    with globally-sliced validity masks (the final-window quirk is a
+    whole-sequence property) and min-combine bit-exactly."""
+    from sketchtpu.sketchcore import sketch_aa_jax
+
+    monkeypatch.setattr(sketch_aa_jax, "_SEG_BASES", 30_000)
+    rng = np.random.default_rng(91)
+    streams = [_rand_stream(rng, n) for n in (5_000, 110_000, 70_000)]
+    names = [f"p{i}" for i in range(len(streams))]
+    kmers = [6, 11]
+
+    host = _host_sketches(streams, names, kmers, 100, 1)
+    dev = DeviceAaSketchBackend().sketch_aa_streams(
+        streams, names, kmers, 100, 1, True
+    )
+    _assert_equal(dev, host)

@@ -182,13 +182,14 @@ def test_random_inverted_engine_parity(seed):
     assert eng.any_shared_bin_count() == want_pairs
 
 
-def test_oversized_stream_host_fallback(monkeypatch):
-    """Streams past _MAX_DEVICE_BASES route to the host oracle inside the
-    device backend (no giant one-off compile), interleaved with device
-    groups, preserving order and bit-exactness."""
+def test_oversized_stream_segmented(monkeypatch):
+    """Streams past _SEG_BASES are split into overlapping standard-size
+    segments whose per-bin minima min-combine to the whole stream's
+    (no giant one-off compile, no host-oracle detour), interleaved with
+    normal groups, preserving order and bit-exactness."""
     from sketchtpu.sketchcore import sketch_jax
 
-    monkeypatch.setattr(sketch_jax, "_MAX_DEVICE_BASES", 50_000)
+    monkeypatch.setattr(sketch_jax, "_SEG_BASES", 50_000)
     rng = np.random.default_rng(7)
     sizes = [20_000, 120_000, 8_000, 90_000]
     streams = [_stream(rng, n) for n in sizes]
@@ -199,6 +200,13 @@ def test_oversized_stream_host_fallback(monkeypatch):
         sketch_dna_sample(s, n, kmers, 100, True, 0)
         for s, n in zip(streams, names)
     ]
+
+    import sketchtpu.sketchcore.sketch as sketch_mod
+
+    def boom(*a, **kw):  # the oracle must not run inside the backend
+        raise AssertionError("host oracle called for oversized stream")
+
+    monkeypatch.setattr(sketch_mod, "sketch_dna_sample", boom)
     dev = DeviceSketchBackend().sketch_dna_streams(
         streams, names, kmers, 100, True, 0
     )
@@ -206,3 +214,34 @@ def test_oversized_stream_host_fallback(monkeypatch):
     for h, d in zip(host, dev):
         assert np.array_equal(h.usigs, d.usigs), h.name
         assert h.seq_length == d.seq_length
+
+
+def test_oversized_reads_stream_segmented(monkeypatch):
+    """The order-dependent FASTQ count-filter path over an oversized
+    stream: segment-concatenated in-order signs must equal the whole
+    stream's, so the filtered sketch is bit-exact."""
+    from sketchtpu.sketchcore import sketch_jax
+
+    monkeypatch.setattr(sketch_jax, "_SEG_BASES", 40_000)
+    rng = np.random.default_rng(13)
+    # simulate concatenated reads re-covering one genome (so k-mers recur
+    # and survive the min-count filter): 5x coverage, many record breaks
+    genome = rng.integers(0, 4, 30_000).astype(np.uint8)
+    codes = np.tile(genome, 5)
+    n = codes.shape[0]
+    s = DnaStream(
+        codes=codes,
+        breaks=np.unique(
+            np.sort(rng.choice(n, size=600, replace=False)).astype(np.int64)
+        ),
+        acgt=np.bincount(codes, minlength=4).astype(np.int64),
+        reads=True,
+    )
+    kmers = [17, 21]
+
+    host = sketch_dna_sample(s, "r0", kmers, 100, True, 2)
+    dev = DeviceSketchBackend().sketch_dna_streams(
+        [s], ["r0"], kmers, 100, True, 2
+    )[0]
+    assert np.array_equal(host.usigs, dev.usigs)
+    assert host.seq_length == dev.seq_length
