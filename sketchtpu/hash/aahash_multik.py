@@ -113,7 +113,8 @@ def multik_aa_hash_bin_kernel(
         )
         keep = ok & (under | (bin_idx != bin_shift))
 
-        # blockwise monotone compaction (nthash_multik idea 3)
+        # blockwise monotone compaction (nthash_multik idea 3; blocks on
+        # the 128-lane axis, slots on sublanes — see pick_block_geometry)
         kb = jnp.pad(keep, (0, pad_tail)).reshape(nb_blocks, blk)
         key0 = jnp.pad((_I32(k_idx) << 8) | gidx, (0, pad_tail)).reshape(
             nb_blocks, blk
@@ -122,11 +123,11 @@ def multik_aa_hash_bin_kernel(
         e_lo = jnp.pad(h_lo, (0, pad_tail)).reshape(nb_blocks, blk)
         kpos = jnp.cumsum(kb.astype(_I32), axis=1) - kb.astype(_I32)
         overflow = jnp.maximum(overflow, jnp.max(kpos[:, -1] + kb[:, -1]))
-        slot = jax.lax.broadcasted_iota(_I32, (1, 1, w), 2)
-        hit = kb[:, :, None] & (kpos[:, :, None] == slot)
-        c_k0 = jnp.max(jnp.where(hit, key0[:, :, None], -1), axis=1)
-        c_hi = jnp.max(jnp.where(hit, e_hi[:, :, None], _U32(0)), axis=1)
-        c_lo = jnp.max(jnp.where(hit, e_lo[:, :, None], _U32(0)), axis=1)
+        slot = jax.lax.broadcasted_iota(_I32, (1, w, 1), 1)
+        hit = kb[:, None, :] & (kpos[:, None, :] == slot)  # (B, w, blk)
+        c_k0 = jnp.max(jnp.where(hit, key0[:, None, :], -1), axis=2)
+        c_hi = jnp.max(jnp.where(hit, e_hi[:, None, :], _U32(0)), axis=2)
+        c_lo = jnp.max(jnp.where(hit, e_lo[:, None, :], _U32(0)), axis=2)
         c_k0 = jnp.where(c_k0 < 0, _I32(len(kmers)) << 8, c_k0)
         cand_k0.append(c_k0.reshape(n_slots))
         cand_hi.append(c_hi.reshape(n_slots))

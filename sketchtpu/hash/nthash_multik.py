@@ -204,7 +204,12 @@ def multik_hash_bin_kernel(
         keep = ok & (under | (bin_idx != bin_shift))
 
         # blockwise monotone compaction: slot s of a block holds the
-        # (s+1)-th kept element (pos is a cumsum -> masked one-hot reduce)
+        # (s+1)-th kept element (pos is a cumsum -> masked one-hot reduce).
+        # Layout puts the block axis on the 128-lane dimension and the slot
+        # axis on sublanes: the (B, w, blk) hit tensor then really costs
+        # O(stream * w) with w a multiple of 8 — the previous (B, blk, w)
+        # layout padded w up to the 128-lane tile, so w below 128 was free
+        # of nothing (this halves-to-octuples the dominant term).
         kb = jnp.pad(keep, (0, pad_tail)).reshape(nb_blocks, blk)
         key0 = jnp.pad((_I32(k_idx) << 8) | gidx, (0, pad_tail)).reshape(
             nb_blocks, blk
@@ -213,11 +218,11 @@ def multik_hash_bin_kernel(
         e_lo = jnp.pad(h_lo, (0, pad_tail)).reshape(nb_blocks, blk)
         kpos = jnp.cumsum(kb.astype(_I32), axis=1) - kb.astype(_I32)
         overflow = jnp.maximum(overflow, jnp.max(kpos[:, -1] + kb[:, -1]))
-        slot = jax.lax.broadcasted_iota(_I32, (1, 1, w), 2)
-        hit = kb[:, :, None] & (kpos[:, :, None] == slot)  # (B, blk, w)
-        c_k0 = jnp.max(jnp.where(hit, key0[:, :, None], -1), axis=1)
-        c_hi = jnp.max(jnp.where(hit, e_hi[:, :, None], _U32(0)), axis=1)
-        c_lo = jnp.max(jnp.where(hit, e_lo[:, :, None], _U32(0)), axis=1)
+        slot = jax.lax.broadcasted_iota(_I32, (1, w, 1), 1)
+        hit = kb[:, None, :] & (kpos[:, None, :] == slot)  # (B, w, blk)
+        c_k0 = jnp.max(jnp.where(hit, key0[:, None, :], -1), axis=2)
+        c_hi = jnp.max(jnp.where(hit, e_hi[:, None, :], _U32(0)), axis=2)
+        c_lo = jnp.max(jnp.where(hit, e_lo[:, None, :], _U32(0)), axis=2)
         # empty slots -> a sentinel key0 sorting after every real (k, genome)
         c_k0 = jnp.where(c_k0 < 0, _I32(len(kmers)) << 8, c_k0)
         cand_k0.append(c_k0.reshape(n_slots))
@@ -281,18 +286,21 @@ def group_thresholds(
     return t_lo, t_hi, eligible, max_density
 
 
-def pick_block_geometry(max_density: float, blk: int = 1024) -> tuple[int, int]:
+def pick_block_geometry(max_density: float, blk: int = 128) -> tuple[int, int]:
     """(blk, w): compaction slots sized for Poisson(lambda = density * blk)
     with a ~6-sigma margin, bucketed to limit recompilation.
 
-    The compaction reduce costs O(stream * w) per k (the (B, blk, w)
-    one-hot hit tensor), so small blocks keep w near the 128-lane floor:
-    at the 0.125 density cap, blk=1024 needs w=256 where blk=8192 needed
-    w=1024+ — measured ~1.5x end-to-end on 250 kb genomes, identical
-    results (any overflow still falls back to the exact kernel)."""
+    The compaction reduce costs O(stream * w) per k (the (B, w, blk)
+    one-hot hit tensor with blocks on the 128-lane axis and slots on
+    sublanes), so blk is fixed at the lane width and w is the smallest
+    sufficient multiple of the 8-row sublane tile: typical large-genome
+    densities (~0.1%) need only w=16, and even the 0.125 density cap needs
+    w=56 — where the previous slots-on-lanes layout always burned a full
+    128-lane tile per element (any overflow still falls back to the exact
+    kernel, so geometry never affects results)."""
     lam = max_density * blk
     need = int(lam + 6.0 * np.sqrt(lam + 1.0) + 8.0)
-    for w in (32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024):
+    for w in (16, 24, 32, 40, 48, 56, 64, 96, 128, 192, 256):
         if need <= w:
             return blk, w
-    return blk, 1024
+    return blk, 256
