@@ -28,6 +28,12 @@ DEFAULT_KMER = 21
 def _add_common(p):
     p.add_argument("-v", "--verbose", action="store_true", help="Show progress messages")
     p.add_argument("--quiet", action="store_true", help="Don't show any messages")
+    p.add_argument(
+        "--jax-profile",
+        metavar="DIR",
+        help="Capture a JAX/XLA device profile of the run into DIR "
+        "(view with TensorBoard or xprof)",
+    )
 
 
 def _add_kmers(p):
@@ -221,6 +227,17 @@ def main(argv=None) -> int:
     start = time.time()
     print_success = True
 
+    if getattr(args, "jax_profile", None):
+        # atexit (not try/finally) so every early-return path still closes
+        # the trace
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(args.jax_profile)
+        atexit.register(jax.profiler.stop_trace)
+        log.info("JAX profiler tracing to %s", args.jax_profile)
+
     from .ingest import inputs as io_inputs
     from .sketchcore.sketch import HashType
     from .formats.skm import MultiSketch
@@ -320,6 +337,18 @@ def main(argv=None) -> int:
                 progress=tick,
             )
             finish()
+            elapsed = max(time.time() - start, 1e-9)
+            total_mb = sum(s.seq_length for s in sketches) / 1e6
+            log.info(
+                "Sketched %d samples (%.1f Mbases) in %.2fs "
+                "(%.1f samples/s, %.1f Mbase/s, %.1f Mbase-k/s)",
+                len(sketches),
+                total_mb,
+                elapsed,
+                len(sketches) / elapsed,
+                total_mb / elapsed,
+                total_mb * len(kmers) / elapsed,
+            )
             ms = MultiSketch(sketches, sketch_bins, kmers, seq_type)
             ms.save_metadata(args.output)
 
@@ -348,6 +377,13 @@ def main(argv=None) -> int:
         engine = select_engine(references)
 
         names = [references.sketch_name(i) for i in range(n)]
+
+        def _log_pair_rate(n_pairs):
+            el = max(time.time() - start, 1e-9)
+            log.info(
+                "Computed %d pairwise distances in %.2fs (%.3g pairs/s)",
+                n_pairs, el, n_pairs / el,
+            )
         if args.query_db is None:
             if args.knn is None:
                 coreacc_engine = None
@@ -360,6 +396,7 @@ def main(argv=None) -> int:
                 if coreacc_engine is not None:
                     log.info("Using on-device core/accessory tile engine")
                     coreacc_engine.stream_self_dense(out, names)
+                    _log_pair_rate(n * (n - 1) // 2)
                     if out is not sys.stdout:
                         out.close()
                     if print_success and not getattr(args, "quiet", False):
@@ -381,6 +418,7 @@ def main(argv=None) -> int:
                             out, names, dist_type, ref_comp,
                             args.completeness_cutoff,
                         )
+                        _log_pair_rate(n * (n - 1) // 2)
                         if out is not sys.stdout:
                             out.close()
                         if print_success and not getattr(args, "quiet", False):
@@ -398,6 +436,7 @@ def main(argv=None) -> int:
                     engine=engine,
                 )
                 dist_output.write_dense_self(out, names, d, dist_type.coreacc)
+                _log_pair_rate(n * (n - 1) // 2)
             else:
                 from .runtime import select_knn_engine
 
@@ -424,6 +463,7 @@ def main(argv=None) -> int:
                         engine=engine,
                     )
                 dist_output.write_sparse(out, names, names, rows, dist_type.coreacc)
+                _log_pair_rate(n * (n - 1) // 2)
         else:
             query_name = strip_sketch_extension(args.query_db)
             queries = MultiSketch.load_metadata(query_name)
@@ -466,6 +506,7 @@ def main(argv=None) -> int:
                         engine=engine,
                     )
                 dist_output.write_sparse(out, qnames, names, rows, dist_type.coreacc)
+                _log_pair_rate(len(qnames) * n)
             else:
                 stream_engine = None
                 if not dist_type.coreacc:
@@ -480,6 +521,7 @@ def main(argv=None) -> int:
                         out, names, qnames, queries, dist_type, ref_comp,
                         q_comp, args.completeness_cutoff,
                     )
+                    _log_pair_rate(len(qnames) * n)
                 else:
                     d = api.cross_dists_all(
                         references,
@@ -493,6 +535,7 @@ def main(argv=None) -> int:
                     dist_output.write_dense_cross(
                         out, names, qnames, d, dist_type.coreacc
                     )
+                    _log_pair_rate(len(qnames) * n)
         if out is not sys.stdout:
             out.close()
 
