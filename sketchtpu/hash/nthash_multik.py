@@ -286,21 +286,24 @@ def group_thresholds(
     return t_lo, t_hi, eligible, max_density
 
 
-def pick_block_geometry(max_density: float, blk: int = 128) -> tuple[int, int]:
+def pick_block_geometry(max_density: float, blk: int = 1024) -> tuple[int, int]:
     """(blk, w): compaction slots sized for Poisson(lambda = density * blk)
     with a ~6-sigma margin, bucketed to limit recompilation.
 
     The compaction reduce costs O(stream * w) per k (the (B, w, blk)
-    one-hot hit tensor with blocks on the 128-lane axis and slots on
-    sublanes), so blk is fixed at the lane width and w is the smallest
-    sufficient multiple of the 8-row sublane tile: typical large-genome
-    densities (~0.1%) need only w=16, and even the 0.125 density cap needs
-    w=56 — where the previous slots-on-lanes layout always burned a full
-    128-lane tile per element (any overflow still falls back to the exact
-    kernel, so geometry never affects results)."""
+    one-hot hit tensor with blocks on the lane axis and slots on
+    sublanes), while the candidate-sort volume is (stream/blk) * w — so w
+    is the smallest sufficient multiple of the 8-row sublane tile (the
+    previous slots-on-lanes layout always burned a full 128-lane tile per
+    element) and blk balances the two: the on-chip sweep
+    (bench/sweep_compaction.py) measured blk=1024 best at both 2 Mb
+    (w=40, 214 Mbase-k/s, vs 191 before the sublane layout) and 250 kb
+    genomes (w=128, 141 vs 94); blk=128 minimises w but quadruples the
+    sort and loses ~35%. Any overflow still falls back to the exact
+    kernel, so geometry never affects results."""
     lam = max_density * blk
     need = int(lam + 6.0 * np.sqrt(lam + 1.0) + 8.0)
-    for w in (16, 24, 32, 40, 48, 56, 64, 96, 128, 192, 256):
+    for w in (16, 24, 32, 40, 48, 56, 64, 96, 128, 160, 192, 224, 256):
         if need <= w:
             return blk, w
     return blk, 256
