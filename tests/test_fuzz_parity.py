@@ -245,3 +245,30 @@ def test_oversized_reads_stream_segmented(monkeypatch):
     )[0]
     assert np.array_equal(host.usigs, dev.usigs)
     assert host.seq_length == dev.seq_length
+
+
+def test_segment_boundary_breaks(monkeypatch):
+    """Breaks landing exactly on segment cut points (p0, p1) and inside
+    the overlap region must not lose or duplicate any valid window."""
+    from sketchtpu.sketchcore import sketch_jax
+
+    seg = 10_000
+    monkeypatch.setattr(sketch_jax, "_SEG_BASES", seg)
+    rng = np.random.default_rng(3)
+    n = 45_000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    kmers = [15, 31]
+    # breaks at every segment cut, at cut +/- (k-1), inside overlaps, at 0/n
+    b = []
+    for p in range(0, n + 1, seg):
+        for d in (-31, -14, -1, 0, 1, 14, 30, 31):
+            if 0 <= p + d <= n:
+                b.append(p + d)
+    s = DnaStream(
+        codes=codes,
+        breaks=np.unique(np.array(b, dtype=np.int64)),
+        acgt=np.bincount(codes, minlength=4).astype(np.int64),
+    )
+    host = sketch_dna_sample(s, "g", kmers, 64, True, 0)
+    dev = DeviceSketchBackend().sketch_dna_streams([s], ["g"], kmers, 64, True, 0)[0]
+    assert np.array_equal(host.usigs, dev.usigs)
