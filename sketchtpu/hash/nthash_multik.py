@@ -35,10 +35,11 @@ default 7-k core/accessory sketch workload:
 Everything lands bit-identical to `hash_bin_kernel` whenever the fast path
 reports no fallback — asserted by tests/test_multik.py.
 
-Single-k requests stay on the exact kernel deliberately: measured on-chip,
-the prefilter + compaction machinery costs more than the full sort saves
-when there is no multi-k pass sharing (0.9 s vs 0.5 s for 14x2Mb at
-s=1024), so the routing in sketch_jax ( len(kmers) >= 2 ) is optimal.
+Single-k requests route here only for small genomes (<= 1 Mb): with no
+multi-k pass sharing the win is purely the larger genome groups (96 vs 7
+per dispatch) — measured 2.6x for 64 x 250 kb genomes and neutral at
+2 Mb (bench/probe_singlek.py), so big single-k genomes stay on the exact
+kernel (sketch_jax._fast_eligible).
 """
 
 from __future__ import annotations

@@ -67,12 +67,18 @@ class DeviceAaSketchBackend:
     @staticmethod
     def _fast_eligible(stream, kmers, nbins) -> bool:
         """Multi-k prefilter eligibility (nthash_multik.group_thresholds
-        semantics): big-enough samples share one fused pass over all k."""
-        if len(kmers) < 2 or max(kmers) > MAX_K:
+        semantics): big-enough samples share one fused pass over all k;
+        single-k samples still profit from the larger groups when small
+        (see DeviceSketchBackend._fast_eligible)."""
+        from .sketch_jax import _SINGLEK_FAST_MAX_LEN
+
+        if max(kmers) > MAX_K:
+            return False
+        n = stream.seq_len
+        if len(kmers) < 2 and n > _SINGLEK_FAST_MAX_LEN:
             return False
         from ..hash.nthash_multik import group_thresholds
 
-        n = stream.seq_len
         return n > 0 and group_thresholds([n], nbins)[2]
 
     def _groups(self, streams, kmers=(), nbins=0):

@@ -48,6 +48,9 @@ _BATCH_BASES_FAST = 1 << 24
 # overlap still packs into the standard 2^24 bucket, keeping eukaryote-
 # scale contigs on the same cached program as everything else.
 _SEG_BASES = _BATCH_BASES - 2 * MAX_K
+# Single-k requests route to the fast kernel only below this stream length
+# (the benefit is purely the bigger genome groups; see _fast_eligible)
+_SINGLEK_FAST_MAX_LEN = 1 << 20
 
 
 def _bucket_size(n: int) -> int:
@@ -114,11 +117,18 @@ class DeviceSketchBackend:
 
     @staticmethod
     def _fast_eligible(stream, kmers, nbins) -> bool:
-        if len(kmers) < 2 or max(kmers) > 64:
+        if max(kmers) > 64:
+            return False
+        n = stream.seq_len
+        if len(kmers) < 2 and n > _SINGLEK_FAST_MAX_LEN:
+            # single-k shares no pass across k, so the fast kernel only
+            # wins through its larger groups (96 vs 7 genomes/dispatch):
+            # measured 2.6x for 64 x 250 kb genomes, neutral-to-slightly-
+            # worse at 2 Mb (bench/probe_singlek.py) — route only small
+            # genomes, the inverted-build shape at 100k+ samples
             return False
         from ..hash.nthash_multik import group_thresholds
 
-        n = stream.seq_len
         return n > 0 and group_thresholds([n], nbins)[2]
 
     def _groups_mixed(self, streams, kmers, nbins):
@@ -352,7 +362,7 @@ class DeviceSketchBackend:
     ):
         """Issue the fast multi-k kernel (async); returns the device result
         tuple, or None when the group is ineligible (host-side check)."""
-        if len(kmers) < 2 or max(kmers) > 64:
+        if max(kmers) > 64:
             return None
         from ..hash.nthash_multik import (
             group_thresholds,
