@@ -106,6 +106,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref-completeness-file")
     p.add_argument("--query-completeness-file")
     p.add_argument("--completeness-cutoff", type=float, default=0.64)
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=None,
+        help="Multi-host sharding: this process's rank (auto-detected from "
+        "jax.distributed when JAX_COORDINATOR_ADDRESS is set)",
+    )
+    p.add_argument(
+        "--n-processes",
+        type=int,
+        default=None,
+        help="Multi-host sharding: total process count; each process "
+        "computes a balanced block of output rows and writes "
+        "OUTPUT.partN; concatenate parts in rank order",
+    )
     _add_common(p)
 
     # --- inverted ---
@@ -356,6 +371,23 @@ def main(argv=None) -> int:
         from .dist import api, output as dist_output
         from .runtime import select_engine
 
+        n_proc = args.n_processes
+        proc_id = args.process_id
+        if n_proc is None and os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            from .shard.distributed import init_distributed
+
+            proc_id, n_proc = init_distributed()
+        multiproc = n_proc is not None and n_proc > 1
+        proc_id = proc_id or 0
+        if multiproc and args.output:
+            from .shard.distributed import shard_prefix
+
+            args.output = shard_prefix(args.output, proc_id)
+            log.info(
+                "Multi-process dist: rank %d/%d writing %s "
+                "(concatenate parts in rank order for the full output)",
+                proc_id, n_proc, args.output,
+            )
         out = _ostream(args.output)
         ref_name = strip_sketch_extension(args.ref_db)
         references = MultiSketch.load_metadata(ref_name)
@@ -378,6 +410,20 @@ def main(argv=None) -> int:
 
         names = [references.sketch_name(i) for i in range(n)]
 
+        # Multi-process row blocks: self-dense shards rows balanced by
+        # pair count (upper triangle); kNN/cross shard rows uniformly.
+        # Every rank loads all columns (the reference pattern at
+        # distances/mod.rs has no analogue: the reference is single-host).
+        tri_rows = uni_rows = None
+        if multiproc:
+            from .shard.distributed import process_slice, triangle_row_slice
+
+            tri_rows = triangle_row_slice(n, proc_id, n_proc)
+            uni_rows = process_slice(n, proc_id, n_proc)
+
+        def _row_names(sl):
+            return names[sl] if sl is not None else names
+
         def _log_pair_rate(n_pairs):
             el = max(time.time() - start, 1e-9)
             log.info(
@@ -395,7 +441,9 @@ def main(argv=None) -> int:
                     )
                 if coreacc_engine is not None:
                     log.info("Using on-device core/accessory tile engine")
-                    coreacc_engine.stream_self_dense(out, names)
+                    coreacc_engine.stream_self_dense(
+                        out, names, row_range=tri_rows
+                    )
                     _log_pair_rate(n * (n - 1) // 2)
                     if out is not sys.stdout:
                         out.close()
@@ -416,7 +464,7 @@ def main(argv=None) -> int:
                         log.info("Using on-device dense streaming engine")
                         stream_engine.stream_self_dense(
                             out, names, dist_type, ref_comp,
-                            args.completeness_cutoff,
+                            args.completeness_cutoff, row_range=tri_rows,
                         )
                         _log_pair_rate(n * (n - 1) // 2)
                         if out is not sys.stdout:
@@ -434,8 +482,11 @@ def main(argv=None) -> int:
                     ref_comp,
                     args.completeness_cutoff,
                     engine=engine,
+                    row_range=tri_rows,
                 )
-                dist_output.write_dense_self(out, names, d, dist_type.coreacc)
+                dist_output.write_dense_self(
+                    out, names, d, dist_type.coreacc, row_range=tri_rows
+                )
                 _log_pair_rate(n * (n - 1) // 2)
             else:
                 from .runtime import select_knn_engine
@@ -450,9 +501,13 @@ def main(argv=None) -> int:
                 if knn_engine is not None:
                     log.info("Using on-device kNN engine")
                     if dist_type.coreacc:
-                        rows = knn_engine.self_knn_coreacc(nn)
+                        rows = knn_engine.self_knn_coreacc(
+                            nn, row_range=uni_rows
+                        )
                     else:
-                        rows = knn_engine.self_knn(nn, dist_type)
+                        rows = knn_engine.self_knn(
+                            nn, dist_type, row_range=uni_rows
+                        )
                 else:
                     rows = api.self_dists_knn(
                         references,
@@ -461,13 +516,26 @@ def main(argv=None) -> int:
                         ref_comp,
                         args.completeness_cutoff,
                         engine=engine,
+                        row_range=uni_rows,
                     )
-                dist_output.write_sparse(out, names, names, rows, dist_type.coreacc)
-                _log_pair_rate(n * (n - 1) // 2)
+                dist_output.write_sparse(
+                    out, _row_names(uni_rows), names, rows, dist_type.coreacc
+                )
+                _log_pair_rate(len(_row_names(uni_rows)) * n)
         else:
             query_name = strip_sketch_extension(args.query_db)
             queries = MultiSketch.load_metadata(query_name)
-            queries.read_sketch_data(query_name)
+            if multiproc and args.knn is not None:
+                # kNN rows are queries: this rank loads only its query
+                # block (subset load); refs stay fully loaded
+                from .shard.distributed import process_slice as _pslice
+
+                all_q = [m.name for m in queries.sketch_metadata]
+                queries.read_sketch_data_block(
+                    query_name, all_q[_pslice(len(all_q), proc_id, n_proc)]
+                )
+            else:
+                queries.read_sketch_data(query_name)
             q_comp = (
                 io_inputs.read_completeness_file(args.query_completeness_file, queries)
                 if args.query_completeness_file
@@ -520,8 +588,9 @@ def main(argv=None) -> int:
                     stream_engine.stream_cross_dense(
                         out, names, qnames, queries, dist_type, ref_comp,
                         q_comp, args.completeness_cutoff,
+                        row_range=uni_rows,
                     )
-                    _log_pair_rate(len(qnames) * n)
+                    _log_pair_rate(len(_row_names(uni_rows)) * len(qnames))
                 else:
                     d = api.cross_dists_all(
                         references,
@@ -531,11 +600,13 @@ def main(argv=None) -> int:
                         q_comp,
                         args.completeness_cutoff,
                         engine=engine,
+                        row_range=uni_rows,
                     )
                     dist_output.write_dense_cross(
-                        out, names, qnames, d, dist_type.coreacc
+                        out, _row_names(uni_rows), qnames, d,
+                        dist_type.coreacc,
                     )
-                    _log_pair_rate(len(qnames) * n)
+                    _log_pair_rate(len(_row_names(uni_rows)) * len(qnames))
         if out is not sys.stdout:
             out.close()
 

@@ -81,13 +81,18 @@ def self_dists_all(
     completeness_vec=None,
     completeness_cutoff: float = 0.64,
     engine=None,
+    row_range: slice | None = None,
 ) -> np.ndarray:
     """Dense self distances, upper-triangle row-major.
 
     Returns (n_pairs,) f32 for Jaccard/ANI or (n_pairs, 2) f32 for core-acc.
+    row_range restricts to rows [lo, hi) x all columns j > i (the
+    multi-process shard of the long-form output; concatenating ranks in
+    order reproduces the full file).
     """
     engine = engine or _default_engine
     n = ms.number_samples_loaded()
+    lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
     s64 = ms.sketchsize64
     comp = (
         np.asarray(completeness_vec, dtype=np.float64)
@@ -98,8 +103,8 @@ def self_dists_all(
     out_parts = []
     if dist_type.coreacc:
         k_mats = [_usig_matrix(ms, ki) for ki in range(len(ms.kmer_lengths))]
-    for i0 in range(0, n, _ROW_CHUNK):
-        i1 = min(i0 + _ROW_CHUNK, n)
+    for i0 in range(lo, hi, _ROW_CHUNK):
+        i1 = min(i0 + _ROW_CHUNK, hi)
         rows = np.arange(i0, i1)
         # upper-triangle pair indices for this row block
         ii, jj = np.nonzero(
@@ -143,10 +148,13 @@ def cross_dists_all(
     query_completeness_vec=None,
     completeness_cutoff: float = 0.64,
     engine=None,
+    row_range: slice | None = None,
 ) -> np.ndarray:
-    """Dense cross distances, ref-major rectangle (n_ref * n_query)."""
+    """Dense cross distances, ref-major rectangle (n_ref * n_query).
+    row_range restricts to a block of reference rows (multi-process)."""
     engine = engine or _default_engine
     n = ref_ms.number_samples_loaded()
+    lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
     nq = query_ms.number_samples_loaded()
     s64 = ref_ms.sketchsize64
     rcomp = (
@@ -161,8 +169,8 @@ def cross_dists_all(
     )
 
     out_parts = []
-    for i0 in range(0, n, _ROW_CHUNK):
-        i1 = min(i0 + _ROW_CHUNK, n)
+    for i0 in range(lo, hi, _ROW_CHUNK):
+        i1 = min(i0 + _ROW_CHUNK, hi)
         rows = np.arange(i0, i1)
         gi = np.repeat(rows, nq)
         gj = np.tile(np.arange(nq), rows.size)
@@ -190,6 +198,8 @@ def cross_dists_all(
                 jaccs, ref_ms.kmer_lengths, ref_ms.sketch_size
             )
             out_parts.append(np.stack([core, acc], axis=1))
+    if not out_parts:
+        return np.zeros((0, 2) if dist_type.coreacc else 0, dtype=np.float32)
     return np.concatenate(out_parts)
 
 
@@ -213,11 +223,14 @@ def self_dists_knn(
     completeness_vec=None,
     completeness_cutoff: float = 0.64,
     engine=None,
+    row_range: slice | None = None,
 ):
     """Sparse kNN self distances. Returns a list of per-row item lists
-    matching output.write_sparse."""
+    matching output.write_sparse (rows [lo, hi) when row_range is set;
+    neighbours always range over all samples)."""
     engine = engine or _default_engine
     n = ms.number_samples_loaded()
+    lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
     s64 = ms.sketchsize64
     comp = (
         np.asarray(completeness_vec, dtype=np.float64)
@@ -229,8 +242,8 @@ def self_dists_knn(
         k_mats = [_usig_matrix(ms, ki) for ki in range(len(ms.kmer_lengths))]
     else:
         mat = _usig_matrix(ms, dist_type.k_idx)
-    for i0 in range(0, n, _ROW_CHUNK):
-        i1 = min(i0 + _ROW_CHUNK, n)
+    for i0 in range(lo, hi, _ROW_CHUNK):
+        i1 = min(i0 + _ROW_CHUNK, hi)
         rows = np.arange(i0, i1)
         if not dist_type.coreacc:
             sb = engine(mat[rows], mat)  # (chunk, n)
@@ -378,8 +391,10 @@ def cross_dists_knn(
     query_completeness_vec=None,
     completeness_cutoff: float = 0.64,
     engine=None,
+    row_range: slice | None = None,
 ):
-    """Sparse kNN cross distances: one row per query, neighbours are refs."""
+    """Sparse kNN cross distances: one row per query, neighbours are refs.
+    row_range restricts to a block of query rows (multi-process)."""
     engine = engine or _default_engine
     n = ref_ms.number_samples_loaded()
     nq = query_ms.number_samples_loaded()
@@ -399,9 +414,10 @@ def cross_dists_knn(
         if query_completeness_vec is not None
         else None
     )
+    lo, hi = (row_range.start, row_range.stop) if row_range else (0, nq)
     rows_out = []
-    for q0 in range(0, nq, _ROW_CHUNK):
-        q1 = min(q0 + _ROW_CHUNK, nq)
+    for q0 in range(lo, hi, _ROW_CHUNK):
+        q1 = min(q0 + _ROW_CHUNK, hi)
         qrows = np.arange(q0, q1)
         if not dist_type.coreacc:
             sb = engine(

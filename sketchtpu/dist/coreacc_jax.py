@@ -192,21 +192,27 @@ class DeviceCoreAccEngine:
         return coreacc_tile(a, self._stack, self.s64, self.kmers,
                             self.ms.sketch_size)
 
-    def stream_self_dense(self, out, names: list[str]) -> None:
+    def stream_self_dense(
+        self, out, names: list[str], row_range: slice | None = None
+    ) -> None:
         """Write the upper-triangle long-form core/acc output, computing
         (tile x all-columns) blocks on device and streaming rows out. The
         next block is dispatched before the current one is formatted, so
-        device compute overlaps host text formatting."""
+        device compute overlaps host text formatting. row_range restricts
+        to a block of rows (multi-process sharding)."""
         from .._native import get_lib
         from .output import _name_table, _native_lines, fmt_f32_column
 
         n = len(names)
-        starts = list(range(0, n, self.tile))
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
+        starts = list(range(lo, hi, self.tile))
+        if not starts:
+            return
         pending: list[tuple] = []
         tab = _name_table(names) if get_lib() is not None else None
 
         def dispatch(r0: int):
-            r1 = min(r0 + self.tile, n)
+            r1 = min(r0 + self.tile, hi)
             pending.append((r0, r1, self._tile_dists_async(r0, r1, n)))
 
         dispatch(starts[0])

@@ -154,16 +154,20 @@ class DeviceDenseStreamEngine:
         )
 
     def stream_self_dense(
-        self, out, names, dist_type, comp=None, cutoff: float = 0.64
+        self, out, names, dist_type, comp=None, cutoff: float = 0.64,
+        row_range: slice | None = None,
     ) -> None:
         from .jaccard_np import ani_pois, jaccard_from_samebits
         from .output import _name_table, _native_lines, fmt_f32
         from .._native import get_lib
 
         n = self.n
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
         comp = np.asarray(comp, dtype=np.float64) if comp is not None else None
         tab = _name_table(names) if get_lib() is not None else None
-        starts = list(range(0, n, self.tile))
+        starts = list(range(lo, hi, self.tile))
+        if not starts:
+            return
         pending: list[tuple] = []
 
         def dispatch(r0: int):
@@ -174,7 +178,7 @@ class DeviceDenseStreamEngine:
             r0, strip_dev = pending.pop(0)
             if nxt is not None:
                 dispatch(nxt)
-            r1 = min(r0 + self.tile, n)
+            r1 = min(r0 + self.tile, hi)
             strip = np.asarray(strip_dev)
             npad = strip.shape[1]
             counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
@@ -211,9 +215,11 @@ class DeviceDenseStreamEngine:
         rcomp=None,
         qcomp=None,
         cutoff: float = 0.64,
+        row_range: slice | None = None,
     ) -> None:
         """Ref-major rectangular output (cross_dists_all semantics); ref
-        row blocks stream against the device-resident query matrix."""
+        row blocks stream against the device-resident query matrix.
+        row_range restricts to a block of reference rows."""
         from .jaccard_np import ani_pois, jaccard_from_samebits
         from .output import _name_table, _native_lines, fmt_f32
         from .._native import get_lib
@@ -229,9 +235,12 @@ class DeviceDenseStreamEngine:
         q_dev = jax.device_put(qmat)
         rcomp = np.asarray(rcomp, dtype=np.float64) if rcomp is not None else None
         qcomp = np.asarray(qcomp, dtype=np.float64) if qcomp is not None else None
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
         tab_r = _name_table(ref_names) if get_lib() is not None else None
         tab_q = _name_table(query_names) if tab_r is not None else None
-        starts = list(range(0, n, self.tile))
+        starts = list(range(lo, hi, self.tile))
+        if not starts:
+            return
         pending: list[tuple] = []
 
         def dispatch(r0: int):
@@ -245,7 +254,7 @@ class DeviceDenseStreamEngine:
             r0, strip_dev = pending.pop(0)
             if nxt is not None:
                 dispatch(nxt)
-            r1 = min(r0 + self.tile, n)
+            r1 = min(r0 + self.tile, hi)
             strip = np.asarray(strip_dev)
             npad = strip.shape[1]
             rows = np.repeat(np.arange(r0, r1, dtype=np.int32), nq)

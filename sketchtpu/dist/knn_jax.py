@@ -338,8 +338,11 @@ class DeviceKnnEngine:
         exclude_self: bool,
         a_sig: np.ndarray | None = None,
         b_sig_dev: jax.Array | None = None,
+        row_base: int = 0,
     ):
-        """Generic row-block scan; a_mat is host u32 (na, W2)."""
+        """Generic row-block scan; a_mat is host u32 (na, W2). row_base is
+        the global index of a_mat's first row (self-exclusion offset when
+        rows are a multi-process slice)."""
         na = a_mat.shape[0]
         tc = self.col_tile
         masked = a_sig is not None
@@ -356,7 +359,7 @@ class DeviceKnnEngine:
             v, i = _knn_scan_block(
                 a_blk,
                 b_dev,
-                np.int32(r0),
+                np.int32(row_base + r0),
                 np.int32(self.n),
                 sig_blk,
                 b_sig_dev if masked else dummy,
@@ -377,11 +380,19 @@ class DeviceKnnEngine:
     ):
         return rows_from_samebits(sb, idx, dist_type, self.s64, as_lists)
 
-    def self_knn(self, knn: int, dist_type):
-        """Self kNN (Jaccard or ANI, no completeness)."""
+    def self_knn(self, knn: int, dist_type, row_range: slice | None = None):
+        """Self kNN (Jaccard or ANI, no completeness); row_range restricts
+        to a block of rows (multi-process sharding), neighbours always
+        range over all samples."""
         b_dev = self._plane(dist_type.k_idx)
         a_mat = self._plane_host(dist_type.k_idx)
-        sb, idx = self._scan_rows(a_mat, b_dev, knn, exclude_self=True)
+        base = 0
+        if row_range is not None:
+            a_mat = a_mat[row_range]
+            base = row_range.start
+        sb, idx = self._scan_rows(
+            a_mat, b_dev, knn, exclude_self=True, row_base=base
+        )
         return self._rows_from_samebits(sb, idx, dist_type)
 
     def cross_knn(self, query_ms, knn: int, dist_type):
@@ -406,7 +417,7 @@ class DeviceKnnEngine:
         return self.__dict__["stack_cm_t"]
 
     def _knn_coreacc(self, row_stack: np.ndarray, nrows: int, knn: int,
-                     exclude_self: bool):
+                     exclude_self: bool, row_base: int = 0):
         """Shared row-block driver for self/cross core-acc kNN; row_stack is
         (nk, nrows, W2) u32."""
         kmers = tuple(self.ms.kmer_lengths)
@@ -428,7 +439,7 @@ class DeviceKnnEngine:
                 core, acc, idx = _knn_scan_block_ca_pallas(
                     a_blk,
                     bt_cm,
-                    np.int32(r0),
+                    np.int32(row_base + r0),
                     np.int32(self.n),
                     s64=self.s64,
                     kmers=kmers,
@@ -441,7 +452,7 @@ class DeviceKnnEngine:
                 core, acc, idx = _knn_scan_block_ca(
                     jnp.asarray(np.asarray(row_stack)[:, r0:r1, :]),
                     b_stack,
-                    np.int32(r0),
+                    np.int32(row_base + r0),
                     np.int32(self.n),
                     s64=self.s64,
                     kmers=kmers,
@@ -464,10 +475,16 @@ class DeviceKnnEngine:
             None,
         )
 
-    def self_knn_coreacc(self, knn: int):
+    def self_knn_coreacc(self, knn: int, row_range: slice | None = None):
         b_stack = self._stack()
         a_host = np.asarray(jax.device_get(b_stack))[:, : self.n, :]
-        return self._knn_coreacc(a_host, self.n, knn, exclude_self=True)
+        base = 0
+        if row_range is not None:
+            a_host = a_host[:, row_range, :]
+            base = row_range.start
+        return self._knn_coreacc(
+            a_host, a_host.shape[1], knn, exclude_self=True, row_base=base
+        )
 
     def cross_knn_coreacc(self, query_ms, knn: int):
         kmers = tuple(self.ms.kmer_lengths)

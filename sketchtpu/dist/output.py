@@ -115,17 +115,21 @@ def _native_lines(
     return True
 
 
-def write_dense_self(out, names, dists, coreacc: bool):
-    """Upper-triangle long form. dists: (n_pairs,) or (n_pairs, 2)."""
+def write_dense_self(out, names, dists, coreacc: bool,
+                     row_range: slice | None = None):
+    """Upper-triangle long form. dists: (n_pairs,) or (n_pairs, 2).
+    With row_range, dists covers only rows [lo, hi) (a multi-process
+    shard of the long-form output)."""
     n = len(names)
+    lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
     dists = np.asarray(dists)
     if get_lib() is not None:
         tab = _name_table(names)
         idx = 0
         # row-blocked i/j generation keeps the index arrays bounded
         blk = max(1, _CHUNK // max(n, 1))
-        for i0 in range(0, n, blk):
-            i1 = min(i0 + blk, n)
+        for i0 in range(lo, hi, blk):
+            i1 = min(i0 + blk, hi)
             counts = np.arange(n - i0 - 1, n - i1 - 1, -1)
             rows = np.repeat(np.arange(i0, i1, dtype=np.int32), counts)
             cols = (
@@ -144,14 +148,16 @@ def write_dense_self(out, names, dists, coreacc: bool):
             )
             idx += m
         return
-    _write_dense_self_py(out, names, dists, coreacc)
+    _write_dense_self_py(out, names, dists, coreacc, lo, hi)
 
 
-def _write_dense_self_py(out, names, dists, coreacc: bool):
+def _write_dense_self_py(out, names, dists, coreacc: bool,
+                         lo: int = 0, hi: int | None = None):
     n = len(names)
+    hi = n if hi is None else hi
     idx = 0
     if coreacc:
-        for i in range(n):
+        for i in range(lo, hi):
             for j in range(i + 1, n):
                 out.write(
                     f"{names[i]}\t{names[j]}\t"
@@ -159,7 +165,7 @@ def _write_dense_self_py(out, names, dists, coreacc: bool):
                 )
                 idx += 1
     else:
-        for i in range(n):
+        for i in range(lo, hi):
             for j in range(i + 1, n):
                 out.write(f"{names[i]}\t{names[j]}\t{fmt_f32(dists[idx])}\n")
                 idx += 1

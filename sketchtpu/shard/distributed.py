@@ -59,6 +59,27 @@ def shard_prefix(output_prefix: str, process_index: int) -> str:
     return f"{output_prefix}.part{process_index}"
 
 
+def triangle_row_slice(
+    n: int, process_index: int, process_count: int
+) -> slice:
+    """Row range for one process of an upper-triangle self-distance run,
+    balanced by pair count (row i carries n-1-i pairs, so equal row counts
+    would leave the first rank with ~2x the work). Concatenating the ranks'
+    long-form outputs in rank order reproduces the single-process file."""
+    import numpy as np
+
+    if n == 0:
+        return slice(0, 0)
+    cum = np.arange(n + 1, dtype=np.float64)
+    cum = cum * n - cum * (cum + 1) / 2  # pairs in rows [0, i)
+    total = cum[-1]
+    lo = int(np.searchsorted(cum, total * process_index / process_count))
+    hi = int(np.searchsorted(cum, total * (process_index + 1) / process_count))
+    if process_index == process_count - 1:
+        hi = n
+    return slice(min(lo, n), min(hi, n))
+
+
 def sketch_shard(
     output_prefix: str,
     input_files: list,

@@ -90,7 +90,8 @@ def sharded_coreacc_step(a_stack, b_stack, s64: int, mesh: Mesh,
 
 
 def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
-                     exclude_self: bool, col_tile: int = 2048):
+                     exclude_self: bool, col_tile: int = 2048,
+                     row_base: int = 0):
     """Sparse kNN selection over a mesh: rows sharded, columns streamed.
 
     a: (na, W2) u32 row-sharded (na % mesh rows == 0); b: (nbp, W2) u32
@@ -111,9 +112,9 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
 
     def shard_fn(a_blk, b_blk):
         dummy = jnp.zeros((1, 1), jnp.int32)
-        row0 = jax.lax.axis_index("rows").astype(jnp.int32) * jnp.int32(
-            rows_per
-        )
+        row0 = jnp.int32(row_base) + jax.lax.axis_index("rows").astype(
+            jnp.int32
+        ) * jnp.int32(rows_per)
         v, i = _knn_scan_block(
             a_blk,
             b_blk,
@@ -140,7 +141,7 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
 def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
                         n_real: int, exclude_self: bool,
                         kmers: tuple[int, ...], sketch_size: int,
-                        col_tile: int = 2048):
+                        col_tile: int = 2048, row_base: int = 0):
     """Sharded multi-k core/accessory kNN: rows shard over 'rows', the
     (nk, nbp, W2) column stack replicates; each device keeps a running
     top-k by core distance over streamed column tiles. Returns
@@ -156,9 +157,9 @@ def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
     tc = min(col_tile, b_stack.shape[1])
 
     def shard_fn(a_blk, b_blk):
-        row0 = jax.lax.axis_index("rows").astype(jnp.int32) * jnp.int32(
-            rows_per
-        )
+        row0 = jnp.int32(row_base) + jax.lax.axis_index("rows").astype(
+            jnp.int32
+        ) * jnp.int32(rows_per)
         return _knn_scan_block_ca(
             a_blk,
             b_blk,
@@ -280,14 +281,17 @@ class ShardedCoreAccEngine:
         )
         return np.asarray(out)[:na]
 
-    def stream_self_dense(self, out, names: list[str]) -> None:
+    def stream_self_dense(
+        self, out, names: list[str], row_range: slice | None = None
+    ) -> None:
         from ..dist.output import _name_table, _native_lines, fmt_f32_column
         from .._native import get_lib
 
         n = len(names)
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
         tab = _name_table(names) if get_lib() is not None else None
-        for r0 in range(0, n, self.tile):
-            r1 = min(r0 + self.tile, n)
+        for r0 in range(lo, hi, self.tile):
+            r1 = min(r0 + self.tile, hi)
             block = self.tile_dists(slice(r0, r1), slice(0, n))
             if tab is not None:
                 counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
@@ -335,7 +339,7 @@ class ShardedKnnEngine:
         return mat, b
 
     def _run(self, a_mat: np.ndarray, b_mat: np.ndarray, knn: int,
-             exclude_self: bool):
+             exclude_self: bool, row_base: int = 0):
         rows_mult = self.mesh.shape["rows"]
         na = a_mat.shape[0]
         pad = (-na) % rows_mult
@@ -346,14 +350,20 @@ class ShardedKnnEngine:
         v, i = sharded_knn_step(
             a_dev, b_dev, self.s64, self.mesh, knn, n_real=self.n,
             exclude_self=exclude_self, col_tile=self.col_tile,
+            row_base=row_base,
         )
         return np.asarray(v)[:na], np.asarray(i)[:na]
 
-    def self_knn(self, knn: int, dist_type):
+    def self_knn(self, knn: int, dist_type, row_range: slice | None = None):
         from ..dist.knn_jax import rows_from_samebits
 
         a_mat, b_mat = self._mats(dist_type.k_idx)
-        sb, idx = self._run(a_mat, b_mat, knn, exclude_self=True)
+        base = 0
+        if row_range is not None:
+            a_mat = a_mat[row_range]
+            base = row_range.start
+        sb, idx = self._run(a_mat, b_mat, knn, exclude_self=True,
+                            row_base=base)
         return rows_from_samebits(sb, idx, dist_type, self.s64)
 
     def cross_knn(self, query_ms, knn: int, dist_type):
@@ -373,7 +383,8 @@ class ShardedKnnEngine:
         mat = ms.sketch_bins.reshape(n, nk, w)
         return np.ascontiguousarray(mat.transpose(1, 0, 2)).view(np.uint32)
 
-    def _run_ca(self, a_stack: np.ndarray, knn: int, exclude_self: bool):
+    def _run_ca(self, a_stack: np.ndarray, knn: int, exclude_self: bool,
+                row_base: int = 0):
         from ..dist.knn_jax import SparseKnnRows
 
         kmers = tuple(self.ms.kmer_lengths)
@@ -396,14 +407,20 @@ class ShardedKnnEngine:
             a_dev, b_dev, self.s64, self.mesh, knn, n_real=self.n,
             exclude_self=exclude_self, kmers=kmers,
             sketch_size=self.ms.sketch_size, col_tile=self.col_tile,
+            row_base=row_base,
         )
         vals = np.stack(
             [np.asarray(core)[:na], np.asarray(acc)[:na]], axis=-1
         ).astype(np.float32)
         return SparseKnnRows(np.asarray(idx)[:na], vals, None)
 
-    def self_knn_coreacc(self, knn: int):
-        return self._run_ca(self._stack(self.ms), knn, exclude_self=True)
+    def self_knn_coreacc(self, knn: int, row_range: slice | None = None):
+        stack = self._stack(self.ms)
+        base = 0
+        if row_range is not None:
+            stack = stack[:, row_range, :]
+            base = row_range.start
+        return self._run_ca(stack, knn, exclude_self=True, row_base=base)
 
     def cross_knn_coreacc(self, query_ms, knn: int):
         return self._run_ca(self._stack(query_ms), knn, exclude_self=False)

@@ -6,6 +6,7 @@ compares against a direct single-process sketch of the full input list.
 """
 
 import numpy as np
+import pytest
 
 from sketchtpu.constants import num_bins
 from sketchtpu.formats.skm import MultiSketch
@@ -103,3 +104,123 @@ def test_cli_sharded_sketch(tmp_path, ref_in, monkeypatch):
         tmp_path / "direct.skd"
     ).read_bytes()
     assert not (tmp_path / "shard.part0.skd").exists()
+
+
+# --- multi-process distances ---
+
+
+def _write_fasta(path, rng, n):
+    seq = rng.choice(list("ACGT"), size=n)
+    with open(path, "w") as f:
+        f.write(">c1\n")
+        f.write("".join(seq) + "\n")
+
+
+def _make_db(tmp_path, monkeypatch, name, n_samples, seed, kmers="13,17,21"):
+    from sketchtpu import cli
+
+    rng = np.random.default_rng(seed)
+    rfile = tmp_path / f"{name}.rfile"
+    with open(rfile, "w") as f:
+        for i in range(n_samples):
+            fa = tmp_path / f"{name}_{i}.fa"
+            _write_fasta(fa, rng, 4000 + senseless_pad(i))
+            f.write(f"{name}{i}\t{fa}\n")
+    monkeypatch.setenv("SKETCHTPU_BACKEND", "host")
+    assert cli.main([
+        "sketch", "-f", str(rfile), "-o", str(tmp_path / name),
+        "-k", kmers, "-s", "100", "--quiet",
+    ]) in (0, None)
+    return str(tmp_path / name)
+
+
+def senseless_pad(i):
+    return 37 * i  # vary lengths a little
+
+
+def _run_dist(tmp_path, monkeypatch, backend, dist_args, tag):
+    """Single-process output vs 2-rank concatenation; returns both."""
+    from sketchtpu import cli
+
+    monkeypatch.setenv("SKETCHTPU_BACKEND", backend)
+    single = tmp_path / f"{tag}_single.txt"
+    assert cli.main(
+        ["dist", *dist_args, "-o", str(single), "--quiet"]
+    ) in (0, None)
+    multi = tmp_path / f"{tag}_multi.txt"
+    for rank in range(2):
+        assert cli.main(
+            ["dist", *dist_args, "-o", str(multi), "--quiet",
+             "--n-processes", "2", "--process-id", str(rank)]
+        ) in (0, None)
+    parts = b"".join(
+        open(f"{multi}.part{r}", "rb").read() for r in range(2)
+    )
+    return open(single, "rb").read(), parts
+
+
+@pytest.mark.parametrize("backend", ["host", "tpu"])
+def test_multiprocess_self_dense_coreacc(tmp_path, monkeypatch, backend):
+    db = _make_db(tmp_path, monkeypatch, "db", 9, 1)
+    single, parts = _run_dist(tmp_path, monkeypatch, backend, [db], "ca")
+    assert parts == single and single.count(b"\n") == 9 * 8 // 2
+
+
+@pytest.mark.parametrize("backend", ["host", "tpu"])
+def test_multiprocess_self_dense_jaccard(tmp_path, monkeypatch, backend):
+    db = _make_db(tmp_path, monkeypatch, "db", 9, 2)
+    single, parts = _run_dist(
+        tmp_path, monkeypatch, backend, [db, "-k", "17"], "jac"
+    )
+    assert parts == single and single.count(b"\n") == 9 * 8 // 2
+
+
+@pytest.mark.parametrize("backend", ["host", "tpu"])
+def test_multiprocess_self_knn(tmp_path, monkeypatch, backend):
+    db = _make_db(tmp_path, monkeypatch, "db", 9, 3)
+    single, parts = _run_dist(
+        tmp_path, monkeypatch, backend, [db, "-k", "17", "--knn", "3"], "knn"
+    )
+    assert parts == single
+
+
+@pytest.mark.parametrize("backend", ["host", "tpu"])
+def test_multiprocess_self_knn_coreacc(tmp_path, monkeypatch, backend):
+    db = _make_db(tmp_path, monkeypatch, "db", 9, 4)
+    single, parts = _run_dist(
+        tmp_path, monkeypatch, backend, [db, "--knn", "3"], "knnca"
+    )
+    assert parts == single
+
+
+@pytest.mark.parametrize("backend", ["host", "tpu"])
+def test_multiprocess_cross_dense(tmp_path, monkeypatch, backend):
+    db = _make_db(tmp_path, monkeypatch, "db", 7, 5)
+    qdb = _make_db(tmp_path, monkeypatch, "qdb", 5, 6)
+    single, parts = _run_dist(
+        tmp_path, monkeypatch, backend, [db, qdb, "-k", "17"], "xd"
+    )
+    assert parts == single and single.count(b"\n") == 7 * 5
+
+
+@pytest.mark.parametrize("backend", ["host", "tpu"])
+def test_multiprocess_cross_knn(tmp_path, monkeypatch, backend):
+    db = _make_db(tmp_path, monkeypatch, "db", 7, 7)
+    qdb = _make_db(tmp_path, monkeypatch, "qdb", 5, 8)
+    single, parts = _run_dist(
+        tmp_path, monkeypatch, backend, [db, qdb, "-k", "17", "--knn", "3"],
+        "xknn",
+    )
+    assert parts == single
+
+
+def test_triangle_row_slice_covers():
+    from sketchtpu.shard.distributed import triangle_row_slice
+
+    for n in (0, 1, 2, 9, 100, 6610):
+        for p in (1, 2, 3, 8):
+            slices = [triangle_row_slice(n, i, p) for i in range(p)]
+            covered = []
+            for s in slices:
+                covered.extend(range(n)[s])
+            assert covered == list(range(n)), (n, p)

@@ -121,3 +121,40 @@ def test_dist_surfaces_consistent(wd, seed):
             j = min(j / (c1 * c2 / (c1 + c2 - c1 * c2)), 1.0)
         want = np.float32(1.0 - j)
         assert np.isclose(v[0], want, atol=1e-6), ((a, b), v[0], want)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_multiprocess_concat_matches_fuzz(wd, seed, monkeypatch):
+    """Random mode/backend/process-count: the rank-ordered concatenation
+    of .partN outputs must equal the single-process output bytes."""
+    rng = np.random.default_rng(4000 + seed)
+    ngen = int(rng.integers(6, 12))
+    genomes = []
+    for i in range(ngen):
+        name = f"g{i}.fa.gz"
+        _write_fasta(wd / name, rng, int(rng.integers(1500, 5000)))
+        genomes.append(name)
+    run("sketch", "--k-vals", "13,17,21", "-s", "100", *genomes, "-o",
+        "db", "--quiet")
+
+    backend = ["host", "tpu"][int(rng.integers(0, 2))]
+    monkeypatch.setenv("SKETCHTPU_BACKEND", backend)
+    mode = [
+        [],                       # dense coreacc
+        ["-k", "17"],             # dense jaccard
+        ["-k", "17", "--ani"],    # dense ani
+        ["--knn", "2"],           # knn coreacc
+        ["-k", "17", "--knn", "2"],
+        ["db", "-k", "17"],       # cross dense (db vs itself)
+        ["db", "-k", "17", "--knn", "2"],
+    ][int(rng.integers(0, 7))]
+    n_proc = int(rng.integers(2, 5))
+
+    run("dist", "db", *mode, "-o", "single.txt", "--quiet")
+    for r in range(n_proc):
+        run("dist", "db", *mode, "-o", "multi.txt", "--quiet",
+            "--n-processes", str(n_proc), "--process-id", str(r))
+    parts = b"".join(
+        open(f"multi.txt.part{r}", "rb").read() for r in range(n_proc)
+    )
+    assert parts == open("single.txt", "rb").read(), (seed, mode, n_proc)
