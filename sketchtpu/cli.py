@@ -424,6 +424,12 @@ def main(argv=None) -> int:
         def _row_names(sl):
             return names[sl] if sl is not None else names
 
+        def _tri_pairs():
+            if tri_rows is None:
+                return n * (n - 1) // 2
+            lo, hi = tri_rows.start, tri_rows.stop
+            return (hi - lo) * (n - 1) - (hi - lo) * (lo + hi - 1) // 2
+
         def _log_pair_rate(n_pairs):
             el = max(time.time() - start, 1e-9)
             log.info(
@@ -444,7 +450,7 @@ def main(argv=None) -> int:
                     coreacc_engine.stream_self_dense(
                         out, names, row_range=tri_rows
                     )
-                    _log_pair_rate(n * (n - 1) // 2)
+                    _log_pair_rate(_tri_pairs())
                     if out is not sys.stdout:
                         out.close()
                     if print_success and not getattr(args, "quiet", False):
@@ -466,7 +472,7 @@ def main(argv=None) -> int:
                             out, names, dist_type, ref_comp,
                             args.completeness_cutoff, row_range=tri_rows,
                         )
-                        _log_pair_rate(n * (n - 1) // 2)
+                        _log_pair_rate(_tri_pairs())
                         if out is not sys.stdout:
                             out.close()
                         if print_success and not getattr(args, "quiet", False):
@@ -487,7 +493,7 @@ def main(argv=None) -> int:
                 dist_output.write_dense_self(
                     out, names, d, dist_type.coreacc, row_range=tri_rows
                 )
-                _log_pair_rate(n * (n - 1) // 2)
+                _log_pair_rate(_tri_pairs())
             else:
                 from .runtime import select_knn_engine
 

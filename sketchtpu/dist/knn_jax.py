@@ -420,6 +420,12 @@ class DeviceKnnEngine:
                      exclude_self: bool, row_base: int = 0):
         """Shared row-block driver for self/cross core-acc kNN; row_stack is
         (nk, nrows, W2) u32."""
+        if nrows == 0:  # empty multi-process row slice
+            return SparseKnnRows(
+                np.zeros((0, knn), np.int32),
+                np.zeros((0, knn, 2), np.float32),
+                None,
+            )
         kmers = tuple(self.ms.kmer_lengths)
         if self._use_pallas_ca:
             from .coreacc_pallas import chunk_major

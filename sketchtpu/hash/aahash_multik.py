@@ -31,7 +31,12 @@ import jax.numpy as jnp
 
 from .aahash_jax import _tap_select32_dyn
 from .nthash_jax import MAX_K, _mod_mersenne61, _mul_shift, _unpack_bits
-from .nthash_multik import _srol1_pair, _sub_pair
+from .nthash_multik import (
+    _compact_candidates,
+    _sort_and_extract,
+    _srol1_pair,
+    _sub_pair,
+)
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -77,7 +82,6 @@ def multik_aa_hash_bin_kernel(
 
     nb_blocks = n0 // blk
     assert nb_blocks * blk == n0, (n0, blk)
-    n_slots = nb_blocks * w
     pad_tail = n0 - m
 
     f_lo = jnp.zeros(m, dtype=_U32)
@@ -113,44 +117,25 @@ def multik_aa_hash_bin_kernel(
         )
         keep = ok & (under | (bin_idx != bin_shift))
 
-        # blockwise monotone compaction (nthash_multik idea 3; blocks on
-        # the 128-lane axis, slots on sublanes — see pick_block_geometry)
-        kb = jnp.pad(keep, (0, pad_tail)).reshape(nb_blocks, blk)
-        key0 = jnp.pad((_I32(k_idx) << 8) | gidx, (0, pad_tail)).reshape(
-            nb_blocks, blk
+        # blockwise monotone compaction + single sort (shared with the DNA
+        # kernel: nthash_multik._compact_candidates/_sort_and_extract)
+        c_k0, c_hi, c_lo, count_max = _compact_candidates(
+            jnp.pad(keep, (0, pad_tail)),
+            jnp.pad((_I32(k_idx) << 8) | gidx, (0, pad_tail)),
+            jnp.pad(h_hi, (0, pad_tail)),
+            jnp.pad(h_lo, (0, pad_tail)),
+            blk,
+            w,
+            _I32(len(kmers)) << 8,
         )
-        e_hi = jnp.pad(h_hi, (0, pad_tail)).reshape(nb_blocks, blk)
-        e_lo = jnp.pad(h_lo, (0, pad_tail)).reshape(nb_blocks, blk)
-        kpos = jnp.cumsum(kb.astype(_I32), axis=1) - kb.astype(_I32)
-        overflow = jnp.maximum(overflow, jnp.max(kpos[:, -1] + kb[:, -1]))
-        slot = jax.lax.broadcasted_iota(_I32, (1, w, 1), 1)
-        hit = kb[:, None, :] & (kpos[:, None, :] == slot)  # (B, w, blk)
-        c_k0 = jnp.max(jnp.where(hit, key0[:, None, :], -1), axis=2)
-        c_hi = jnp.max(jnp.where(hit, e_hi[:, None, :], _U32(0)), axis=2)
-        c_lo = jnp.max(jnp.where(hit, e_lo[:, None, :], _U32(0)), axis=2)
-        c_k0 = jnp.where(c_k0 < 0, _I32(len(kmers)) << 8, c_k0)
-        cand_k0.append(c_k0.reshape(n_slots))
-        cand_hi.append(c_hi.reshape(n_slots))
-        cand_lo.append(c_lo.reshape(n_slots))
+        overflow = jnp.maximum(overflow, count_max)
+        cand_k0.append(c_k0)
+        cand_hi.append(c_hi)
+        cand_lo.append(c_lo)
 
-    all_k0 = jnp.concatenate(cand_k0)
-    all_hi = jnp.concatenate(cand_hi)
-    all_lo = jnp.concatenate(cand_lo)
-    s_k0, s_hi, s_lo = jax.lax.sort((all_k0, all_hi, all_lo), num_keys=3)
-
-    s_bins = s_k0 * num_bins + _mul_shift(s_lo, s_hi, mm, ss)
-    n_cand = s_bins.shape[0]
-    targets = (
-        (jnp.arange(len(kmers), dtype=_I32)[:, None, None] << 8)
-        + jnp.arange(out_rows, dtype=_I32)[None, :, None]
-    ) * num_bins + jnp.arange(num_bins, dtype=_I32)[None, None, :]
-    targets = targets.reshape(-1)
-    idx = jnp.searchsorted(s_bins, targets)
-    idx_c = jnp.clip(idx, 0, n_cand - 1)
-    found = s_bins[idx_c] == targets
-    out_hi = s_hi[idx_c].reshape(len(kmers), out_rows * num_bins)
-    out_lo = s_lo[idx_c].reshape(len(kmers), out_rows * num_bins)
-    found = found.reshape(len(kmers), out_rows * num_bins)
+    out_hi, out_lo, found = _sort_and_extract(
+        cand_k0, cand_hi, cand_lo, kmers, out_rows, num_bins, magic
+    )
     return out_hi, out_lo, found, overflow
 
 

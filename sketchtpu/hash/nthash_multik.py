@@ -104,6 +104,60 @@ def _sub_pair(lo, hi, t_lo, t_hi):
     return d_lo, d_hi, under
 
 
+def _compact_candidates(keep_p, key0_p, hi_p, lo_p, blk, w, sentinel_key):
+    """Blockwise monotone compaction of already-padded 1-D streams: slot s
+    of a block holds the (s+1)-th kept element (kpos is a cumsum, so a
+    masked one-hot reduce — no scatter, no gather). Blocks sit on the
+    128-lane axis and slots on sublanes, so the (B, w, blk) hit tensor
+    really costs O(stream * w) with w a multiple of 8 (the slots-on-lanes
+    layout padded w up to a full lane tile). Shared by the DNA and AA
+    multi-k kernels. Returns flattened (c_k0, c_hi, c_lo) plus the max
+    per-block keep count (overflow detection)."""
+    nb_blocks = keep_p.shape[0] // blk
+    kb = keep_p.reshape(nb_blocks, blk)
+    key0 = key0_p.reshape(nb_blocks, blk)
+    e_hi = hi_p.reshape(nb_blocks, blk)
+    e_lo = lo_p.reshape(nb_blocks, blk)
+    kpos = jnp.cumsum(kb.astype(_I32), axis=1) - kb.astype(_I32)
+    count_max = jnp.max(kpos[:, -1] + kb[:, -1])
+    slot = jax.lax.broadcasted_iota(_I32, (1, w, 1), 1)
+    hit = kb[:, None, :] & (kpos[:, None, :] == slot)  # (B, w, blk)
+    c_k0 = jnp.max(jnp.where(hit, key0[:, None, :], -1), axis=2)
+    c_hi = jnp.max(jnp.where(hit, e_hi[:, None, :], _U32(0)), axis=2)
+    c_lo = jnp.max(jnp.where(hit, e_lo[:, None, :], _U32(0)), axis=2)
+    # empty slots -> a sentinel key0 sorting after every real (k, genome)
+    c_k0 = jnp.where(c_k0 < 0, sentinel_key, c_k0)
+    return c_k0.reshape(-1), c_hi.reshape(-1), c_lo.reshape(-1), count_max
+
+
+def _sort_and_extract(cand_k0, cand_hi, cand_lo, kmers, out_rows, num_bins,
+                      magic):
+    """One 3-key sort over every k's candidate slots, then run heads of the
+    sorted (key, sign) stream are the per-(k, genome, bin) minima — the
+    shared tail of the DNA and AA multi-k kernels. Returns
+    (out_hi, out_lo, found) each (nk, out_rows * num_bins)."""
+    mm, ss = magic
+    all_k0 = jnp.concatenate(cand_k0)
+    all_hi = jnp.concatenate(cand_hi)
+    all_lo = jnp.concatenate(cand_lo)
+    s_k0, s_hi, s_lo = jax.lax.sort((all_k0, all_hi, all_lo), num_keys=3)
+
+    s_bins = s_k0 * num_bins + _mul_shift(s_lo, s_hi, mm, ss)
+    n_cand = s_bins.shape[0]
+    # searchsorted targets: only the real (k, genome) combinations
+    targets = (
+        (jnp.arange(len(kmers), dtype=_I32)[:, None, None] << 8)
+        + jnp.arange(out_rows, dtype=_I32)[None, :, None]
+    ) * num_bins + jnp.arange(num_bins, dtype=_I32)[None, None, :]
+    targets = targets.reshape(-1)
+    idx = jnp.searchsorted(s_bins, targets)
+    idx_c = jnp.clip(idx, 0, n_cand - 1)
+    found = s_bins[idx_c] == targets
+    out_hi = s_hi[idx_c].reshape(len(kmers), out_rows * num_bins)
+    out_lo = s_lo[idx_c].reshape(len(kmers), out_rows * num_bins)
+    return out_hi, out_lo, found.reshape(len(kmers), out_rows * num_bins)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kmers", "rc", "num_bins", "magic", "out_rows", "blk", "w"),
@@ -156,7 +210,6 @@ def multik_hash_bin_kernel(
     # divides into whole blocks); the MAX_K tail windows carry keep=False
     nb_blocks = n0 // blk
     assert nb_blocks * blk == n0, (n0, blk)
-    n_slots = nb_blocks * w
     pad_tail = n0 - m
 
     f_lo = jnp.zeros(m, dtype=_U32)
@@ -204,52 +257,26 @@ def multik_hash_bin_kernel(
         )
         keep = ok & (under | (bin_idx != bin_shift))
 
-        # blockwise monotone compaction: slot s of a block holds the
-        # (s+1)-th kept element (pos is a cumsum -> masked one-hot reduce).
-        # Layout puts the block axis on the 128-lane dimension and the slot
-        # axis on sublanes: the (B, w, blk) hit tensor then really costs
-        # O(stream * w) with w a multiple of 8 — the previous (B, blk, w)
-        # layout padded w up to the 128-lane tile, so w below 128 was free
-        # of nothing (this halves-to-octuples the dominant term).
-        kb = jnp.pad(keep, (0, pad_tail)).reshape(nb_blocks, blk)
-        key0 = jnp.pad((_I32(k_idx) << 8) | gidx, (0, pad_tail)).reshape(
-            nb_blocks, blk
+        # blockwise monotone compaction (shared helper; blocks on the
+        # 128-lane axis, slots on sublanes)
+        c_k0, c_hi, c_lo, count_max = _compact_candidates(
+            jnp.pad(keep, (0, pad_tail)),
+            jnp.pad((_I32(k_idx) << 8) | gidx, (0, pad_tail)),
+            jnp.pad(h_hi, (0, pad_tail)),
+            jnp.pad(h_lo, (0, pad_tail)),
+            blk,
+            w,
+            _I32(len(kmers)) << 8,
         )
-        e_hi = jnp.pad(h_hi, (0, pad_tail)).reshape(nb_blocks, blk)
-        e_lo = jnp.pad(h_lo, (0, pad_tail)).reshape(nb_blocks, blk)
-        kpos = jnp.cumsum(kb.astype(_I32), axis=1) - kb.astype(_I32)
-        overflow = jnp.maximum(overflow, jnp.max(kpos[:, -1] + kb[:, -1]))
-        slot = jax.lax.broadcasted_iota(_I32, (1, w, 1), 1)
-        hit = kb[:, None, :] & (kpos[:, None, :] == slot)  # (B, w, blk)
-        c_k0 = jnp.max(jnp.where(hit, key0[:, None, :], -1), axis=2)
-        c_hi = jnp.max(jnp.where(hit, e_hi[:, None, :], _U32(0)), axis=2)
-        c_lo = jnp.max(jnp.where(hit, e_lo[:, None, :], _U32(0)), axis=2)
-        # empty slots -> a sentinel key0 sorting after every real (k, genome)
-        c_k0 = jnp.where(c_k0 < 0, _I32(len(kmers)) << 8, c_k0)
-        cand_k0.append(c_k0.reshape(n_slots))
-        cand_hi.append(c_hi.reshape(n_slots))
-        cand_lo.append(c_lo.reshape(n_slots))
+        overflow = jnp.maximum(overflow, count_max)
+        cand_k0.append(c_k0)
+        cand_hi.append(c_hi)
+        cand_lo.append(c_lo)
 
     # one sort over all k's candidates: (k_idx|gidx, hi, lo)
-    all_k0 = jnp.concatenate(cand_k0)
-    all_hi = jnp.concatenate(cand_hi)
-    all_lo = jnp.concatenate(cand_lo)
-    s_k0, s_hi, s_lo = jax.lax.sort((all_k0, all_hi, all_lo), num_keys=3)
-
-    s_bins = s_k0 * num_bins + _mul_shift(s_lo, s_hi, mm, ss)
-    n_cand = s_bins.shape[0]
-    # searchsorted targets: only the real (k, genome) combinations
-    targets = (
-        (jnp.arange(len(kmers), dtype=_I32)[:, None, None] << 8)
-        + jnp.arange(out_rows, dtype=_I32)[None, :, None]
-    ) * num_bins + jnp.arange(num_bins, dtype=_I32)[None, None, :]
-    targets = targets.reshape(-1)
-    idx = jnp.searchsorted(s_bins, targets)
-    idx_c = jnp.clip(idx, 0, n_cand - 1)
-    found = s_bins[idx_c] == targets
-    out_hi = s_hi[idx_c].reshape(len(kmers), out_rows * num_bins)
-    out_lo = s_lo[idx_c].reshape(len(kmers), out_rows * num_bins)
-    found = found.reshape(len(kmers), out_rows * num_bins)
+    out_hi, out_lo, found = _sort_and_extract(
+        cand_k0, cand_hi, cand_lo, kmers, out_rows, num_bins, magic
+    )
     return out_hi, out_lo, found, overflow
 
 

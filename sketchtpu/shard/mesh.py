@@ -342,6 +342,8 @@ class ShardedKnnEngine:
              exclude_self: bool, row_base: int = 0):
         rows_mult = self.mesh.shape["rows"]
         na = a_mat.shape[0]
+        if na == 0:  # empty multi-process row slice
+            return (np.zeros((0, knn), np.int32), np.zeros((0, knn), np.int32))
         pad = (-na) % rows_mult
         if pad:
             a_mat = np.pad(a_mat, ((0, pad), (0, 0)))
@@ -394,6 +396,12 @@ class ShardedKnnEngine:
             b_stack = np.pad(b_stack, ((0, 0), (0, padc), (0, 0)))
         rows_mult = self.mesh.shape["rows"]
         na = a_stack.shape[1]
+        if na == 0:  # empty multi-process row slice
+            return SparseKnnRows(
+                np.zeros((0, knn), np.int32),
+                np.zeros((0, knn, 2), np.float32),
+                None,
+            )
         pad = (-na) % rows_mult
         if pad:
             a_stack = np.pad(a_stack, ((0, 0), (0, pad), (0, 0)))

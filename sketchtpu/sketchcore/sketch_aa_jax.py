@@ -26,6 +26,7 @@ from .sketch_jax import (
     _SEG_BASES,
     _bucket_size,
     DeviceSketchBackend,
+    segmented_min_combine,
 )
 
 
@@ -64,48 +65,11 @@ class DeviceAaSketchBackend:
         enable_compilation_cache()
         self._magic = DeviceSketchBackend()._magic
 
-    @staticmethod
-    def _fast_eligible(stream, kmers, nbins) -> bool:
-        """Multi-k prefilter eligibility (nthash_multik.group_thresholds
-        semantics): big-enough samples share one fused pass over all k;
-        single-k samples still profit from the larger groups when small
-        (see DeviceSketchBackend._fast_eligible)."""
-        from .sketch_jax import _SINGLEK_FAST_MAX_LEN
-
-        if max(kmers) > MAX_K:
-            return False
-        n = stream.seq_len
-        if len(kmers) < 2 and n > _SINGLEK_FAST_MAX_LEN:
-            return False
-        from ..hash.nthash_multik import group_thresholds
-
-        return n > 0 and group_thresholds([n], nbins)[2]
-
-    def _groups(self, streams, kmers=(), nbins=0):
-        """Yield (start, end, is_fast): consecutive prefilter-eligible
-        streams in large fused-kernel groups, the rest in exact-size ones
-        (mirrors DeviceSketchBackend._groups_mixed)."""
-        start = 0
-        n = len(streams)
-        batch_limit = 1 << 24
-        while start < n:
-            is_fast = self._fast_eligible(streams[start], kmers, nbins)
-            cap = _MAX_GROUP_FAST if is_fast else _MAX_GROUP
-            end = start
-            total = 0
-            while (
-                end < n
-                and end - start < cap
-                and (end == start or total + streams[end].seq_len <= batch_limit)
-                and (
-                    end == start
-                    or self._fast_eligible(streams[end], kmers, nbins) == is_fast
-                )
-            ):
-                total += streams[end].seq_len
-                end += 1
-            yield start, end, is_fast
-            start = end
+    # Group routing policy (eligibility rule, group caps, base budgets) is
+    # shared with the DNA backend — the aaHash kernel has the same
+    # prefilter semantics and the same 7/96-row group limits.
+    _fast_eligible = staticmethod(DeviceSketchBackend._fast_eligible)
+    _groups_mixed = DeviceSketchBackend._groups_mixed
 
     def bin_minima_multi_k(
         self,
@@ -116,29 +80,16 @@ class DeviceAaSketchBackend:
     ) -> dict[int, np.ndarray]:
         import jax
 
-        if any(s.seq_len > _SEG_BASES + MAX_K for s in streams):
-            expanded: list[AaStream] = []
-            owner: list[int] = []
-            for i, s in enumerate(streams):
-                if s.seq_len > _SEG_BASES + MAX_K:
-                    segs, _spans = _segment_aa_stream(s, kmers)
-                else:
-                    segs = [s]
-                expanded.extend(segs)
-                owner.extend([i] * len(segs))
-            part = self.bin_minima_multi_k(expanded, kmers, level, nbins)
-            owner_a = np.array(owner, dtype=np.int64)
-            out = {
-                kk: np.full(
-                    (len(streams), nbins),
-                    np.uint64(0xFFFFFFFFFFFFFFFF),
-                    dtype=np.uint64,
-                )
-                for kk in kmers
-            }
-            for kk in kmers:
-                np.minimum.at(out[kk], owner_a, part[kk])
-            return out
+        seg = segmented_min_combine(
+            streams,
+            kmers,
+            nbins,
+            lambda s: s.seq_len > _SEG_BASES + MAX_K,
+            lambda s: _segment_aa_stream(s, kmers),
+            lambda ex: self.bin_minima_multi_k(ex, kmers, level, nbins),
+        )
+        if seg is not None:
+            return seg
 
         out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
 
@@ -289,7 +240,7 @@ class DeviceAaSketchBackend:
                 )
 
         for gi, (start, end, is_fast) in enumerate(
-            self._groups(streams, kmers, nbins)
+            self._groups_mixed(streams, kmers, nbins)
         ):
             if len(in_flight) >= window:
                 collect(in_flight.pop(0))

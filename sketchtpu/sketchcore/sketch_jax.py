@@ -85,6 +85,34 @@ def _segment_stream(stream: DnaStream, seg: int | None = None):
     return segs, spans
 
 
+def segmented_min_combine(streams, kmers, nbins, oversized, segment, inner):
+    """Oversized-stream driver shared by the DNA and AA backends: expand
+    each stream past the segment budget via `segment`, run `inner` on the
+    expanded list, and min-combine rows by owner — exact because the
+    empty-bin sentinel is u64::MAX. Returns None when nothing is
+    oversized (caller proceeds with the normal grouped path)."""
+    if not any(oversized(s) for s in streams):
+        return None
+    expanded, owner = [], []
+    for i, s in enumerate(streams):
+        segs = segment(s)[0] if oversized(s) else [s]
+        expanded.extend(segs)
+        owner.extend([i] * len(segs))
+    part = inner(expanded)
+    owner_a = np.array(owner, dtype=np.int64)
+    out = {
+        kk: np.full(
+            (len(streams), nbins),
+            np.uint64(0xFFFFFFFFFFFFFFFF),
+            dtype=np.uint64,
+        )
+        for kk in kmers
+    }
+    for kk in kmers:
+        np.minimum.at(out[kk], owner_a, part[kk])
+    return out
+
+
 class DeviceSketchBackend:
     def __init__(self):
         from ..runtime import enable_compilation_cache
@@ -180,29 +208,16 @@ class DeviceSketchBackend:
         sentinel is u64::MAX, so np.minimum composes exactly."""
         import jax
 
-        if any(s.seq_len > _SEG_BASES + MAX_K for s in streams):
-            expanded: list[DnaStream] = []
-            owner: list[int] = []
-            for i, s in enumerate(streams):
-                if s.seq_len > _SEG_BASES + MAX_K:
-                    segs, _spans = _segment_stream(s)
-                else:
-                    segs = [s]
-                expanded.extend(segs)
-                owner.extend([i] * len(segs))
-            part = self.bin_minima_multi_k(expanded, kmers, rc, nbins)
-            owner_a = np.array(owner, dtype=np.int64)
-            out = {
-                kk: np.full(
-                    (len(streams), nbins),
-                    np.uint64(0xFFFFFFFFFFFFFFFF),
-                    dtype=np.uint64,
-                )
-                for kk in kmers
-            }
-            for kk in kmers:
-                np.minimum.at(out[kk], owner_a, part[kk])
-            return out
+        seg = segmented_min_combine(
+            streams,
+            kmers,
+            nbins,
+            lambda s: s.seq_len > _SEG_BASES + MAX_K,
+            _segment_stream,
+            lambda ex: self.bin_minima_multi_k(ex, kmers, rc, nbins),
+        )
+        if seg is not None:
+            return seg
 
         out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
 

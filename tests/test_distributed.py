@@ -224,3 +224,29 @@ def test_triangle_row_slice_covers():
             for s in slices:
                 covered.extend(range(n)[s])
             assert covered == list(range(n)), (n, p)
+
+
+@pytest.mark.parametrize("backend", ["host", "tpu"])
+@pytest.mark.parametrize("mode", [[], ["-k", "17"], ["--knn", "2"],
+                                  ["-k", "17", "--knn", "2"]])
+def test_multiprocess_more_ranks_than_rows(tmp_path, monkeypatch, backend,
+                                           mode):
+    """More processes than samples: surplus ranks must write empty parts
+    (not crash), and the concatenation still matches (found by review:
+    DeviceKnnEngine.self_knn_coreacc raised on an empty row slice)."""
+    from sketchtpu import cli
+
+    db = _make_db(tmp_path, monkeypatch, "tiny", 3, 9)
+    monkeypatch.setenv("SKETCHTPU_BACKEND", backend)
+    single = tmp_path / "s.txt"
+    assert cli.main(["dist", db, *mode, "-o", str(single), "--quiet"]) in (0, None)
+    multi = tmp_path / "m.txt"
+    for rank in range(5):
+        assert cli.main(
+            ["dist", db, *mode, "-o", str(multi), "--quiet",
+             "--n-processes", "5", "--process-id", str(rank)]
+        ) in (0, None)
+    parts = b"".join(
+        open(f"{multi}.part{r}", "rb").read() for r in range(5)
+    )
+    assert parts == open(single, "rb").read()

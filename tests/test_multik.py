@@ -134,3 +134,51 @@ def test_big_group_exact_fallback_split():
     ]
     for h, d in zip(host, dev):
         assert np.array_equal(h.usigs, d.usigs)
+
+
+def test_single_k_fast_route_small_genomes():
+    """Single-k requests on small genomes route through the fast kernel
+    (larger groups, bench/probe_singlek.py) and stay bit-exact; large
+    single-k genomes stay on the exact kernel."""
+    rng = np.random.default_rng(5)
+    streams = [
+        DnaStream(
+            codes=rng.integers(0, 4, n).astype(np.uint8),
+            breaks=np.zeros(0, dtype=np.int64),
+            acgt=np.array([1, 1, 1, 1], dtype=np.int64),
+        )
+        for n in (200_000, 250_000, 300_000)
+    ]
+    names = ["a", "b", "c"]
+    kmers = [17]
+
+    backend = DeviceSketchBackend()
+    taken = {"fast": 0}
+    orig = backend._collect_fast_multi_k
+
+    def spy(*a, **kw):
+        res = orig(*a, **kw)
+        if res is not None:
+            taken["fast"] += 1
+        return res
+
+    backend._collect_fast_multi_k = spy
+    dev = backend.sketch_dna_streams(streams, names, kmers, 128, True, 0)
+    assert taken["fast"] >= 1, "single-k fast route was not exercised"
+
+    host = [
+        sketch_dna_sample(s, n, kmers, 128, True, 0)
+        for s, n in zip(streams, names)
+    ]
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs)
+
+    # a large single-k genome must NOT be fast-eligible
+    from sketchtpu.sketchcore.sketch_jax import _SINGLEK_FAST_MAX_LEN
+
+    big = DnaStream(
+        codes=np.zeros(_SINGLEK_FAST_MAX_LEN + 1, dtype=np.uint8),
+        breaks=np.zeros(0, dtype=np.int64),
+    )
+    assert not backend._fast_eligible(big, [17], 128)
+    assert backend._fast_eligible(streams[0], [17], 128)
