@@ -155,6 +155,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-count", type=int, default=DEFAULT_MINCOUNT)
     p.add_argument("--min-qual", type=int, default=DEFAULT_MINQUAL)
     p.add_argument("--threads", type=int, default=1)
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=None,
+        help="Multi-host sharding: this process's rank",
+    )
+    p.add_argument(
+        "--n-processes",
+        type=int,
+        default=None,
+        help="Multi-host sharding: total process count; each process "
+        "handles a block of rows and writes OUTPUT.partN (concatenate "
+        "parts in rank order; only rank 0 prints the header)",
+    )
     _add_common(p)
 
     p = inv_sub.add_parser("precluster")
@@ -169,6 +183,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--completeness-cutoff", type=float, default=0.64)
     p.add_argument(
         "--retain-unmatched", choices=["singleton", "bruteforce"], default=None
+    )
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=None,
+        help="Multi-host sharding: this process's rank",
+    )
+    p.add_argument(
+        "--n-processes",
+        type=int,
+        default=None,
+        help="Multi-host sharding: total process count; each process "
+        "handles a block of rows and writes OUTPUT.partN (concatenate "
+        "parts in rank order; only rank 0 prints the header)",
     )
     _add_common(p)
 
@@ -213,6 +241,17 @@ def strip_sketch_extension(name: str) -> str:
     if name.endswith((".skm", ".skd", ".ski")):
         return name[:-4]
     return name
+
+
+def _resolve_ranks(args):
+    """(proc_id, n_proc, multiproc) from flags or jax.distributed env."""
+    n_proc = getattr(args, "n_processes", None)
+    proc_id = getattr(args, "process_id", None)
+    if n_proc is None and os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from .shard.distributed import init_distributed
+
+        proc_id, n_proc = init_distributed()
+    return proc_id or 0, n_proc, n_proc is not None and n_proc > 1
 
 
 def _setup_logging(args):
@@ -371,14 +410,7 @@ def main(argv=None) -> int:
         from .dist import api, output as dist_output
         from .runtime import select_engine
 
-        n_proc = args.n_processes
-        proc_id = args.process_id
-        if n_proc is None and os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            from .shard.distributed import init_distributed
-
-            proc_id, n_proc = init_distributed()
-        multiproc = n_proc is not None and n_proc > 1
-        proc_id = proc_id or 0
+        proc_id, n_proc, multiproc = _resolve_ranks(args)
         if multiproc and args.output:
             from .shard.distributed import shard_prefix
 
@@ -785,9 +817,22 @@ def _inverted_main(args) -> None:
     elif args.inverted_command == "query":
         from .runtime import select_backend, select_inverted_engine
 
+        proc_id, n_proc, multiproc = _resolve_ranks(args)
+        if multiproc and args.output:
+            from .shard.distributed import shard_prefix
+
+            args.output = shard_prefix(args.output, proc_id)
+            log.info("Multi-process query: rank %d/%d writing %s",
+                     proc_id, n_proc, args.output)
         out = _ostream(args.output)
         inv = Inverted.load(strip_sketch_extension(args.ski))
         input_files = io_inputs.get_input_list(args.file_list, args.seq_files or None)
+        if multiproc:
+            from .shard.distributed import process_slice
+
+            input_files = input_files[
+                process_slice(len(input_files), proc_id, n_proc)
+            ]
         queries, query_names = inv.sketch_queries(
             input_files,
             args.min_count,
@@ -802,13 +847,14 @@ def _inverted_main(args) -> None:
                 batch_counts = engine.match_counts(queries)
             elif args.query_type == "any-bins":
                 batch_any = engine.any_shared_rows(queries)
-        out.write("Query")
-        if args.query_type == "match-count":
-            for name in inv.sample_names:
-                out.write(f"\t{name}")
-            out.write("\n")
-        else:
-            out.write("\tMatches\n")
+        if not multiproc or proc_id == 0:
+            out.write("Query")
+            if args.query_type == "match-count":
+                for name in inv.sample_names:
+                    out.write(f"\t{name}")
+                out.write("\n")
+            else:
+                out.write("\tMatches\n")
         for qi, q_name in enumerate(query_names):
             q = queries[qi]
             out.write(q_name)
@@ -849,6 +895,13 @@ def _inverted_main(args) -> None:
                 f"{n * (n - 1) // 2}"
             )
         elif args.skd:
+            proc_id, n_proc, multiproc = _resolve_ranks(args)
+            if multiproc and args.output:
+                from .shard.distributed import shard_prefix
+
+                args.output = shard_prefix(args.output, proc_id)
+                log.info("Multi-process precluster: rank %d/%d writing %s",
+                         proc_id, n_proc, args.output)
             out = _ostream(args.output)
             skq_bins = skd_io.read_all_skq(f"{input_prefix}.skq")
             ref_name = strip_sketch_extension(args.skd)
@@ -880,10 +933,16 @@ def _inverted_main(args) -> None:
                 from .dist.knn_jax import DeviceKnnEngine
 
                 knn_engine = DeviceKnnEngine(references)
+            pc_rows = None
+            if multiproc:
+                from .shard.distributed import process_slice
+
+                pc_rows = process_slice(n, proc_id, n_proc)
             if knn_engine is not None:
                 log.info("Using on-device preclustered kNN engine")
                 rows = knn_engine.precluster_knn(
-                    inv, skq_bins, knn, dist_type, args.retain_unmatched
+                    inv, skq_bins, knn, dist_type, args.retain_unmatched,
+                    row_range=pc_rows,
                 )
             else:
                 rows = api.self_dists_knn_precluster(
@@ -897,9 +956,12 @@ def _inverted_main(args) -> None:
                     args.completeness_cutoff,
                     args.retain_unmatched,
                     engine=select_engine(references),
+                    row_range=pc_rows,
                 )
             names = [references.sketch_name(i) for i in range(n)]
-            dist_output.write_sparse(out, names, names, rows, coreacc=False)
+            row_names = names[pc_rows] if pc_rows is not None else names
+            dist_output.write_sparse(out, row_names, names, rows,
+                                     coreacc=False)
             if out is not sys.stdout:
                 out.close()
         else:

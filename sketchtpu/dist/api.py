@@ -299,10 +299,12 @@ def self_dists_knn_precluster(
     completeness_cutoff: float = 0.64,
     retain_unmatched: str | None = None,
     engine=None,
+    row_range: slice | None = None,
 ):
     """kNN with inverted-index prefiltering (distances/mod.rs:399-553).
 
     retain_unmatched: None | "singleton" | "bruteforce".
+    row_range restricts to a block of rows (multi-process sharding).
     """
     if dist_type.coreacc:
         raise NotImplementedError(
@@ -336,8 +338,9 @@ def self_dists_knn_precluster(
         skd_index_from_ski[ski_idx] = skd_idx
 
     mat = _usig_matrix(ms, dist_type.k_idx)
+    lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
     rows_out = []
-    for i in range(n):
+    for i in range(lo, hi):
         ski_i = skq_index_lookup[i]
         flat_i = skq_bins[ski_i * skq_stride : (ski_i + 1) * skq_stride]
         candidates = inverted.any_shared_bins(flat_i)

@@ -510,14 +510,18 @@ class DeviceKnnEngine:
         knn: int,
         dist_type,
         retain_unmatched: str | None = None,
+        row_range: slice | None = None,
     ):
         """Fused prefilter + kNN (distances/mod.rs:399-553). skq_bins is the
-        flat u16 sign stream in .ski order; rows follow the .skd order."""
+        flat u16 sign stream in .ski order; rows follow the .skd order.
+        row_range restricts to a block of rows (multi-process sharding);
+        candidate columns always range over all samples."""
         if dist_type.coreacc:
             raise NotImplementedError(
                 "Prefilter only available for single k-mer distances"
             )
         n = self.n
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
         stride = inverted.sketch_size
         # name-based ski<->skd mapping, exactly as the host driver
         skq_lookup = {name: i for i, name in enumerate(inverted.sample_names)}
@@ -541,43 +545,46 @@ class DeviceKnnEngine:
         b_dev = self._plane(dist_type.k_idx)
         a_mat = self._plane_host(dist_type.k_idx)
         sb, idx = self._scan_rows(
-            a_mat,
+            a_mat[lo:hi],
             b_dev,
             knn,
             exclude_self=True,
-            a_sig=signs,
+            a_sig=signs[lo:hi],
             b_sig_dev=sig_dev,
+            row_base=lo,
         )
         rows_out = self._rows_from_samebits(sb, idx, dist_type, as_lists=True)
 
         # rows with zero candidates: retain_unmatched handling
-        empty = np.flatnonzero(sb[:, 0] == _NEG)
+        empty = np.flatnonzero(sb[:, 0] == _NEG)  # local (row - lo) indices
         if empty.size and retain_unmatched == "bruteforce":
-            # knn+1 then drop self: the scan's exclude_self keys on block row
-            # offset, which is wrong for a gathered row subset
             sb2, idx2 = self._scan_rows(
-                a_mat[empty], b_dev, min(knn + 1, self.n), exclude_self=False
+                a_mat[lo:hi][empty], b_dev, min(knn + 1, self.n),
+                exclude_self=False,
             )
             # exclude self manually (scan's exclude_self keys on block row
             # offset, which is wrong for a gathered row subset)
-            for bi, r in enumerate(empty):
-                mask = idx2[bi] != r
+            for bi, r_loc in enumerate(empty):
+                mask = idx2[bi] != lo + r_loc
                 sb_r = sb2[bi][mask][:knn]
                 idx_r = idx2[bi][mask][:knn]
                 sub = self._rows_from_samebits(
                     sb_r[None, :], idx_r[None, :], dist_type
                 )[0]
-                rows_out[r] = sub
+                rows_out[r_loc] = sub
         # singleton + padding entries use raw 0.0/1.0 regardless of ANI mode
         # (the host driver and distance_matrix.rs:377-380 do the same; the
-        # print filter skips (row, 1.0) self entries)
-        for r in range(n):
-            items = rows_out[r]
+        # print filter skips (row, 1.0) self entries); indices are global
+        for r_loc in range(hi - lo):
+            r = lo + r_loc
+            items = rows_out[r_loc]
             if not items and retain_unmatched == "singleton":
-                rows_out[r] = [(r, np.float32(0.0))] + [(r, np.float32(1.0))] * (
-                    knn - 1
-                )
+                rows_out[r_loc] = [(r, np.float32(0.0))] + [
+                    (r, np.float32(1.0))
+                ] * (knn - 1)
                 continue
             if len(items) < knn:
-                rows_out[r] = items + [(r, np.float32(1.0))] * (knn - len(items))
+                rows_out[r_loc] = items + [(r, np.float32(1.0))] * (
+                    knn - len(items)
+                )
         return rows_out

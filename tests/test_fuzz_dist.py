@@ -158,3 +158,68 @@ def test_multiprocess_concat_matches_fuzz(wd, seed, monkeypatch):
         open(f"multi.txt.part{r}", "rb").read() for r in range(n_proc)
     )
     assert parts == open("single.txt", "rb").read(), (seed, mode, n_proc)
+
+
+def _related_fastas(wd, rng, ngen):
+    """Genomes sharing fragments so inverted bins overlap."""
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = alphabet[rng.integers(0, 4, 4000)]
+    names = []
+    for i in range(ngen):
+        seq = base.copy()
+        muts = rng.integers(0, base.size, 40 * (i % 4))
+        seq[muts] = alphabet[rng.integers(0, 4, muts.size)]
+        name = f"g{i}.fa.gz"
+        with gzip.open(wd / name, "wb") as f:
+            f.write(b">r0\n" + seq.tobytes() + b"\n")
+        names.append(name)
+    return names
+
+
+@pytest.mark.parametrize("seed", range(2))
+@pytest.mark.parametrize("retain", [None, "singleton", "bruteforce"])
+def test_multiprocess_precluster_concat(wd, seed, retain, monkeypatch):
+    """inverted precluster --skd with --n-processes: rank-ordered part
+    concatenation equals the single-process output, incl. retain-unmatched
+    singleton/bruteforce and padding semantics."""
+    rng = np.random.default_rng(5000 + seed)
+    genomes = _related_fastas(wd, rng, int(rng.integers(7, 12)))
+    run("inverted", "build", "-o", "inv", "-k", "17", "-s", "12",
+        *genomes, "--write-skq", "--quiet")
+    run("sketch", "--k-vals", "17", "-s", "100", *genomes, "-o", "db",
+        "--quiet")
+
+    backend = ["host", "tpu"][int(rng.integers(0, 2))]
+    monkeypatch.setenv("SKETCHTPU_BACKEND", backend)
+    extra = ["--retain-unmatched", retain] if retain else []
+    run("inverted", "precluster", "--knn", "2", "--skd", "db", "inv.ski",
+        *extra, "-o", "single.txt", "--quiet")
+    n_proc = int(rng.integers(2, 4))
+    for r in range(n_proc):
+        run("inverted", "precluster", "--knn", "2", "--skd", "db", "inv.ski",
+            *extra, "-o", "multi.txt", "--quiet",
+            "--n-processes", str(n_proc), "--process-id", str(r))
+    parts = b"".join(
+        open(f"multi.txt.part{r}", "rb").read() for r in range(n_proc)
+    )
+    assert parts == open("single.txt", "rb").read(), (seed, retain, backend)
+
+
+@pytest.mark.parametrize("qtype", ["match-count", "any-bins", "all-bins"])
+def test_multiprocess_inverted_query_concat(wd, qtype, monkeypatch):
+    """inverted query with --n-processes: header only on rank 0, query rows
+    sharded; concatenation equals the single-process output."""
+    rng = np.random.default_rng(6000)
+    genomes = _related_fastas(wd, rng, 8)
+    run("inverted", "build", "-o", "inv", "-k", "17", "-s", "12",
+        *genomes, "--quiet")
+    run("inverted", "query", "inv.ski", *genomes, "--query-type", qtype,
+        "-o", "single.txt", "--quiet")
+    for r in range(3):
+        run("inverted", "query", "inv.ski", *genomes, "--query-type", qtype,
+            "-o", "multi.txt", "--quiet",
+            "--n-processes", "3", "--process-id", str(r))
+    parts = b"".join(
+        open(f"multi.txt.part{r}", "rb").read() for r in range(3)
+    )
+    assert parts == open("single.txt", "rb").read()
