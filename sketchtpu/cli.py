@@ -888,12 +888,49 @@ def _inverted_main(args) -> None:
         if args.count:
             from .runtime import select_inverted_engine
 
-            count = inv.any_shared_bin_count(engine=select_inverted_engine(inv))
+            proc_id, n_proc, multiproc = _resolve_ranks(args)
             n = len(inv.sample_names)
-            print(
-                f"Identified {count} prefilter pairs from a max of "
-                f"{n * (n - 1) // 2}"
+            row_range = None
+            if multiproc:
+                from .shard.distributed import triangle_row_slice
+
+                row_range = triangle_row_slice(n, proc_id, n_proc)
+            count = inv.any_shared_bin_count(
+                engine=select_inverted_engine(inv), row_range=row_range
             )
+            if multiproc:
+                # aggregate across processes when the jax.distributed
+                # runtime spans them; otherwise report the rank partial
+                try:
+                    import jax
+
+                    if jax.process_count() == n_proc:
+                        from jax.experimental import multihost_utils
+
+                        count = int(
+                            multihost_utils.process_allgather(
+                                np.int64(count)
+                            ).sum()
+                        )
+                        if proc_id == 0:
+                            print(
+                                f"Identified {count} prefilter pairs from "
+                                f"a max of {n * (n - 1) // 2}"
+                            )
+                    else:
+                        raise RuntimeError("no spanning runtime")
+                except Exception:
+                    print(
+                        f"Identified {count} prefilter pairs in rows "
+                        f"[{row_range.start}, {row_range.stop}) of {n} "
+                        f"(rank {proc_id}/{n_proc} partial; sum ranks "
+                        f"for the total)"
+                    )
+            else:
+                print(
+                    f"Identified {count} prefilter pairs from a max of "
+                    f"{n * (n - 1) // 2}"
+                )
         elif args.skd:
             proc_id, n_proc, multiproc = _resolve_ranks(args)
             if multiproc and args.output:

@@ -105,20 +105,24 @@ class DeviceInvertedEngine:
             t = jnp.pad(t, ((0, pad), (0, 0)))
         return t, real
 
-    def any_shared_bin_count(self) -> int:
-        """Total sample pairs (i < j) sharing >= 1 bin. Each row strip scans
-        every column tile on device and returns per-tile int32 counts; strips are
-        dispatched ahead (async) so device compute and host collection
-        overlap. The (tile x tile x S) equality mask stays fused on the
-        VPU and never touches HBM."""
+    def any_shared_bin_count(self, row_range: slice | None = None) -> int:
+        """Total sample pairs (i < j) sharing >= 1 bin, with i restricted
+        to row_range when given (multi-process: rank partials sum to the
+        full count since each pair is counted at its smaller index). Each
+        row strip scans every column tile on device and returns per-tile
+        int32 counts; strips are dispatched ahead (async) so device
+        compute and host collection overlap. The (tile x tile x S)
+        equality mask stays fused on the VPU and never touches HBM."""
         n, tile = self.n, self.tile
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
         pad_cols = (-n) % tile
         m = self._mat
         if pad_cols:
             m = jnp.pad(m, ((0, pad_cols), (0, 0)))
         pending = []
-        for i0 in range(0, n, tile):
+        for i0 in range(lo, hi, tile):
             a, na = self._tile_of(i0)
+            na = min(na, hi - i0)  # clip the last strip at the range end
             pending.append(
                 _match_count_strip(
                     a, m, np.int32(i0), np.int32(na), np.int32(n), tc=tile

@@ -379,24 +379,29 @@ class Inverted:
         q = np.asarray(query_sigs, dtype=np.uint16)
         return np.flatnonzero((self.sign_matrix == q[None, :]).any(axis=1))
 
-    def any_shared_bin_count(self, tile: int = 2048, engine=None) -> int:
+    def any_shared_bin_count(
+        self, tile: int = 2048, engine=None, row_range: slice | None = None
+    ) -> int:
         """Number of distinct sample pairs sharing at least one bin (the
         precluster --count mode, inverted.rs:271-300). Tiled over pair
         blocks so it scales; `engine` (inverted/device.py) runs the
-        equality-any tiles on TPU."""
+        equality-any tiles on TPU. With row_range, counts only pairs whose
+        smaller index falls in [lo, hi) — rank partials sum to the total."""
         if engine is not None:
-            return engine.any_shared_bin_count()
+            return engine.any_shared_bin_count(row_range=row_range)
         n = self.n_samples
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
         total = 0
         mat = self.sign_matrix
-        for i0 in range(0, n, tile):
-            a = mat[i0 : i0 + tile]
+        for i0 in range(lo, hi, tile):
+            i1 = min(i0 + tile, hi)
+            a = mat[i0:i1]
             for j0 in range(i0, n, tile):
                 b = mat[j0 : j0 + tile]
                 eq = (a[:, None, :] == b[None, :, :]).any(axis=2)
-                if i0 == j0:
-                    eq = np.triu(eq, k=1)
-                total += int(eq.sum())
+                ri = i0 + np.arange(i1 - i0)[:, None]
+                ci = j0 + np.arange(b.shape[0])[None, :]
+                total += int((eq & (ci > ri)).sum())
         return total
 
     def debug_str(self) -> str:

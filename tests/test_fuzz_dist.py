@@ -223,3 +223,27 @@ def test_multiprocess_inverted_query_concat(wd, qtype, monkeypatch):
         open(f"multi.txt.part{r}", "rb").read() for r in range(3)
     )
     assert parts == open("single.txt", "rb").read()
+
+
+@pytest.mark.parametrize("backend", ["host", "tpu"])
+def test_multiprocess_precluster_count_partials(wd, backend, monkeypatch,
+                                                capsys):
+    """--count with --n-processes: rank partial counts sum to the
+    single-process total (each pair counted at its smaller index)."""
+    import re
+
+    rng = np.random.default_rng(7000)
+    genomes = _related_fastas(wd, rng, 9)
+    run("inverted", "build", "-o", "inv", "-k", "17", "-s", "12",
+        *genomes, "--quiet")
+    monkeypatch.setenv("SKETCHTPU_BACKEND", backend)
+    run("inverted", "precluster", "--count", "inv.ski", "--quiet")
+    single = int(re.search(r"Identified (\d+)",
+                           capsys.readouterr().out).group(1))
+    total = 0
+    for r in range(3):
+        run("inverted", "precluster", "--count", "inv.ski", "--quiet",
+            "--n-processes", "3", "--process-id", str(r))
+        total += int(re.search(r"Identified (\d+)",
+                               capsys.readouterr().out).group(1))
+    assert total == single and single > 0
