@@ -79,6 +79,9 @@ def multik_aa_hash_bin_kernel(
         sel = gidx == g
         tl = jnp.where(sel, t_lo[g], tl)
         th = jnp.where(sel, t_hi[g], th)
+    # one materialization (see nthash_multik: XLA otherwise re-fuses the
+    # select chain into every k's consumer)
+    tl, th = jax.lax.optimization_barrier((tl, th))
 
     nb_blocks = n0 // blk
     assert nb_blocks * blk == n0, (n0, blk)

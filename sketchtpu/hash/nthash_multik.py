@@ -202,6 +202,11 @@ def multik_hash_bin_kernel(
         sel = gidx == g
         tl = jnp.where(sel, t_lo[g], tl)
         th = jnp.where(sel, t_hi[g], th)
+    # materialize once: without the barrier XLA re-fuses the out_rows-deep
+    # select chain into every k's prefilter consumer — measured 19 ms per
+    # emit at 96 rows x 16M (45% of the whole 7-k kernel); one HBM
+    # round-trip is ~0.2 ms
+    tl, th = jax.lax.optimization_barrier((tl, th))
 
     seed_row = _seed_rows_u32()
     rc_rows = _rc_rows_u32(kmax)

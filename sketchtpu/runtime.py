@@ -26,6 +26,7 @@ def enable_compilation_cache() -> None:
     if _cache_ready:
         return
     _cache_ready = True
+    apply_platform_env()
     try:
         import jax
 
@@ -42,6 +43,31 @@ def enable_compilation_cache() -> None:
 _MIN_SAMPLES_FOR_DEVICE_SKETCH = 1
 _MIN_SAMPLES_FOR_DEVICE_DIST = 64
 
+_platform_env_applied = False
+
+
+def apply_platform_env() -> None:
+    """Mirror the JAX_PLATFORMS env var into jax's config.
+
+    Deployment images may force-register an out-of-process TPU platform
+    via sitecustomize, in which case jax ignores the env var and backend
+    init can hang indefinitely when that device is unreachable. Applying
+    the value through jax.config makes `JAX_PLATFORMS=cpu` a reliable
+    escape hatch to host execution."""
+    global _platform_env_applied
+    if _platform_env_applied:
+        return
+    _platform_env_applied = True
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", env)
+    except Exception as exc:  # pragma: no cover
+        log.debug("could not apply JAX_PLATFORMS=%s: %s", env, exc)
+
 
 def _mode() -> str:
     return os.environ.get("SKETCHTPU_BACKEND", "auto")
@@ -51,6 +77,7 @@ def _device_available() -> bool:
     try:
         import jax
 
+        apply_platform_env()
         platform = jax.default_backend()
         return platform not in ("cpu",)
     except Exception:
