@@ -70,6 +70,10 @@ def apply_platform_env() -> None:
 
 
 def _mode() -> str:
+    # every backend/engine selector reads the mode before touching jax, so
+    # this is the choke point for the JAX_PLATFORMS mirror (mode=="tpu"
+    # short-circuits past _device_available straight into jax.devices())
+    apply_platform_env()
     return os.environ.get("SKETCHTPU_BACKEND", "auto")
 
 

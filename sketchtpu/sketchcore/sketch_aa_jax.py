@@ -80,6 +80,25 @@ class DeviceAaSketchBackend:
     ) -> dict[int, np.ndarray]:
         import jax
 
+        if max(kmers) > MAX_K:
+            # k past the device tap-table width (reference allows any
+            # k >= 3, io.rs:154-156): host oracle for the whole request
+            from ..hash.aahash_np import aahash_valid
+            from .signs import bin_minima, signs_from_hashes
+
+            return {
+                kk: np.stack(
+                    [
+                        bin_minima(
+                            signs_from_hashes(aahash_valid(s, kk, level)),
+                            nbins,
+                        )
+                        for s in streams
+                    ]
+                )
+                for kk in kmers
+            }
+
         seg = segmented_min_combine(
             streams,
             kmers,

@@ -208,6 +208,25 @@ class DeviceSketchBackend:
         sentinel is u64::MAX, so np.minimum composes exactly."""
         import jax
 
+        if max(kmers) > MAX_K:
+            # k past the device tap-table width. The reference allows any
+            # k >= 3 (io.rs:154-156), so take the host oracle for the whole
+            # request (practical genomics k stays far below MAX_K).
+            from ..hash.nthash_np import nthash_valid
+            from .signs import bin_minima, signs_from_hashes
+
+            return {
+                kk: np.stack(
+                    [
+                        bin_minima(
+                            signs_from_hashes(nthash_valid(s, kk, rc)), nbins
+                        )
+                        for s in streams
+                    ]
+                )
+                for kk in kmers
+            }
+
         seg = segmented_min_combine(
             streams,
             kmers,
@@ -503,6 +522,11 @@ class DeviceSketchBackend:
         (all issued before any collect, so transfers and device compute
         overlap); each segment contributes only its owned window starts,
         so the concatenation is the exact in-order sign sequence."""
+        if k > MAX_K:  # past the device tap-table width; host oracle
+            from ..hash.nthash_np import nthash_valid
+            from .signs import signs_from_hashes
+
+            return signs_from_hashes(nthash_valid(stream, k, rc))
         if stream.seq_len <= _SEG_BASES + MAX_K:
             return self._collect_signs(
                 self._dispatch_signs(stream, k, rc), stream, k
@@ -577,6 +601,13 @@ class DeviceSketchBackend:
 
             order = [(kk, i) for kk in kmers for i in read_idx]
             for j, (kk, i) in enumerate(order):
+                if kk > MAX_K:  # past the device tap-table width
+                    bins_per_k[kk][i] = bin_minima_filtered(
+                        self.signs_in_order(streams[i], kk, rc),
+                        nbins,
+                        min_count,
+                    )
+                    continue
                 if len(pending) >= window:
                     collect_one()
                 pending.append(

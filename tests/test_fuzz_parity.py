@@ -37,7 +37,9 @@ def test_random_config_bit_exact(seed):
     streams = [_stream(rng, int(s)) for s in sizes]
     names = [f"g{i}" for i in range(len(streams))]
     n_k = int(rng.integers(1, 4))
-    kmers = sorted(rng.choice(np.arange(5, 32), size=n_k, replace=False).tolist())
+    # full supported range: k >= 32 exercises the wrapped 31/33-period
+    # rotation tables and the widest prefilter windows (MAX_K = 64)
+    kmers = sorted(rng.choice(np.arange(5, 65), size=n_k, replace=False).tolist())
     rc = bool(rng.integers(0, 2))
     sketch_size = int(rng.choice([64, 100, 256]))
 
@@ -272,3 +274,60 @@ def test_segment_boundary_breaks(monkeypatch):
     host = sketch_dna_sample(s, "g", kmers, 64, True, 0)
     dev = DeviceSketchBackend().sketch_dna_streams([s], ["g"], kmers, 64, True, 0)[0]
     assert np.array_equal(host.usigs, dev.usigs)
+
+
+def test_k_beyond_device_table_width():
+    """k > MAX_K (the device tap-table width) must still sketch: the
+    reference accepts any k >= 3 (io.rs:154-156). The device backend
+    routes such requests to the host oracle; results must match it, for
+    assemblies (bin minima), reads (in-order count filter), and AA."""
+    from sketchtpu.hash.nthash_jax import MAX_K
+    from sketchtpu.sketchcore.sketch import sketch_aa_sample
+    from sketchtpu.ingest.fastx import AaStream
+    from sketchtpu.sketchcore.sketch_aa_jax import DeviceAaSketchBackend
+
+    rng = np.random.default_rng(11)
+    kmers = [21, MAX_K + 1, MAX_K + 30]
+    streams = [_stream(rng, n) for n in (5_000, 20_000)]
+    names = ["a", "b"]
+    host = [
+        sketch_dna_sample(s, n, kmers, 100, True, 0)
+        for s, n in zip(streams, names)
+    ]
+    dev = DeviceSketchBackend().sketch_dna_streams(
+        streams, names, kmers, 100, True, 0
+    )
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs)
+
+    # duplicate the sequence (break between copies) so k-mer counts reach
+    # min_count=2 under the FASTQ filter
+    half = rng.integers(0, 4, 15_000).astype(np.uint8)
+    codes2 = np.concatenate([half, half])
+    reads = DnaStream(
+        codes=codes2,
+        breaks=np.array([15_000], dtype=np.int64),
+        acgt=np.bincount(codes2, minlength=4).astype(np.int64),
+    )
+    reads.reads = True
+    hr = sketch_dna_sample(reads, "r", [MAX_K + 5], 64, True, 2)
+    dr = DeviceSketchBackend().sketch_dna_streams(
+        [reads], ["r"], [MAX_K + 5], 64, True, 2
+    )[0]
+    assert np.array_equal(hr.usigs, dr.usigs)
+
+    aa_codes = rng.integers(0, 20, 2_000)
+    seq = "".join("ACDEFGHIKLMNPQRSTVWY"[c] for c in aa_codes)
+    aa = AaStream(seq=np.frombuffer(seq.encode(), dtype=np.uint8).copy())
+    ha = sketch_aa_sample(aa, "p", [MAX_K + 2], 64, 1)
+    da_bins = DeviceAaSketchBackend().bin_minima_multi_k(
+        [aa], [MAX_K + 2], 1, 64
+    )
+    from sketchtpu.hash.aahash_np import aahash_valid
+    from sketchtpu.sketchcore.signs import bin_minima, signs_from_hashes
+
+    expect = bin_minima(
+        signs_from_hashes(aahash_valid(aa, MAX_K + 2, 1)), 64
+    )
+    assert np.array_equal(da_bins[MAX_K + 2][0], expect)
+    assert ha is not None

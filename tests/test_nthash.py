@@ -73,6 +73,12 @@ def oracle_hashes(seq: str, k: int, rc: bool) -> list[int]:
 CASES = [
     ("ACGTACGTANACGTACGTNNTACGTACGT", [3, 5, 7], True),
     ("CTAGGGCCCTTTCCCGGATATAAACGCCAGGTTGAATCCGCATTTGGAGG", [3, 17, 31], True),
+    # k >= 32: the 31/33-period rotation tables wrap (k%31, k%33 differ
+    # from k); large-k windows also stress the multik prefilter carry
+    ("CTAGGGCCCTTTCCCGGATATAAACGCCAGGTTGAATCCGCATTTGGAGGACGTACGTACGT",
+     [33, 48, 63], True),
+    ("CTAGGGCCCTTTCCCGGATATAAACGCCAGGTTGAATCCGCATTTGGAGGACGTACGTACGTA",
+     [32, 64], False),
     ("ACGTACGTACGT", [4], False),
     ("ACGTACGNACGT", [4, 5], True),  # N in last k-1 positions of a segment
     ("ACGTANACGT", [4], False),
