@@ -129,7 +129,8 @@ def test_random_aa_config_bit_exact(seed):
                      invalid_count=int(bad.sum()))
         )
     names = [f"p{i}" for i in range(len(streams))]
-    kmers = sorted(rng.choice(np.arange(4, 15), size=rng.integers(1, 3),
+    # up to and past the device tap-table width (aaHash allows any k)
+    kmers = sorted(rng.choice(np.arange(4, 70), size=rng.integers(1, 3),
                               replace=False).tolist())
     level = int(rng.integers(1, 4))
     sketch_size = int(rng.choice([64, 128]))
