@@ -178,6 +178,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--count", action="store_true")
     p.add_argument("--knn", type=int, default=DEFAULT_KNN)
     p.add_argument("--ani", action="store_true")
+    p.add_argument(
+        "--core-acc",
+        action="store_true",
+        help="Rank neighbours by multi-k core/accessory distances over "
+        "every k in the .skd (extension; the reference CLI only supports "
+        "single-k distances here)",
+    )
     p.add_argument("--threads", type=int, default=1)
     p.add_argument("--ref-completeness-file")
     p.add_argument("--completeness-cutoff", type=float, default=0.64)
@@ -949,7 +956,27 @@ def _inverted_main(args) -> None:
             if knn >= n:
                 log.warning("knn=%d is higher than number of samples=%d", knn, n)
                 knn = n - 1
-            dist_type = api.set_k(references, inv.kmer_size, args.ani)
+            if args.core_acc:
+                # extension: the reference leaves core/accessory precluster
+                # unimplemented (distances/mod.rs:548-550)
+                if args.ani:
+                    raise SystemExit(
+                        "--core-acc and --ani are mutually exclusive"
+                    )
+                if len(references.kmer_lengths) < 2:
+                    raise SystemExit(
+                        "--core-acc needs at least two k-mer lengths in "
+                        "the .skd"
+                    )
+                # k-mer used for the prefilter must still exist in the .skd
+                api.set_k(references, inv.kmer_size, False)
+                dist_type = api.DistType()
+                log.info(
+                    "Preclustering with k=%d, ranking by core/accessory "
+                    "over k=%s", inv.kmer_size, references.kmer_lengths,
+                )
+            else:
+                dist_type = api.set_k(references, inv.kmer_size, args.ani)
             ref_comp = (
                 io_inputs.read_completeness_file(
                     args.ref_completeness_file, references
@@ -998,7 +1025,7 @@ def _inverted_main(args) -> None:
             names = [references.sketch_name(i) for i in range(n)]
             row_names = names[pc_rows] if pc_rows is not None else names
             dist_output.write_sparse(out, row_names, names, rows,
-                                     coreacc=False)
+                                     coreacc=dist_type.coreacc)
             if out is not sys.stdout:
                 out.close()
         else:

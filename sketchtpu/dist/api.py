@@ -305,11 +305,14 @@ def self_dists_knn_precluster(
 
     retain_unmatched: None | "singleton" | "bruteforce".
     row_range restricts to a block of rows (multi-process sharding).
+
+    Core/accessory mode (dist_type.coreacc) is an extension: the reference
+    leaves it `unimplemented!` (distances/mod.rs:548-550). Candidates come
+    from the inverted index's single-k prefilter; distances are the multi-k
+    core/accessory regression over every k in the .skd, with neighbours
+    ranked by core distance. Rows keep only their real candidates (no
+    (row, 1.0) padding entries — the sparse core/acc printer never skips).
     """
-    if dist_type.coreacc:
-        raise NotImplementedError(
-            "Prefilter only available for single k-mer distances"
-        )
     engine = engine or _default_engine
     n = ms.number_samples_loaded()
     s64 = ms.sketchsize64
@@ -337,7 +340,10 @@ def self_dists_knn_precluster(
     for skd_idx, ski_idx in enumerate(skq_index_lookup):
         skd_index_from_ski[ski_idx] = skd_idx
 
-    mat = _usig_matrix(ms, dist_type.k_idx)
+    if dist_type.coreacc:
+        k_mats = [_usig_matrix(ms, ki) for ki in range(len(ms.kmer_lengths))]
+    else:
+        mat = _usig_matrix(ms, dist_type.k_idx)
     lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
     rows_out = []
     for i in range(lo, hi):
@@ -348,6 +354,48 @@ def self_dists_knn_precluster(
         skd_js = np.array(
             [skd_index_from_ski[int(j)] for j in candidates], dtype=np.int64
         )
+
+        if dist_type.coreacc:
+
+            def _ca_for(js: np.ndarray):
+                jaccs = np.empty((js.size, len(k_mats)))
+                c1 = np.full(js.size, comp[i]) if comp is not None else None
+                c2 = comp[js] if comp is not None else None
+                for ki in range(len(k_mats)):
+                    sbk = engine(
+                        k_mats[ki][i : i + 1], k_mats[ki][js]
+                    ).reshape(-1)
+                    jaccs[:, ki] = jaccard_from_samebits(
+                        sbk, s64, c1, c2, completeness_cutoff
+                    )
+                return core_acc_from_jaccards(
+                    jaccs, ms.kmer_lengths, ms.sketch_size
+                )
+
+            ca_items: list[tuple] = []
+            if skd_js.size:
+                core, acc = _ca_for(skd_js)
+                order = np.argsort(core, kind="stable")[:knn]
+                ca_items = [
+                    (int(skd_js[x]), core[x], acc[x]) for x in order
+                ]
+            if not ca_items:
+                if retain_unmatched == "singleton":
+                    rows_out.append(
+                        [(i, np.float32(0.0), np.float32(0.0))]
+                    )
+                    continue
+                if retain_unmatched == "bruteforce":
+                    js = np.array(
+                        [j for j in range(n) if j != i], dtype=np.int64
+                    )
+                    core, acc = _ca_for(js)
+                    order = np.argsort(core, kind="stable")[:knn]
+                    ca_items = [
+                        (int(js[x]), core[x], acc[x]) for x in order
+                    ]
+            rows_out.append(ca_items)
+            continue
 
         def _dists_for(js: np.ndarray) -> np.ndarray:
             sb = engine(mat[i : i + 1], mat[js]).reshape(-1)

@@ -101,19 +101,24 @@ def _knn_scan_block(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s64", "kmers", "sketch_size", "knn", "tc", "exclude_self"),
+    static_argnames=(
+        "s64", "kmers", "sketch_size", "knn", "tc", "exclude_self", "masked"
+    ),
 )
 def _knn_scan_block_ca(
     a_stack: jnp.ndarray,  # (nk, tr, W2) u32
     b_stack: jnp.ndarray,  # (nk, nbp, W2) u32
     row0: jnp.ndarray,
     nb_real: jnp.ndarray,
+    a_sig: jnp.ndarray,  # (tr, S) i32 row signs (masked mode; else (tr, 1))
+    b_sig: jnp.ndarray,  # (nbp, S) i32 column signs (masked mode)
     s64: int,
     kmers: tuple[int, ...],
     sketch_size: int,
     knn: int,
     tc: int,
     exclude_self: bool,
+    masked: bool,
 ):
     """Running top-k by (negated) core distance. Returns (core (tr, knn) f32,
     acc (tr, knn) f32, idxs (tr, knn) int32)."""
@@ -135,6 +140,12 @@ def _knn_scan_block_ca(
         if exclude_self:
             rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
             valid = valid & (cols != rows)
+        if masked:
+            st = jax.lax.dynamic_slice(
+                b_sig, (c0, 0), (tc, b_sig.shape[1])
+            )
+            shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
+            valid = valid & shared
         key = jnp.where(valid, -ca[:, :, 0], -jnp.inf)
         cat_k = jnp.concatenate([keys, key], axis=1)
         cat_a = jnp.concatenate([accs, ca[:, :, 1]], axis=1)
@@ -152,19 +163,24 @@ def _knn_scan_block_ca(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s64", "kmers", "sketch_size", "knn", "tc", "exclude_self"),
+    static_argnames=(
+        "s64", "kmers", "sketch_size", "knn", "tc", "exclude_self", "masked"
+    ),
 )
 def _knn_scan_block_ca_pallas(
     a_cm: jnp.ndarray,  # (tr, SW) u32 chunk-major rows (tr % 128 == 0)
     bt_cm: jnp.ndarray,  # (SW, nbp) u32 chunk-major transposed columns
     row0: jnp.ndarray,
     nb_real: jnp.ndarray,
+    a_sig: jnp.ndarray,  # (tr, S) i32 row signs (masked mode; else (tr, 1))
+    b_sig: jnp.ndarray,  # (nbp, S) i32 column signs (masked mode)
     s64: int,
     kmers: tuple[int, ...],
     sketch_size: int,
     knn: int,
     tc: int,
     exclude_self: bool,
+    masked: bool,
 ):
     """Same contract as _knn_scan_block_ca but with the fused multi-k
     Pallas core/accessory tile (coreacc_pallas.py) as the tile kernel."""
@@ -190,6 +206,14 @@ def _knn_scan_block_ca_pallas(
         if exclude_self:
             rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
             valid = valid & (cols != rows)
+        if masked:
+            # the prefilter mask runs in XLA around the Pallas tile; it
+            # fuses with the where/top_k chain, so no kernel change needed
+            st = jax.lax.dynamic_slice(
+                b_sig, (c0, 0), (tc, b_sig.shape[1])
+            )
+            shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
+            valid = valid & shared
         key = jnp.where(valid, -ca[:, :, 0], -jnp.inf)
         cat_k = jnp.concatenate([keys, key], axis=1)
         cat_a = jnp.concatenate([accs, ca[:, :, 1]], axis=1)
@@ -417,9 +441,12 @@ class DeviceKnnEngine:
         return self.__dict__["stack_cm_t"]
 
     def _knn_coreacc(self, row_stack: np.ndarray, nrows: int, knn: int,
-                     exclude_self: bool, row_base: int = 0):
+                     exclude_self: bool, row_base: int = 0,
+                     a_sig: np.ndarray | None = None,
+                     b_sig_dev=None):
         """Shared row-block driver for self/cross core-acc kNN; row_stack is
-        (nk, nrows, W2) u32."""
+        (nk, nrows, W2) u32. a_sig/b_sig_dev add the inverted-index
+        prefilter mask (precluster mode)."""
         if nrows == 0:  # empty multi-process row slice
             return SparseKnnRows(
                 np.zeros((0, knn), np.int32),
@@ -427,6 +454,8 @@ class DeviceKnnEngine:
                 None,
             )
         kmers = tuple(self.ms.kmer_lengths)
+        masked = a_sig is not None
+        dummy = self._dummy_sig
         if self._use_pallas_ca:
             from .coreacc_pallas import chunk_major
 
@@ -437,22 +466,30 @@ class DeviceKnnEngine:
         pending = []
         for r0 in range(0, nrows, self.row_tile):
             r1 = min(r0 + self.row_tile, nrows)
+            sig_blk = (
+                a_sig[r0:r1].astype(np.int32) if masked else dummy
+            )
             if self._use_pallas_ca:
                 a_blk = row_cm[r0:r1]
                 pad = (-(r1 - r0)) % 128
                 if pad:
                     a_blk = jnp.pad(a_blk, ((0, pad), (0, 0)))
+                    if masked:
+                        sig_blk = np.pad(sig_blk, ((0, pad), (0, 0)))
                 core, acc, idx = _knn_scan_block_ca_pallas(
                     a_blk,
                     bt_cm,
                     np.int32(row_base + r0),
                     np.int32(self.n),
+                    sig_blk,
+                    b_sig_dev if masked else dummy,
                     s64=self.s64,
                     kmers=kmers,
                     sketch_size=self.ms.sketch_size,
                     knn=knn,
                     tc=self.col_tile,
                     exclude_self=exclude_self,
+                    masked=masked,
                 )
             else:
                 core, acc, idx = _knn_scan_block_ca(
@@ -460,12 +497,15 @@ class DeviceKnnEngine:
                     b_stack,
                     np.int32(row_base + r0),
                     np.int32(self.n),
+                    sig_blk,
+                    b_sig_dev if masked else dummy,
                     s64=self.s64,
                     kmers=kmers,
                     sketch_size=self.ms.sketch_size,
                     knn=knn,
                     tc=self.col_tile,
                     exclude_self=exclude_self,
+                    masked=masked,
                 )
             pending.append((r0, r1, core, acc, idx))
         cores, accs, idxs = [], [], []
@@ -515,11 +555,12 @@ class DeviceKnnEngine:
         """Fused prefilter + kNN (distances/mod.rs:399-553). skq_bins is the
         flat u16 sign stream in .ski order; rows follow the .skd order.
         row_range restricts to a block of rows (multi-process sharding);
-        candidate columns always range over all samples."""
-        if dist_type.coreacc:
-            raise NotImplementedError(
-                "Prefilter only available for single k-mer distances"
-            )
+        candidate columns always range over all samples.
+
+        Core/accessory mode is an extension (the reference leaves it
+        `unimplemented!`, distances/mod.rs:548-550): the same sign-equality
+        prefilter mask gates the fused multi-k core/accessory tile, with
+        neighbours ranked by core distance (see api.py host driver)."""
         n = self.n
         lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
         stride = inverted.sketch_size
@@ -542,6 +583,68 @@ class DeviceKnnEngine:
         sig_dev = jax.device_put(
             _pad_rows(signs.astype(np.int32), self.col_tile)
         )
+
+        if dist_type.coreacc:
+            a_host = np.asarray(jax.device_get(self._stack()))[:, : n, :]
+            res = self._knn_coreacc(
+                a_host[:, lo:hi, :],
+                hi - lo,
+                knn,
+                exclude_self=True,
+                row_base=lo,
+                a_sig=signs[lo:hi],
+                b_sig_dev=sig_dev,
+            )
+            idx_a, vals_a, _ = res.as_arrays()
+            rows_ca: list[list[tuple]] = []
+            for r_loc in range(hi - lo):
+                ok = np.flatnonzero(
+                    np.isfinite(vals_a[r_loc, :, 0])
+                    & (idx_a[r_loc] != 0x7FFFFFFF)
+                )
+                rows_ca.append(
+                    [
+                        (
+                            int(idx_a[r_loc, x]),
+                            np.float32(vals_a[r_loc, x, 0]),
+                            np.float32(vals_a[r_loc, x, 1]),
+                        )
+                        for x in ok
+                    ]
+                )
+            empty_ca = [r for r in range(hi - lo) if not rows_ca[r]]
+            if empty_ca and retain_unmatched == "bruteforce":
+                res2 = self._knn_coreacc(
+                    a_host[:, [lo + r for r in empty_ca], :],
+                    len(empty_ca),
+                    min(knn + 1, n),
+                    exclude_self=False,
+                )
+                idx2, vals2, _ = res2.as_arrays()
+                for bi, r_loc in enumerate(empty_ca):
+                    # exclude self manually (the scan's exclude_self keys
+                    # on block row offset, wrong for a gathered subset)
+                    keep = np.flatnonzero(
+                        (idx2[bi] != lo + r_loc)
+                        & np.isfinite(vals2[bi, :, 0])
+                        & (idx2[bi] != 0x7FFFFFFF)
+                    )[:knn]
+                    rows_ca[r_loc] = [
+                        (
+                            int(idx2[bi, x]),
+                            np.float32(vals2[bi, x, 0]),
+                            np.float32(vals2[bi, x, 1]),
+                        )
+                        for x in keep
+                    ]
+            if retain_unmatched == "singleton":
+                for r_loc in empty_ca:
+                    if not rows_ca[r_loc]:
+                        rows_ca[r_loc] = [
+                            (lo + r_loc, np.float32(0.0), np.float32(0.0))
+                        ]
+            return rows_ca
+
         b_dev = self._plane(dist_type.k_idx)
         a_mat = self._plane_host(dist_type.k_idx)
         sb, idx = self._scan_rows(

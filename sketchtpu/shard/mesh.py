@@ -160,17 +160,21 @@ def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
         row0 = jnp.int32(row_base) + jax.lax.axis_index("rows").astype(
             jnp.int32
         ) * jnp.int32(rows_per)
+        dummy = jnp.zeros((1, 1), jnp.int32)
         return _knn_scan_block_ca(
             a_blk,
             b_blk,
             row0,
             jnp.int32(n_real),
+            dummy,
+            dummy,
             s64=s64,
             kmers=kmers,
             sketch_size=sketch_size,
             knn=knn,
             tc=tc,
             exclude_self=exclude_self,
+            masked=False,
         )
 
     return shard_map(

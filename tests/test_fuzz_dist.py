@@ -247,3 +247,42 @@ def test_multiprocess_precluster_count_partials(wd, backend, monkeypatch,
         total += int(re.search(r"Identified (\d+)",
                                capsys.readouterr().out).group(1))
     assert total == single and single > 0
+
+
+@pytest.mark.parametrize("retain", [None, "singleton", "bruteforce"])
+def test_precluster_coreacc_cli(wd, retain, monkeypatch):
+    """`inverted precluster --core-acc` (extension; the reference leaves
+    core/accessory precluster unimplemented, distances/mod.rs:548-550):
+    host and device backends agree on pairs exactly and values to f32
+    tolerance; multi-process parts concatenate to the single run."""
+    rng = np.random.default_rng(7100)
+    genomes = _related_fastas(wd, rng, 9)
+    run("inverted", "build", "-o", "inv", "-k", "17", "-s", "12",
+        *genomes, "--write-skq", "--quiet")
+    run("sketch", "--k-vals", "17,21,25", "-s", "100", *genomes, "-o",
+        "db", "--quiet")
+
+    extra = ["--retain-unmatched", retain] if retain else []
+    outs = {}
+    for be in ("host", "tpu"):
+        monkeypatch.setenv("SKETCHTPU_BACKEND", be)
+        run("inverted", "precluster", "--knn", "3", "--skd", "db",
+            "inv.ski", "--core-acc", *extra, "-o", f"ca_{be}.txt",
+            "--quiet")
+        outs[be] = _parse_pairs(wd / f"ca_{be}.txt")
+    assert outs["host"].keys() == outs["tpu"].keys()
+    assert outs["host"], "expected at least one preclustered pair"
+    for pair, hv in outs["host"].items():
+        tv = outs["tpu"][pair]
+        np.testing.assert_allclose(tv, hv, atol=2e-4)
+
+    # multi-process rank concatenation (host backend)
+    monkeypatch.setenv("SKETCHTPU_BACKEND", "host")
+    for r in range(3):
+        run("inverted", "precluster", "--knn", "3", "--skd", "db",
+            "inv.ski", "--core-acc", *extra, "-o", "multi.txt", "--quiet",
+            "--n-processes", "3", "--process-id", str(r))
+    parts = b"".join(
+        open(f"multi.txt.part{r}", "rb").read() for r in range(3)
+    )
+    assert parts == open("ca_host.txt", "rb").read()

@@ -139,3 +139,111 @@ def test_precluster_knn_matches_host(retain):
         for c, ((di, dd), (hi, hd)) in enumerate(zip(dr, hr)):
             if h_dists.count(np.float32(hd)) == 1:
                 assert di == hi, f"row {r} col {c}: index {di} != {hi}"
+
+
+def _coreacc_precluster_fixture(n=40, seed=6):
+    ms = _fake_ms(n=n, nk=4, kmers=(17, 21, 25, 29), seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    stride = 29
+    signs = rng.integers(0, 20, (n, stride), dtype=np.uint16)
+    for iso in (5, 19):  # private alphabets -> zero candidates
+        signs[iso] = rng.integers(
+            1000 + iso * 50, 1000 + iso * 50 + 30, stride
+        )
+    perm = rng.permutation(n)
+    inv = Inverted(
+        sign_matrix=signs[perm],
+        sample_names=[f"g{i}" for i in perm],
+        kmer_size=17,
+        rc=True,
+        hash_type=HashType("dna"),
+    )
+    return ms, inv, inv.sign_matrix.reshape(-1), stride
+
+
+def test_precluster_coreacc_host_matches_dense_oracle():
+    """Extension (the reference panics `unimplemented!` here,
+    distances/mod.rs:548-550): per-row candidates from the inverted
+    prefilter, ranked by multi-k core distance. Oracle: the (tested)
+    dense core/acc pipeline + a brute-force candidate filter."""
+    ms, inv, skq_flat, stride = _coreacc_precluster_fixture()
+    n = ms.number_samples_loaded()
+    knn = 5
+    dist_type = api.set_k(ms, None, False)
+    rows = api.self_dists_knn_precluster(
+        ms, inv, skq_flat, stride, knn, dist_type
+    )
+    dense = api.self_dists_all(ms, dist_type)  # (n_pairs, 2) f32
+
+    def dense_pair(i, j):
+        a, b = min(i, j), max(i, j)
+        # upper-triangle row-major condensed index
+        return dense[a * n - a * (a + 1) // 2 + (b - a - 1)]
+
+    skd_of_name = {ms.sketch_name(i): i for i in range(n)}
+    ski_of_skd = np.array(
+        [inv.sample_names.index(ms.sketch_name(i)) for i in range(n)]
+    )
+    mat = inv.sign_matrix
+    for i in range(n):
+        cands = [
+            j
+            for j in range(n)
+            if j != i
+            and (mat[ski_of_skd[i]] == mat[ski_of_skd[j]]).any()
+        ]
+        all_cands = sorted(
+            ((float(dense_pair(i, j)[0]), j) for j in cands)
+        )
+        want = all_cands[:knn]
+        got = [(float(c), j) for j, c, _ in rows[i]]
+        assert len(got) == len(want), f"row {i}"
+        np.testing.assert_allclose(
+            [c for c, _ in got], [c for c, _ in want], atol=1e-6
+        )
+        for (gc, gj), (wc, wj) in zip(got, want):
+            # indices must agree when the core distance is unique among
+            # ALL candidates (ties may resolve either way)
+            if sum(abs(wc - c) < 1e-9 for c, _ in all_cands) == 1:
+                assert gj == wj, f"row {i}"
+        for j, c, a in rows[i]:
+            np.testing.assert_allclose(
+                [c, a], dense_pair(i, j), atol=1e-6
+            )
+    assert skd_of_name  # silence unused warning
+
+
+@pytest.mark.parametrize("retain", [None, "singleton", "bruteforce"])
+def test_precluster_knn_coreacc_device_matches_host(retain):
+    ms, inv, skq_flat, stride = _coreacc_precluster_fixture()
+    dist_type = api.set_k(ms, None, False)
+    knn = 5
+    host = api.self_dists_knn_precluster(
+        ms, inv, skq_flat, stride, knn, dist_type, retain_unmatched=retain
+    )
+    dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).precluster_knn(
+        inv, skq_flat, knn, dist_type, retain_unmatched=retain
+    )
+    assert len(dev) == len(host)
+    for r, (dr, hr) in enumerate(zip(dev, host)):
+        assert len(dr) == len(hr), f"row {r}: {len(dr)} != {len(hr)}"
+        d_cores = sorted(c for _, c, _ in dr)
+        h_cores = sorted(c for _, c, _ in hr)
+        np.testing.assert_allclose(d_cores, h_cores, atol=2e-4)
+        # f32 vs f64 pipelines: indices must agree where the row's core
+        # distances are well separated
+        h_sorted = sorted(h_cores)
+        seps = all(
+            b - a > 1e-3 for a, b in zip(h_sorted, h_sorted[1:])
+        )
+        if seps:
+            assert [j for j, _, _ in dr] == [j for j, _, _ in hr], f"row {r}"
+
+    # row_range slicing matches the corresponding host rows
+    dev_slice = DeviceKnnEngine(ms, row_tile=16, col_tile=32).precluster_knn(
+        inv, skq_flat, knn, dist_type, retain_unmatched=retain,
+        row_range=slice(8, 24),
+    )
+    assert len(dev_slice) == 16
+    for dr, fr in zip(dev_slice, dev[8:24]):
+        assert [j for j, _, _ in dr] == [j for j, _, _ in fr]
