@@ -247,3 +247,26 @@ def test_precluster_knn_coreacc_device_matches_host(retain):
     assert len(dev_slice) == 16
     for dr, fr in zip(dev_slice, dev[8:24]):
         assert [j for j, _, _ in dr] == [j for j, _, _ in fr]
+
+
+def test_precluster_coreacc_completeness_host():
+    """--core-acc with a completeness file takes the host driver (like
+    every completeness run); corrected values must equal the dense
+    pipeline's corrected values pair-for-pair."""
+    ms, inv, skq_flat, stride = _coreacc_precluster_fixture(n=24, seed=9)
+    n = ms.number_samples_loaded()
+    rng = np.random.default_rng(10)
+    comp = np.clip(rng.uniform(0.7, 1.0, n), 0.0, 1.0)
+    dist_type = api.set_k(ms, None, False)
+    rows = api.self_dists_knn_precluster(
+        ms, inv, skq_flat, stride, 4, dist_type, completeness_vec=comp
+    )
+    dense = api.self_dists_all(ms, dist_type, completeness_vec=comp)
+
+    def dense_pair(i, j):
+        a, b = min(i, j), max(i, j)
+        return dense[a * n - a * (a + 1) // 2 + (b - a - 1)]
+
+    for i in range(n):
+        for j, c, a in rows[i]:
+            np.testing.assert_allclose([c, a], dense_pair(i, j), atol=1e-6)
