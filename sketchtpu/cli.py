@@ -482,7 +482,7 @@ def main(argv=None) -> int:
                     from .runtime import select_coreacc_engine
 
                     coreacc_engine = select_coreacc_engine(
-                        references, ref_comp is not None
+                        references, ref_comp, args.completeness_cutoff
                     )
                 if coreacc_engine is not None:
                     log.info("Using on-device core/accessory tile engine")
@@ -547,7 +547,9 @@ def main(argv=None) -> int:
                     log.info("Using on-device kNN engine")
                     if dist_type.coreacc:
                         rows = knn_engine.self_knn_coreacc(
-                            nn, row_range=uni_rows
+                            nn, row_range=uni_rows,
+                            completeness_vec=ref_comp,
+                            completeness_cutoff=args.completeness_cutoff,
                         )
                     else:
                         rows = knn_engine.self_knn(
@@ -604,7 +606,12 @@ def main(argv=None) -> int:
                 if knn_engine is not None:
                     log.info("Using on-device kNN engine")
                     if dist_type.coreacc:
-                        rows = knn_engine.cross_knn_coreacc(queries, nn)
+                        rows = knn_engine.cross_knn_coreacc(
+                            queries, nn,
+                            ref_completeness_vec=ref_comp,
+                            query_completeness_vec=q_comp,
+                            completeness_cutoff=args.completeness_cutoff,
+                        )
                     else:
                         rows = knn_engine.cross_knn(queries, nn, dist_type)
                 else:
@@ -1007,6 +1014,8 @@ def _inverted_main(args) -> None:
                 rows = knn_engine.precluster_knn(
                     inv, skq_bins, knn, dist_type, args.retain_unmatched,
                     row_range=pc_rows,
+                    completeness_vec=ref_comp,
+                    completeness_cutoff=args.completeness_cutoff,
                 )
             else:
                 rows = api.self_dists_knn_precluster(

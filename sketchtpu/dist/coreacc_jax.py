@@ -26,7 +26,8 @@ from .jaccard_jax import _samebits_tile
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s64", "kmers", "sketch_size", "axis_name")
+    jax.jit,
+    static_argnames=("s64", "kmers", "sketch_size", "axis_name", "cutoff"),
 )
 def coreacc_tile(
     a_stack: jnp.ndarray,  # (nk, na, W2) u32 sketch planes per k (ascending)
@@ -35,12 +36,19 @@ def coreacc_tile(
     kmers: tuple[int, ...],
     sketch_size: int,
     axis_name: str | None = None,
+    c1: jnp.ndarray | None = None,  # (na,) f32 row completeness
+    c2: jnp.ndarray | None = None,  # (nb,) f32 column completeness
+    cutoff: float = 0.64,
 ) -> jnp.ndarray:
     """Returns (na, nb, 2) f32: core and accessory distances.
 
     `s64` is the FULL sketch size; when the word axis is sharded over a mesh
     axis (W2 < s64*28), pass the mesh axis as `axis_name` and per-k samebits
-    partials are psum-reduced over it before the regression chain."""
+    partials are psum-reduced over it before the regression chain.
+
+    c1/c2 apply the MAG completeness correction (jaccard.rs:36-57) to each
+    per-k Jaccard before the regression (the correction factor is constant
+    over k, so it is computed once per pair)."""
     maxnbits = float(s64 * 64)
     expected = float(int(s64 * 64) >> BBITS)
     tolerance = float(np.log(2.0 / float(sketch_size * 64)))
@@ -49,6 +57,10 @@ def coreacc_tile(
     na = a_stack.shape[1]
     nb = b_stack.shape[1]
     shape = (na, nb)
+    if c1 is not None:
+        prod = c1[:, None] * c2[None, :]
+        factor = prod / (c1[:, None] + c2[None, :] - prod)
+        comp_apply = prod >= jnp.float32(cutoff)
     xsum = jnp.zeros(shape, jnp.float32)
     ysum = jnp.zeros(shape, jnp.float32)
     xysum = jnp.zeros(shape, jnp.float32)
@@ -64,6 +76,10 @@ def coreacc_tile(
         sb = sb_i.astype(jnp.float32)
         diff = jnp.maximum(sb - expected, 0.0)
         j = (diff * maxnbits / (maxnbits - expected)) / maxnbits
+        if c1 is not None:
+            j = jnp.where(
+                comp_apply, jnp.minimum(j / factor, 1.0), j
+            )
         y = jnp.log(j)
         still = still & (y >= tolerance)
         k_fl = float(k)
@@ -109,7 +125,8 @@ class DeviceCoreAccEngine:
     SKETCHTPU_COREACC_KERNEL=pallas|xla.
     """
 
-    def __init__(self, ms, tile: int = 4096, ti: int = 128, tj: int = 512):
+    def __init__(self, ms, tile: int = 4096, ti: int = 128, tj: int = 512,
+                 completeness_vec=None, completeness_cutoff: float = 0.64):
         import os
 
         from ..runtime import enable_compilation_cache
@@ -126,10 +143,20 @@ class DeviceCoreAccEngine:
         w = ms.kmer_stride
         mat = ms.sketch_bins.reshape(n, nk, w)
         stack = np.ascontiguousarray(mat.transpose(1, 0, 2)).view(np.uint32)
+        self._comp = None
+        self._cutoff = float(completeness_cutoff)
+        if completeness_vec is not None:
+            self._comp = jax.device_put(
+                np.asarray(completeness_vec, dtype=np.float32)
+            )
         kern = os.environ.get("SKETCHTPU_COREACC_KERNEL", "auto")
         self._use_pallas = kern == "pallas" or (
             kern != "xla" and jax.default_backend() not in ("cpu",)
         )
+        if self._comp is not None:
+            # the Pallas tile has no completeness path; the XLA tile is
+            # still fully on-device and far ahead of the host fallback
+            self._use_pallas = False
         if self._use_pallas:
             from .coreacc_pallas import chunk_major
 
@@ -151,7 +178,12 @@ class DeviceCoreAccEngine:
             return self._pallas_tile(rows, cols)
         a = self._stack[:, rows, :]
         b = self._stack[:, cols, :]
-        out = coreacc_tile(a, b, self.s64, self.kmers, self.ms.sketch_size)
+        out = coreacc_tile(
+            a, b, self.s64, self.kmers, self.ms.sketch_size,
+            c1=self._comp[rows] if self._comp is not None else None,
+            c2=self._comp[cols] if self._comp is not None else None,
+            cutoff=self._cutoff,
+        )
         return np.asarray(out)
 
     def _pallas_tile(self, rows: slice, cols: slice) -> np.ndarray:
@@ -189,8 +221,12 @@ class DeviceCoreAccEngine:
             )
             return out[: r1 - r0, :n]
         a = self._stack[:, r0:r1, :]
-        return coreacc_tile(a, self._stack, self.s64, self.kmers,
-                            self.ms.sketch_size)
+        return coreacc_tile(
+            a, self._stack, self.s64, self.kmers, self.ms.sketch_size,
+            c1=self._comp[r0:r1] if self._comp is not None else None,
+            c2=self._comp if self._comp is not None else None,
+            cutoff=self._cutoff,
+        )
 
     def stream_self_dense(
         self, out, names: list[str], row_range: slice | None = None

@@ -102,7 +102,8 @@ def _knn_scan_block(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "s64", "kmers", "sketch_size", "knn", "tc", "exclude_self", "masked"
+        "s64", "kmers", "sketch_size", "knn", "tc", "exclude_self", "masked",
+        "cutoff",
     ),
 )
 def _knn_scan_block_ca(
@@ -119,6 +120,9 @@ def _knn_scan_block_ca(
     tc: int,
     exclude_self: bool,
     masked: bool,
+    c1: jnp.ndarray | None = None,  # (tr,) f32 row completeness
+    c2: jnp.ndarray | None = None,  # (nbp,) f32 column completeness
+    cutoff: float = 0.64,
 ):
     """Running top-k by (negated) core distance. Returns (core (tr, knn) f32,
     acc (tr, knn) f32, idxs (tr, knn) int32)."""
@@ -134,7 +138,15 @@ def _knn_scan_block_ca(
         keys, accs, idxs = carry
         c0 = t * tc
         bt = jax.lax.dynamic_slice(b_stack, (0, c0, 0), (nk, tc, w2))
-        ca = coreacc_tile(a_stack, bt, s64, kmers, sketch_size)
+        c2t = (
+            jax.lax.dynamic_slice(c2, (c0,), (tc,))
+            if c1 is not None
+            else None
+        )
+        ca = coreacc_tile(
+            a_stack, bt, s64, kmers, sketch_size,
+            c1=c1, c2=c2t, cutoff=cutoff,
+        )
         cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
         valid = cols < nb_real
         if exclude_self:
@@ -443,10 +455,15 @@ class DeviceKnnEngine:
     def _knn_coreacc(self, row_stack: np.ndarray, nrows: int, knn: int,
                      exclude_self: bool, row_base: int = 0,
                      a_sig: np.ndarray | None = None,
-                     b_sig_dev=None):
+                     b_sig_dev=None,
+                     c1_rows: np.ndarray | None = None,
+                     c2_dev=None,
+                     cutoff: float = 0.64):
         """Shared row-block driver for self/cross core-acc kNN; row_stack is
         (nk, nrows, W2) u32. a_sig/b_sig_dev add the inverted-index
-        prefilter mask (precluster mode)."""
+        prefilter mask (precluster mode). c1_rows/c2_dev apply the MAG
+        completeness correction on device (XLA tile only — the Pallas tile
+        has no completeness path, so corrected runs use the XLA kernel)."""
         if nrows == 0:  # empty multi-process row slice
             return SparseKnnRows(
                 np.zeros((0, knn), np.int32),
@@ -455,8 +472,10 @@ class DeviceKnnEngine:
             )
         kmers = tuple(self.ms.kmer_lengths)
         masked = a_sig is not None
+        comp = c1_rows is not None
+        use_pallas = self._use_pallas_ca and not comp
         dummy = self._dummy_sig
-        if self._use_pallas_ca:
+        if use_pallas:
             from .coreacc_pallas import chunk_major
 
             bt_cm = self._stack_cm_t()
@@ -469,7 +488,7 @@ class DeviceKnnEngine:
             sig_blk = (
                 a_sig[r0:r1].astype(np.int32) if masked else dummy
             )
-            if self._use_pallas_ca:
+            if use_pallas:
                 a_blk = row_cm[r0:r1]
                 pad = (-(r1 - r0)) % 128
                 if pad:
@@ -506,6 +525,13 @@ class DeviceKnnEngine:
                     tc=self.col_tile,
                     exclude_self=exclude_self,
                     masked=masked,
+                    c1=(
+                        jnp.asarray(c1_rows[r0:r1].astype(np.float32))
+                        if comp
+                        else None
+                    ),
+                    c2=c2_dev if comp else None,
+                    cutoff=cutoff,
                 )
             pending.append((r0, r1, core, acc, idx))
         cores, accs, idxs = [], [], []
@@ -521,25 +547,64 @@ class DeviceKnnEngine:
             None,
         )
 
-    def self_knn_coreacc(self, knn: int, row_range: slice | None = None):
+    def _comp_cols_dev(self, comp: np.ndarray):
+        """Column completeness padded to the b-stack's column count."""
+        c = np.asarray(comp, dtype=np.float32)
+        pad = (-c.size) % self.col_tile
+        if pad:
+            c = np.pad(c, (0, pad), constant_values=1.0)
+        return jax.device_put(c)
+
+    def self_knn_coreacc(self, knn: int, row_range: slice | None = None,
+                         completeness_vec=None,
+                         completeness_cutoff: float = 0.64):
         b_stack = self._stack()
         a_host = np.asarray(jax.device_get(b_stack))[:, : self.n, :]
         base = 0
+        comp = (
+            np.asarray(completeness_vec, dtype=np.float32)
+            if completeness_vec is not None
+            else None
+        )
+        c1_rows = comp
         if row_range is not None:
             a_host = a_host[:, row_range, :]
             base = row_range.start
+            if comp is not None:
+                c1_rows = comp[row_range]
         return self._knn_coreacc(
-            a_host, a_host.shape[1], knn, exclude_self=True, row_base=base
+            a_host, a_host.shape[1], knn, exclude_self=True, row_base=base,
+            c1_rows=c1_rows,
+            c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
+            cutoff=completeness_cutoff,
         )
 
-    def cross_knn_coreacc(self, query_ms, knn: int):
+    def cross_knn_coreacc(self, query_ms, knn: int,
+                          ref_completeness_vec=None,
+                          query_completeness_vec=None,
+                          completeness_cutoff: float = 0.64):
         kmers = tuple(self.ms.kmer_lengths)
         nq = query_ms.number_samples_loaded()
         nk = len(kmers)
         w = self.ms.kmer_stride
         qmat = query_ms.sketch_bins.reshape(nq, nk, w)
         qstack = np.ascontiguousarray(qmat.transpose(1, 0, 2)).view(np.uint32)
-        return self._knn_coreacc(qstack, nq, knn, exclude_self=False)
+        # the correction formula is symmetric in (c1, c2); rows are queries.
+        # Like the reference (jaccard.rs:36-42), correction applies only
+        # when BOTH sides have completeness values.
+        c1 = c2d = None
+        if (
+            ref_completeness_vec is not None
+            and query_completeness_vec is not None
+        ):
+            c1 = np.asarray(query_completeness_vec, dtype=np.float32)
+            c2d = self._comp_cols_dev(
+                np.asarray(ref_completeness_vec, dtype=np.float32)
+            )
+        return self._knn_coreacc(
+            qstack, nq, knn, exclude_self=False,
+            c1_rows=c1, c2_dev=c2d, cutoff=completeness_cutoff,
+        )
 
     # --- precluster (inverted-index prefiltered) kNN ---
 
@@ -551,6 +616,8 @@ class DeviceKnnEngine:
         dist_type,
         retain_unmatched: str | None = None,
         row_range: slice | None = None,
+        completeness_vec=None,
+        completeness_cutoff: float = 0.64,
     ):
         """Fused prefilter + kNN (distances/mod.rs:399-553). skq_bins is the
         flat u16 sign stream in .ski order; rows follow the .skd order.
@@ -585,6 +652,12 @@ class DeviceKnnEngine:
         )
 
         if dist_type.coreacc:
+            comp = (
+                np.asarray(completeness_vec, dtype=np.float32)
+                if completeness_vec is not None
+                else None
+            )
+            c2_dev = self._comp_cols_dev(comp) if comp is not None else None
             a_host = np.asarray(jax.device_get(self._stack()))[:, : n, :]
             res = self._knn_coreacc(
                 a_host[:, lo:hi, :],
@@ -594,6 +667,9 @@ class DeviceKnnEngine:
                 row_base=lo,
                 a_sig=signs[lo:hi],
                 b_sig_dev=sig_dev,
+                c1_rows=comp[lo:hi] if comp is not None else None,
+                c2_dev=c2_dev,
+                cutoff=completeness_cutoff,
             )
             idx_a, vals_a, _ = res.as_arrays()
             rows_ca: list[list[tuple]] = []
@@ -619,6 +695,13 @@ class DeviceKnnEngine:
                     len(empty_ca),
                     min(knn + 1, n),
                     exclude_self=False,
+                    c1_rows=(
+                        comp[[lo + r for r in empty_ca]]
+                        if comp is not None
+                        else None
+                    ),
+                    c2_dev=c2_dev,
+                    cutoff=completeness_cutoff,
                 )
                 idx2, vals2, _ = res2.as_arrays()
                 for bi, r_loc in enumerate(empty_ca):

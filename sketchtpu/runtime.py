@@ -114,12 +114,14 @@ def select_backend(seq_type, n_samples: int):
 _MIN_SAMPLES_FOR_DEVICE_COREACC = 2048
 
 
-def select_coreacc_engine(ms, has_completeness: bool):
+def select_coreacc_engine(ms, completeness_vec=None,
+                          completeness_cutoff: float = 0.64):
     """Fully on-device core/accessory engine for large dense runs (f32; the
-    exact f64 host pipeline is used for small runs and when completeness
-    correction is requested)."""
+    exact f64 host pipeline is used for small runs). Completeness
+    correction runs on device too (XLA tile; the multi-chip sharded engine
+    has no completeness path yet, so corrected runs take one chip)."""
     mode = _mode()
-    if mode == "host" or has_completeness:
+    if mode == "host":
         return None
     n = ms.number_samples_loaded()
     if len(ms.kmer_lengths) < 2:
@@ -130,13 +132,17 @@ def select_coreacc_engine(ms, has_completeness: bool):
         try:
             import jax
 
-            if len(jax.devices()) > 1:
+            if completeness_vec is None and len(jax.devices()) > 1:
                 from .shard.mesh import ShardedCoreAccEngine
 
                 return ShardedCoreAccEngine(ms)
             from .dist.coreacc_jax import DeviceCoreAccEngine
 
-            return DeviceCoreAccEngine(ms)
+            return DeviceCoreAccEngine(
+                ms,
+                completeness_vec=completeness_vec,
+                completeness_cutoff=completeness_cutoff,
+            )
         except Exception as exc:  # pragma: no cover
             log.warning("device core-acc engine unavailable (%s); using host", exc)
             return None
@@ -178,10 +184,12 @@ def select_knn_engine(ms, dist_type, has_completeness: bool):
     """On-device kNN engine for large sparse runs (selection by samebits on
     device, exact f64 distance values; core-acc mode is f32 like the dense
     device engine). Host path remains the default for small runs, golden
-    tests, and completeness correction (which breaks the samebits-distance
-    monotonicity the device selection relies on)."""
+    tests, and single-k completeness correction (per-sample correction
+    breaks the samebits-distance monotonicity the single-k device
+    selection relies on; core-acc selects by the corrected f32 core
+    distance computed on device, so completeness is fine there)."""
     mode = _mode()
-    if mode == "host" or has_completeness:
+    if mode == "host" or (has_completeness and not dist_type.coreacc):
         return None
     n = ms.number_samples_loaded()
     if dist_type.coreacc and len(ms.kmer_lengths) < 2:
@@ -192,7 +200,8 @@ def select_knn_engine(ms, dist_type, has_completeness: bool):
         try:
             import jax
 
-            if len(jax.devices()) > 1:
+            if not has_completeness and len(jax.devices()) > 1:
+                # the sharded engine has no completeness path yet
                 from .shard.mesh import ShardedKnnEngine
 
                 return ShardedKnnEngine(ms)

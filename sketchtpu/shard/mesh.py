@@ -426,7 +426,13 @@ class ShardedKnnEngine:
         ).astype(np.float32)
         return SparseKnnRows(np.asarray(idx)[:na], vals, None)
 
-    def self_knn_coreacc(self, knn: int, row_range: slice | None = None):
+    def self_knn_coreacc(self, knn: int, row_range: slice | None = None,
+                         completeness_vec=None,
+                         completeness_cutoff: float = 0.64):
+        if completeness_vec is not None:  # no sharded completeness path yet
+            raise NotImplementedError(
+                "completeness correction: use the single-device engine"
+            )
         stack = self._stack(self.ms)
         base = 0
         if row_range is not None:
@@ -434,7 +440,17 @@ class ShardedKnnEngine:
             base = row_range.start
         return self._run_ca(stack, knn, exclude_self=True, row_base=base)
 
-    def cross_knn_coreacc(self, query_ms, knn: int):
+    def cross_knn_coreacc(self, query_ms, knn: int,
+                          ref_completeness_vec=None,
+                          query_completeness_vec=None,
+                          completeness_cutoff: float = 0.64):
+        if (
+            ref_completeness_vec is not None
+            and query_completeness_vec is not None
+        ):
+            raise NotImplementedError(
+                "completeness correction: use the single-device engine"
+            )
         return self._run_ca(self._stack(query_ms), knn, exclude_self=False)
 
 

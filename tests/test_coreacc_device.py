@@ -90,3 +90,93 @@ def test_coreacc_pallas_matches_xla_tile():
         )
     )
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_coreacc_tile_completeness_matches_host():
+    """Completeness-corrected core/accessory on device: the per-k Jaccard
+    correction (jaccard.rs:36-57) is applied before the regression, same
+    as the host f64 pipeline."""
+    rng = np.random.default_rng(3)
+    s64 = 4
+    w = s64 * 14
+    kmers = (17, 21, 25)
+    na, nb = 12, 10
+    sketch_size = 256
+    cutoff = 0.64
+
+    # J decreasing in k (like real genomes) — a flat/symmetric J-vs-k
+    # profile is a knife edge where the regression slope sign is pure
+    # rounding noise in f64 and f32 alike (see test_knn_device._fake_ms)
+    base = rng.integers(0, 2**63, (1, len(kmers), w), dtype=np.uint64)
+    keep = np.array([0.95, 0.85, 0.7])[None, :, None]
+    a = np.where(
+        rng.random((na, len(kmers), w)) < keep,
+        base,
+        rng.integers(0, 2**63, (na, len(kmers), w), dtype=np.uint64),
+    )
+    b = np.where(
+        rng.random((nb, len(kmers), w)) < keep,
+        base,
+        rng.integers(0, 2**63, (nb, len(kmers), w), dtype=np.uint64),
+    )
+    # mix of completeness values straddling the cutoff product
+    c1 = rng.uniform(0.6, 1.0, na)
+    c2 = rng.uniform(0.6, 1.0, nb)
+
+    jaccs = np.empty((na * nb, len(kmers)))
+    c1_pairs = np.repeat(c1, nb)
+    c2_pairs = np.tile(c2, na)
+    for ki in range(len(kmers)):
+        sb = samebits_matrix(
+            np.ascontiguousarray(a[:, ki]), np.ascontiguousarray(b[:, ki])
+        ).reshape(-1)
+        jaccs[:, ki] = jaccard_from_samebits(
+            sb, s64, c1_pairs, c2_pairs, cutoff
+        )
+    core_h, acc_h = core_acc_from_jaccards(jaccs, list(kmers), sketch_size)
+
+    a_stack = jnp.asarray(
+        np.ascontiguousarray(a.transpose(1, 0, 2)).view(np.uint32)
+    )
+    b_stack = jnp.asarray(
+        np.ascontiguousarray(b.transpose(1, 0, 2)).view(np.uint32)
+    )
+    out = np.asarray(
+        coreacc_tile(
+            a_stack, b_stack, s64, kmers, sketch_size,
+            c1=jnp.asarray(c1, jnp.float32),
+            c2=jnp.asarray(c2, jnp.float32),
+            cutoff=cutoff,
+        )
+    )
+    np.testing.assert_allclose(out[:, :, 0].reshape(-1), core_h, atol=2e-4)
+    np.testing.assert_allclose(out[:, :, 1].reshape(-1), acc_h, atol=2e-4)
+
+
+def test_dense_engine_completeness_matches_host():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.coreacc_jax import DeviceCoreAccEngine
+
+    ms = _fake_ms(n=20, nk=4, kmers=(17, 21, 25, 29), seed=8)
+    rng = np.random.default_rng(9)
+    comp = rng.uniform(0.7, 1.0, 20)
+    dist_type = api.set_k(ms, None, False)
+    host = api.self_dists_all(ms, dist_type, completeness_vec=comp)
+    eng = DeviceCoreAccEngine(ms, tile=8, completeness_vec=comp)
+    import io
+
+    out = io.StringIO()
+    names = [ms.sketch_name(i) for i in range(20)]
+    eng.stream_self_dense(out, names)
+    lines = out.getvalue().strip().split("\n")
+    assert len(lines) == host.shape[0]
+    got = np.array(
+        [[float(x) for x in ln.split("\t")[2:]] for ln in lines]
+    )
+    np.testing.assert_allclose(got, host, atol=2e-4)

@@ -286,3 +286,28 @@ def test_precluster_coreacc_cli(wd, retain, monkeypatch):
         open(f"multi.txt.part{r}", "rb").read() for r in range(3)
     )
     assert parts == open("ca_host.txt", "rb").read()
+
+
+def test_completeness_coreacc_device_cli(wd, monkeypatch):
+    """Completeness-corrected core/accessory runs engage the device
+    engines (dense tile + kNN) instead of falling back to the host;
+    values agree with the host f64 pipeline to f32 tolerance and pair
+    sets match."""
+    rng = np.random.default_rng(8200)
+    genomes = _related_fastas(wd, rng, 8)
+    run("sketch", "--k-vals", "15,17,21", "-s", "100", *genomes, "-o",
+        "db", "--quiet")
+    with open("comp.tsv", "w") as f:
+        for i, _ in enumerate(genomes):
+            f.write(f"g{i}\t{0.7 + 0.04 * i:.2f}\n")
+
+    for mode in (["--knn", "3"], []):
+        res = {}
+        for be in ("host", "tpu"):
+            monkeypatch.setenv("SKETCHTPU_BACKEND", be)
+            run("dist", "db", *mode, "--ref-completeness-file", "comp.tsv",
+                "-o", f"d_{be}.txt", "--quiet")
+            res[be] = _parse_pairs(wd / f"d_{be}.txt")
+        assert res["host"].keys() == res["tpu"].keys(), mode
+        for pair, hv in res["host"].items():
+            np.testing.assert_allclose(res["tpu"][pair], hv, atol=2e-4)

@@ -270,3 +270,44 @@ def test_precluster_coreacc_completeness_host():
     for i in range(n):
         for j, c, a in rows[i]:
             np.testing.assert_allclose([c, a], dense_pair(i, j), atol=1e-6)
+
+
+def test_self_knn_coreacc_completeness_close_to_host():
+    """Completeness-corrected core/acc kNN runs on device (XLA tile; the
+    selection key is the corrected f32 core distance)."""
+    ms = _fake_ms(n=30, nk=4, kmers=(17, 21, 25, 29), seed=12)
+    rng = np.random.default_rng(13)
+    comp = rng.uniform(0.7, 1.0, 30)
+    dist_type = api.set_k(ms, None, False)
+    knn = 4
+    host = api.self_dists_knn(ms, knn, dist_type, completeness_vec=comp)
+    dev = DeviceKnnEngine(ms, row_tile=8, col_tile=16).self_knn_coreacc(
+        knn, completeness_vec=comp
+    )
+    for dr, hr in zip(dev, host):
+        np.testing.assert_allclose(
+            sorted(c for _, c, _ in dr),
+            sorted(c for _, c, _ in hr),
+            atol=2e-4,
+        )
+
+
+def test_precluster_coreacc_completeness_device_matches_host():
+    ms, inv, skq_flat, stride = _coreacc_precluster_fixture(n=32, seed=14)
+    rng = np.random.default_rng(15)
+    comp = rng.uniform(0.7, 1.0, 32)
+    dist_type = api.set_k(ms, None, False)
+    host = api.self_dists_knn_precluster(
+        ms, inv, skq_flat, stride, 4, dist_type, completeness_vec=comp
+    )
+    dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).precluster_knn(
+        inv, skq_flat, 4, dist_type, completeness_vec=comp
+    )
+    assert len(dev) == len(host)
+    for r, (dr, hr) in enumerate(zip(dev, host)):
+        assert len(dr) == len(hr), f"row {r}"
+        np.testing.assert_allclose(
+            sorted(c for _, c, _ in dr),
+            sorted(c for _, c, _ in hr),
+            atol=2e-4,
+        )
