@@ -629,17 +629,44 @@ def main(argv=None) -> int:
                 _log_pair_rate(len(qnames) * n)
             else:
                 stream_engine = None
+                cross_ca_engine = None
                 if not dist_type.coreacc:
                     from .runtime import select_dense_stream_engine
 
                     stream_engine = select_dense_stream_engine(
                         references, dist_type
                     )
+                else:
+                    from .runtime import select_coreacc_engine
+
+                    # correction applies only when BOTH sides have values
+                    # (jaccard.rs:36-42); pass it so the XLA tile is used
+                    both_comp = (
+                        ref_comp is not None and q_comp is not None
+                    )
+                    cross_ca_engine = select_coreacc_engine(
+                        references,
+                        ref_comp if both_comp else None,
+                        args.completeness_cutoff,
+                    )
                 if stream_engine is not None:
                     log.info("Using on-device dense streaming engine")
                     stream_engine.stream_cross_dense(
                         out, names, qnames, queries, dist_type, ref_comp,
                         q_comp, args.completeness_cutoff,
+                        row_range=uni_rows,
+                    )
+                    _log_pair_rate(len(_row_names(uni_rows)) * len(qnames))
+                elif cross_ca_engine is not None and hasattr(
+                    cross_ca_engine, "stream_cross_dense"
+                ):  # the multi-chip sharded engine has no cross-dense path
+                    log.info(
+                        "Using on-device core/accessory tile engine (cross)"
+                    )
+                    cross_ca_engine.stream_cross_dense(
+                        out, names, qnames, queries,
+                        rcomp=ref_comp, qcomp=q_comp,
+                        cutoff=args.completeness_cutoff,
                         row_range=uni_rows,
                     )
                     _log_pair_rate(len(_row_names(uni_rows)) * len(qnames))

@@ -228,6 +228,119 @@ class DeviceCoreAccEngine:
             cutoff=self._cutoff,
         )
 
+    def stream_cross_dense(
+        self,
+        out,
+        ref_names: list[str],
+        query_names: list[str],
+        query_ms,
+        rcomp=None,
+        qcomp=None,
+        cutoff: float = 0.64,
+        row_range: slice | None = None,
+    ) -> None:
+        """Ref-major rectangular core/acc output (cross_dists_all
+        semantics); ref row blocks stream against the device-resident
+        query stack. Completeness applies only when both sides have
+        values (jaccard.rs:36-42); select the engine with a completeness
+        vector in that case so the XLA tile is active."""
+        from .._native import get_lib
+        from .output import _name_table, _native_lines, fmt_f32_column
+
+        n = len(ref_names)
+        nq = query_ms.number_samples_loaded()
+        nk = len(self.kmers)
+        w = self.ms.kmer_stride
+        qmat = query_ms.sketch_bins.reshape(nq, nk, w)
+        q_stack = np.ascontiguousarray(qmat.transpose(1, 0, 2)).view(
+            np.uint32
+        )
+        comp_on = rcomp is not None and qcomp is not None
+        if comp_on and self._use_pallas:  # pragma: no cover - guarded by CLI
+            raise ValueError(
+                "completeness needs the XLA tile: select the engine with "
+                "a completeness vector"
+            )
+        if self._use_pallas:
+            from .coreacc_pallas import coreacc_pallas, chunk_major
+
+            qt = jnp.transpose(
+                chunk_major(jax.device_put(q_stack), self.s64)
+            )
+            pb = (-nq) % self.tj
+            if pb:
+                qt = jnp.pad(qt, ((0, 0), (0, pb)))
+            qt.block_until_ready()
+        else:
+            q_dev = jax.device_put(q_stack)
+        rc_v = (
+            jnp.asarray(np.asarray(rcomp, dtype=np.float32))
+            if comp_on
+            else None
+        )
+        qc_v = (
+            jnp.asarray(np.asarray(qcomp, dtype=np.float32))
+            if comp_on
+            else None
+        )
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
+        starts = list(range(lo, hi, self.tile))
+        if not starts:
+            return
+        tab_r = _name_table(ref_names) if get_lib() is not None else None
+        tab_q = _name_table(query_names) if tab_r is not None else None
+        pending: list[tuple] = []
+
+        def dispatch(r0: int):
+            r1 = min(r0 + self.tile, hi)
+            if self._use_pallas:
+                from .coreacc_pallas import coreacc_pallas
+
+                a = self._a_cm[r0:r1]
+                pa = (-(r1 - r0)) % self.ti
+                if pa:
+                    a = jnp.pad(a, ((0, pa), (0, 0)))
+                blk = coreacc_pallas(
+                    a, qt, self.s64, self.kmers, self.ms.sketch_size,
+                    ti=self.ti, tj=self.tj,
+                )[: r1 - r0, :nq]
+            else:
+                blk = coreacc_tile(
+                    self._stack[:, r0:r1, :], q_dev, self.s64, self.kmers,
+                    self.ms.sketch_size,
+                    c1=rc_v[r0:r1] if comp_on else None,
+                    c2=qc_v,
+                    cutoff=cutoff,
+                )
+            pending.append((r0, r1, blk))
+
+        dispatch(starts[0])
+        for nxt in starts[1:] + [None]:
+            r0, r1, block_dev = pending.pop(0)
+            if nxt is not None:
+                dispatch(nxt)
+            block = np.asarray(block_dev)[: r1 - r0]
+            if tab_r is not None:
+                rows = np.repeat(
+                    np.arange(r0, r1, dtype=np.int32), nq
+                )
+                cols = np.tile(np.arange(nq, dtype=np.int32), r1 - r0)
+                flat = block.reshape(-1, 2)
+                _native_lines(
+                    out, tab_r, tab_q, rows, cols, flat[:, 0], flat[:, 1]
+                )
+                continue
+            for i in range(r0, r1):
+                cores = fmt_f32_column(block[i - r0, :, 0])
+                accs = fmt_f32_column(block[i - r0, :, 1])
+                name_i = ref_names[i]
+                out.write(
+                    "".join(
+                        f"{name_i}\t{query_names[j]}\t{c}\t{a}\n"
+                        for j, c, a in zip(range(nq), cores, accs)
+                    )
+                )
+
     def stream_self_dense(
         self, out, names: list[str], row_range: slice | None = None
     ) -> None:

@@ -311,3 +311,33 @@ def test_completeness_coreacc_device_cli(wd, monkeypatch):
         assert res["host"].keys() == res["tpu"].keys(), mode
         for pair, hv in res["host"].items():
             np.testing.assert_allclose(res["tpu"][pair], hv, atol=2e-4)
+
+
+def test_cross_dense_coreacc_device_cli(wd, monkeypatch):
+    """Dense cross core/accessory on the device tile engine: values agree
+    with the host f64 pipeline to f32 tolerance, with and without
+    completeness (correction applies only when both sides have files)."""
+    rng = np.random.default_rng(9300)
+    genomes = _related_fastas(wd, rng, 10)
+    run("sketch", "--k-vals", "15,17,21", "-s", "100", *genomes[:6], "-o",
+        "dbr", "--quiet")
+    run("sketch", "--k-vals", "15,17,21", "-s", "100", *genomes[6:], "-o",
+        "dbq", "--quiet")
+    with open("rcomp.tsv", "w") as f:
+        for i in range(6):
+            f.write(f"g{i}\t{0.75 + 0.03 * i:.2f}\n")
+    with open("qcomp.tsv", "w") as f:
+        for i in range(6, 10):
+            f.write(f"g{i}\t{0.8 + 0.04 * (i - 6):.2f}\n")
+
+    for comp in ([], ["--ref-completeness-file", "rcomp.tsv",
+                      "--query-completeness-file", "qcomp.tsv"],
+                 ["--ref-completeness-file", "rcomp.tsv"]):
+        res = {}
+        for be in ("host", "tpu"):
+            monkeypatch.setenv("SKETCHTPU_BACKEND", be)
+            run("dist", "dbr", "dbq", *comp, "-o", f"x_{be}.txt", "--quiet")
+            res[be] = _parse_pairs(wd / f"x_{be}.txt")
+        assert res["host"].keys() == res["tpu"].keys(), comp
+        for pair, hv in res["host"].items():
+            np.testing.assert_allclose(res["tpu"][pair], hv, atol=2e-4)
