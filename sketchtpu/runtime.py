@@ -118,8 +118,9 @@ def select_coreacc_engine(ms, completeness_vec=None,
                           completeness_cutoff: float = 0.64):
     """Fully on-device core/accessory engine for large dense runs (f32; the
     exact f64 host pipeline is used for small runs). Completeness
-    correction runs on device too (XLA tile; the multi-chip sharded engine
-    has no completeness path yet, so corrected runs take one chip)."""
+    correction runs on device too (XLA tile — the correction folds into
+    the regression chain after the samebits psum, so the multi-chip
+    sharded engine takes it as well)."""
     mode = _mode()
     if mode == "host":
         return None
@@ -132,10 +133,14 @@ def select_coreacc_engine(ms, completeness_vec=None,
         try:
             import jax
 
-            if completeness_vec is None and len(jax.devices()) > 1:
+            if len(jax.devices()) > 1:
                 from .shard.mesh import ShardedCoreAccEngine
 
-                return ShardedCoreAccEngine(ms)
+                return ShardedCoreAccEngine(
+                    ms,
+                    completeness_vec=completeness_vec,
+                    completeness_cutoff=completeness_cutoff,
+                )
             from .dist.coreacc_jax import DeviceCoreAccEngine
 
             return DeviceCoreAccEngine(

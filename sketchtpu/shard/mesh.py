@@ -61,7 +61,8 @@ def _sharded_samebits(a, b, s64: int, mesh: Mesh):
 
 
 def sharded_coreacc_step(a_stack, b_stack, s64: int, mesh: Mesh,
-                         kmers: tuple[int, ...], sketch_size: int):
+                         kmers: tuple[int, ...], sketch_size: int,
+                         c1=None, c2=None, cutoff: float = 0.64):
     """Full multi-k core/accessory distances over a mesh.
 
     a_stack: (nk, na, W2) u32, sample axis sharded over 'rows' and the word
@@ -69,10 +70,33 @@ def sharded_coreacc_step(a_stack, b_stack, s64: int, mesh: Mesh,
     over rows. Per-k samebits partials psum over 'words' (exact int32
     counts ride ICI), then each device runs the regression chain for its
     row block. Returns (na, nb, 2) f32, row-sharded.
-    """
+
+    c1 (na,) / c2 (nb,) f32 apply the completeness correction — c1 shards
+    with the rows, c2 replicates; the correction runs after the psum so it
+    sees whole samebits."""
     from jax import shard_map
 
     from ..dist.coreacc_jax import coreacc_tile
+
+    if c1 is not None:
+
+        def tile_fn_c(a_blk, b_blk, c1_blk, c2_all):
+            return coreacc_tile(
+                a_blk, b_blk, s64, kmers, sketch_size, axis_name="words",
+                c1=c1_blk, c2=c2_all, cutoff=cutoff,
+            )
+
+        return shard_map(
+            tile_fn_c,
+            mesh=mesh,
+            in_specs=(
+                P(None, "rows", "words"),
+                P(None, None, "words"),
+                P("rows"),
+                P(None),
+            ),
+            out_specs=P("rows", None, None),
+        )(a_stack, b_stack, c1, c2)
 
     def tile_fn(a_blk, b_blk):
         # psum over a size-1 axis is a no-op; always reducing keeps the
@@ -243,7 +267,8 @@ class ShardedCoreAccEngine:
     (the math is identical; only the partition differs).
     """
 
-    def __init__(self, ms, mesh: Mesh | None = None, tile: int = 4096):
+    def __init__(self, ms, mesh: Mesh | None = None, tile: int = 4096,
+                 completeness_vec=None, completeness_cutoff: float = 0.64):
         from ..runtime import enable_compilation_cache
 
         enable_compilation_cache()
@@ -252,6 +277,12 @@ class ShardedCoreAccEngine:
         self.tile = tile
         self.s64 = ms.sketchsize64
         self.kmers = tuple(ms.kmer_lengths)
+        self._comp = (
+            np.asarray(completeness_vec, dtype=np.float32)
+            if completeness_vec is not None
+            else None
+        )
+        self._cutoff = float(completeness_cutoff)
         nk = len(self.kmers)
         n = ms.number_samples_loaded()
         w = ms.kmer_stride
@@ -280,8 +311,15 @@ class ShardedCoreAccEngine:
                 NamedSharding(self.mesh, P(None, None, "words")),
             )
         )
+        c1 = c2 = None
+        if self._comp is not None:
+            c1 = np.pad(
+                self._comp[rows], (0, pad), constant_values=1.0
+            ).astype(np.float32)
+            c2 = self._comp[cols].astype(np.float32)
         out = sharded_coreacc_step(
-            a_dev, b, self.s64, self.mesh, self.kmers, self.ms.sketch_size
+            a_dev, b, self.s64, self.mesh, self.kmers, self.ms.sketch_size,
+            c1=c1, c2=c2, cutoff=self._cutoff,
         )
         return np.asarray(out)[:na]
 

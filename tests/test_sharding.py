@@ -226,3 +226,75 @@ def test_sharded_knn_coreacc_matches_device(eight_devices, monkeypatch):
         sharded.cross_knn_coreacc(queries, 4),
         single.cross_knn_coreacc(queries, 4),
     )
+
+
+def test_sharded_coreacc_completeness(eight_devices):
+    """Completeness-corrected sharded core/acc step matches the
+    single-device corrected tile bit-for-bit (identical f32 math; the
+    correction runs after the samebits psum)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    from sketchtpu.dist.coreacc_jax import coreacc_tile
+    from sketchtpu.shard.mesh import make_mesh, sharded_coreacc_step
+
+    s64 = 4
+    w2 = s64 * 14 * 2
+    kmers = (17, 21, 25)
+    nk = len(kmers)
+    rng = np.random.default_rng(6)
+    base = rng.integers(0, 2**32, (1, w2), dtype=np.uint32)
+    keep = np.array([0.95, 0.85, 0.7])[:, None, None]
+    stack = np.where(
+        rng.random((nk, 16, w2)) < keep,
+        base,
+        rng.integers(0, 2**32, (nk, 16, w2), dtype=np.uint32),
+    ).astype(np.uint32)
+    comp = rng.uniform(0.7, 1.0, 16).astype(np.float32)
+    want = np.asarray(
+        coreacc_tile(
+            jnp.asarray(stack), jnp.asarray(stack), s64, kmers, s64 * 64,
+            c1=jnp.asarray(comp), c2=jnp.asarray(comp), cutoff=0.64,
+        )
+    )
+    for rows, words in [(8, 1), (2, 4)]:
+        mesh = make_mesh(n_rows=rows, n_words=words)
+        a = jax.device_put(stack, NamedSharding(mesh, P(None, "rows", "words")))
+        b = jax.device_put(stack, NamedSharding(mesh, P(None, None, "words")))
+        got = np.asarray(
+            sharded_coreacc_step(
+                a, b, s64, mesh, kmers, s64 * 64,
+                c1=jnp.asarray(comp), c2=jnp.asarray(comp), cutoff=0.64,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"{rows}x{words}")
+
+
+def test_sharded_coreacc_engine_completeness(eight_devices):
+    """ShardedCoreAccEngine with a completeness vector matches the host
+    f64 pipeline to f32 tolerance (engine-level, odd row count)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.shard.mesh import ShardedCoreAccEngine, make_mesh
+
+    ms = _fake_ms(n=13, nk=3, kmers=(17, 21, 25), seed=21)
+    rng = np.random.default_rng(22)
+    comp = rng.uniform(0.7, 1.0, 13)
+    dist_type = api.set_k(ms, None, False)
+    host = api.self_dists_all(ms, dist_type, completeness_vec=comp)
+    eng = ShardedCoreAccEngine(
+        ms, mesh=make_mesh(n_rows=4, n_words=2), tile=8,
+        completeness_vec=comp,
+    )
+    n = 13
+    got = []
+    for i in range(n):
+        block = eng.tile_dists(slice(i, i + 1), slice(0, n))
+        got.append(block[0, i + 1 :])
+    got = np.concatenate(got)
+    np.testing.assert_allclose(got, host, atol=2e-4)
