@@ -205,8 +205,7 @@ def select_knn_engine(ms, dist_type, has_completeness: bool):
         try:
             import jax
 
-            if not has_completeness and len(jax.devices()) > 1:
-                # the sharded engine has no completeness path yet
+            if len(jax.devices()) > 1:
                 from .shard.mesh import ShardedKnnEngine
 
                 return ShardedKnnEngine(ms)

@@ -165,11 +165,13 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
 def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
                         n_real: int, exclude_self: bool,
                         kmers: tuple[int, ...], sketch_size: int,
-                        col_tile: int = 2048, row_base: int = 0):
+                        col_tile: int = 2048, row_base: int = 0,
+                        c1=None, c2=None, cutoff: float = 0.64):
     """Sharded multi-k core/accessory kNN: rows shard over 'rows', the
     (nk, nbp, W2) column stack replicates; each device keeps a running
     top-k by core distance over streamed column tiles. Returns
-    (core, acc, idx) each (na, knn), row-sharded."""
+    (core, acc, idx) each (na, knn), row-sharded. c1 (na,) / c2 (nbp,)
+    f32 apply the completeness correction (c1 shards with the rows)."""
     from jax import shard_map
 
     from ..dist.knn_jax import _knn_scan_block_ca
@@ -179,8 +181,9 @@ def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
     rows = mesh.shape["rows"]
     rows_per = a_stack.shape[1] // rows
     tc = min(col_tile, b_stack.shape[1])
+    comp = c1 is not None
 
-    def shard_fn(a_blk, b_blk):
+    def shard_fn(a_blk, b_blk, c1_blk, c2_all):
         row0 = jnp.int32(row_base) + jax.lax.axis_index("rows").astype(
             jnp.int32
         ) * jnp.int32(rows_per)
@@ -199,14 +202,21 @@ def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
             tc=tc,
             exclude_self=exclude_self,
             masked=False,
+            c1=c1_blk if comp else None,
+            c2=c2_all if comp else None,
+            cutoff=cutoff,
         )
 
+    if not comp:
+        c1 = jnp.zeros(a_stack.shape[1], jnp.float32)
+        c2 = jnp.zeros(b_stack.shape[1], jnp.float32)
     return shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(None, "rows", None), P(None, None, None)),
+        in_specs=(P(None, "rows", None), P(None, None, None), P("rows"),
+                  P(None)),
         out_specs=(P("rows", None), P("rows", None), P("rows", None)),
-    )(a_stack, b_stack)
+    )(a_stack, b_stack, jnp.asarray(c1), jnp.asarray(c2))
 
 
 class ShardedSamebitsEngine:
@@ -428,7 +438,8 @@ class ShardedKnnEngine:
         return np.ascontiguousarray(mat.transpose(1, 0, 2)).view(np.uint32)
 
     def _run_ca(self, a_stack: np.ndarray, knn: int, exclude_self: bool,
-                row_base: int = 0):
+                row_base: int = 0, c1_rows=None, c2_cols=None,
+                cutoff: float = 0.64):
         from ..dist.knn_jax import SparseKnnRows
 
         kmers = tuple(self.ms.kmer_lengths)
@@ -447,6 +458,16 @@ class ShardedKnnEngine:
         pad = (-na) % rows_mult
         if pad:
             a_stack = np.pad(a_stack, ((0, 0), (0, pad), (0, 0)))
+        c1 = c2 = None
+        if c1_rows is not None:
+            c1 = np.pad(
+                np.asarray(c1_rows, dtype=np.float32), (0, pad),
+                constant_values=1.0,
+            )
+            c2 = np.pad(
+                np.asarray(c2_cols, dtype=np.float32), (0, padc),
+                constant_values=1.0,
+            )
         a_dev = jax.device_put(
             a_stack, NamedSharding(self.mesh, P(None, "rows", None))
         )
@@ -457,7 +478,7 @@ class ShardedKnnEngine:
             a_dev, b_dev, self.s64, self.mesh, knn, n_real=self.n,
             exclude_self=exclude_self, kmers=kmers,
             sketch_size=self.ms.sketch_size, col_tile=self.col_tile,
-            row_base=row_base,
+            row_base=row_base, c1=c1, c2=c2, cutoff=cutoff,
         )
         vals = np.stack(
             [np.asarray(core)[:na], np.asarray(acc)[:na]], axis=-1
@@ -467,29 +488,41 @@ class ShardedKnnEngine:
     def self_knn_coreacc(self, knn: int, row_range: slice | None = None,
                          completeness_vec=None,
                          completeness_cutoff: float = 0.64):
-        if completeness_vec is not None:  # no sharded completeness path yet
-            raise NotImplementedError(
-                "completeness correction: use the single-device engine"
-            )
         stack = self._stack(self.ms)
         base = 0
+        comp = (
+            np.asarray(completeness_vec, dtype=np.float32)
+            if completeness_vec is not None
+            else None
+        )
+        c1 = comp
         if row_range is not None:
             stack = stack[:, row_range, :]
             base = row_range.start
-        return self._run_ca(stack, knn, exclude_self=True, row_base=base)
+            if comp is not None:
+                c1 = comp[row_range]
+        return self._run_ca(
+            stack, knn, exclude_self=True, row_base=base,
+            c1_rows=c1, c2_cols=comp, cutoff=completeness_cutoff,
+        )
 
     def cross_knn_coreacc(self, query_ms, knn: int,
                           ref_completeness_vec=None,
                           query_completeness_vec=None,
                           completeness_cutoff: float = 0.64):
+        # like the reference (jaccard.rs:36-42), correction applies only
+        # when BOTH sides have completeness values; rows are queries
+        c1 = c2 = None
         if (
             ref_completeness_vec is not None
             and query_completeness_vec is not None
         ):
-            raise NotImplementedError(
-                "completeness correction: use the single-device engine"
-            )
-        return self._run_ca(self._stack(query_ms), knn, exclude_self=False)
+            c1 = np.asarray(query_completeness_vec, dtype=np.float32)
+            c2 = np.asarray(ref_completeness_vec, dtype=np.float32)
+        return self._run_ca(
+            self._stack(query_ms), knn, exclude_self=False,
+            c1_rows=c1, c2_cols=c2, cutoff=completeness_cutoff,
+        )
 
 
 def sharded_dist_step(a, b, s64: int, mesh: Mesh, k: float, ani: bool):

@@ -298,3 +298,30 @@ def test_sharded_coreacc_engine_completeness(eight_devices):
         got.append(block[0, i + 1 :])
     got = np.concatenate(got)
     np.testing.assert_allclose(got, host, atol=2e-4)
+
+
+def test_sharded_knn_coreacc_completeness(eight_devices):
+    """Sharded corrected core/acc kNN matches the single-device engine."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist.knn_jax import DeviceKnnEngine
+    from sketchtpu.shard.mesh import ShardedKnnEngine, make_mesh
+
+    ms = _fake_ms(n=24, nk=3, kmers=(17, 21, 25), seed=31)
+    rng = np.random.default_rng(32)
+    comp = rng.uniform(0.7, 1.0, 24)
+    sharded = ShardedKnnEngine(ms, mesh=make_mesh(n_rows=8, n_words=1),
+                               col_tile=8)
+    single = DeviceKnnEngine(ms, row_tile=8, col_tile=8)
+    for dr, hr in zip(
+        sharded.self_knn_coreacc(4, completeness_vec=comp),
+        single.self_knn_coreacc(4, completeness_vec=comp),
+    ):
+        np.testing.assert_allclose(
+            sorted(c for _, c, _ in dr), sorted(c for _, c, _ in hr),
+            atol=1e-6,
+        )
