@@ -60,15 +60,18 @@ def chunk_major(stack: jnp.ndarray, s64: int) -> jnp.ndarray:
 def _coreacc_kernel(
     a_ref,
     bt_ref,
-    core_ref,
-    acc_ref,
-    *counts_refs,
+    *rest_refs,
     s64: int,
     kmers: tuple[int, ...],
     maxnbits: float,
     expected: float,
     tolerance: float,
+    cutoff: float | None = None,
 ):
+    if cutoff is not None:
+        c1_ref, c2_ref, core_ref, acc_ref, *counts_refs = rest_refs
+    else:
+        core_ref, acc_ref, *counts_refs = rest_refs
     c = pl.program_id(2)
     nk = len(kmers)
     ti = core_ref.shape[0]
@@ -100,10 +103,18 @@ def _coreacc_kernel(
         zero = jnp.zeros(shape, jnp.float32)
         xsum, ysum, xysum, xsq, ysq, n = zero, zero, zero, zero, zero, zero
         still = jnp.ones(shape, jnp.bool_)
+        if cutoff is not None:
+            c1v = c1_ref[:, :]  # (ti, 1)
+            c2v = c2_ref[:, :]  # (1, tj)
+            prod = c1v * c2v
+            factor = prod / (c1v + c2v - prod)
+            capply = prod >= jnp.float32(cutoff)
         for ki, k in enumerate(kmers):
             sb_f = counts_refs[ki][:, :].astype(jnp.float32)
             diff = jnp.maximum(sb_f - expected, 0.0)
             j = (diff * maxnbits / (maxnbits - expected)) / maxnbits
+            if cutoff is not None:
+                j = jnp.where(capply, jnp.minimum(j / factor, 1.0), j)
             y = jnp.log(j)
             still = still & (y >= tolerance)
             k_fl = jnp.float32(k)
@@ -136,7 +147,9 @@ def _coreacc_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s64", "kmers", "sketch_size", "ti", "tj", "interpret"),
+    static_argnames=(
+        "s64", "kmers", "sketch_size", "ti", "tj", "interpret", "cutoff"
+    ),
 )
 def coreacc_pallas(
     a: jnp.ndarray,  # (na, s64*nk*28) u32, chunk-major (see chunk_major())
@@ -147,12 +160,16 @@ def coreacc_pallas(
     ti: int = 256,
     tj: int = 512,
     interpret: bool = False,
+    c1: jnp.ndarray | None = None,  # (na,) f32 row completeness
+    c2: jnp.ndarray | None = None,  # (nb,) f32 column completeness
+    cutoff: float = 0.64,
 ) -> jnp.ndarray:
     """Returns (na, nb, 2) f32 core and accessory distances.
 
     na must be a multiple of ti and nb of tj (callers pad; padded rows are
-    discarded by the caller).
-    """
+    discarded by the caller). c1/c2 apply the MAG completeness correction
+    to each per-k Jaccard inside the final grid step (the factor is
+    constant over k)."""
     na = a.shape[0]
     nb = bt.shape[1]
     nk = len(kmers)
@@ -161,6 +178,7 @@ def coreacc_pallas(
     expected = float(int(s64 * 64) >> BBITS)
     tolerance = float(np.log(2.0 / float(sketch_size * 64)))
     grid = (na // ti, nb // tj, s64)
+    comp = c1 is not None
     kernel = functools.partial(
         _coreacc_kernel,
         s64=s64,
@@ -168,14 +186,27 @@ def coreacc_pallas(
         maxnbits=maxnbits,
         expected=expected,
         tolerance=tolerance,
+        cutoff=cutoff if comp else None,
     )
+    in_specs = [
+        pl.BlockSpec((ti, wc), lambda i, j, c: (i, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wc, tj), lambda i, j, c: (c, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [a, bt]
+    if comp:
+        in_specs += [
+            pl.BlockSpec(
+                (ti, 1), lambda i, j, c: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tj), lambda i, j, c: (0, j), memory_space=pltpu.VMEM
+            ),
+        ]
+        operands += [c1.reshape(na, 1), c2.reshape(1, nb)]
     core, acc = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((ti, wc), lambda i, j, c: (i, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wc, tj), lambda i, j, c: (c, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((ti, tj), lambda i, j, c: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((ti, tj), lambda i, j, c: (i, j), memory_space=pltpu.VMEM),
@@ -195,5 +226,5 @@ def coreacc_pallas(
             bytes_accessed=(na * s64 * wc + nb * s64 * wc + 2 * na * nb) * 4,
             transcendentals=na * nb * nk,
         ),
-    )(a, bt)
+    )(*operands)
     return jnp.stack([core, acc], axis=-1)

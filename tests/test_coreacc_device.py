@@ -180,3 +180,47 @@ def test_dense_engine_completeness_matches_host():
         [[float(x) for x in ln.split("\t")[2:]] for ln in lines]
     )
     np.testing.assert_allclose(got, host, atol=2e-4)
+
+
+def test_coreacc_pallas_completeness_matches_xla(
+):
+    """Completeness variant of the fused Pallas kernel (interpret mode)
+    vs the corrected XLA tile — identical f32 math."""
+    from sketchtpu.dist.coreacc_pallas import chunk_major, coreacc_pallas
+
+    rng = np.random.default_rng(17)
+    s64 = 4
+    w2 = s64 * 14 * 2
+    kmers = (17, 21, 25)
+    nk = len(kmers)
+    na, nb = 8, 16
+    base = rng.integers(0, 2**32, (1, w2), dtype=np.uint32)
+    keep = np.array([0.95, 0.85, 0.7])[:, None, None]
+    a = np.where(
+        rng.random((nk, na, w2)) < keep,
+        base,
+        rng.integers(0, 2**32, (nk, na, w2), dtype=np.uint32),
+    ).astype(np.uint32)
+    b = np.where(
+        rng.random((nk, nb, w2)) < keep,
+        base,
+        rng.integers(0, 2**32, (nk, nb, w2), dtype=np.uint32),
+    ).astype(np.uint32)
+    c1 = rng.uniform(0.7, 1.0, na).astype(np.float32)
+    c2 = rng.uniform(0.7, 1.0, nb).astype(np.float32)
+
+    want = np.asarray(
+        coreacc_tile(
+            jnp.asarray(a), jnp.asarray(b), s64, kmers, s64 * 64,
+            c1=jnp.asarray(c1), c2=jnp.asarray(c2), cutoff=0.64,
+        )
+    )
+    a_cm = chunk_major(jnp.asarray(a), s64)
+    bt = jnp.transpose(chunk_major(jnp.asarray(b), s64))
+    got = np.asarray(
+        coreacc_pallas(
+            a_cm, bt, s64, kmers, s64 * 64, ti=na, tj=nb, interpret=True,
+            c1=jnp.asarray(c1), c2=jnp.asarray(c2), cutoff=0.64,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
