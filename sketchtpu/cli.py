@@ -417,6 +417,9 @@ def main(argv=None) -> int:
         from .dist import api, output as dist_output
         from .runtime import select_engine
 
+        if args.ani and args.kmer is None:
+            # clap: `ani` requires `kmer` (cli.rs:212)
+            raise SystemExit("--ani requires -k (a single k-mer length)")
         proc_id, n_proc, multiproc = _resolve_ranks(args)
         if multiproc and args.output:
             from .shard.distributed import shard_prefix
@@ -924,6 +927,9 @@ def _inverted_main(args) -> None:
         from .formats import skd as skd_io
         from .runtime import select_engine
 
+        if args.count and args.skd:
+            # clap: the "mode" ArgGroup is exclusive (cli.rs:416-420)
+            raise SystemExit("--count and --skd are mutually exclusive")
         input_prefix = strip_sketch_extension(args.ski)
         inv = Inverted.load(input_prefix)
         if args.count:

@@ -33,7 +33,16 @@ def get_input_list(
     """rfile lines: 1 col = file (name = file); 2 cols = name, file;
     3+ cols = name, files... (io.rs:182-224)."""
     if file_list is None and seq_files is None:
-        raise ValueError("No input files provided")
+        # clap: the "input" ArgGroup is required (cli.rs:121-126)
+        raise SystemExit(
+            "error: provide input FASTA files or -f FILE_LIST"
+        )
+    if file_list is not None and seq_files:
+        # clap: "input" group members are mutually exclusive
+        raise SystemExit(
+            "error: positional sequence files and -f FILE_LIST are "
+            "mutually exclusive"
+        )
     if file_list is not None:
         out = []
         with open(file_list) as f:

@@ -256,3 +256,26 @@ def test_k_seq_flag(wd):
     run("sketch", "--k-seq", "17,26,4", GENOMES[2], "-o", "kseq", "--quiet")
     run("sketch", "--k-vals", "17,21,25", GENOMES[2], "-o", "klist", "--quiet")
     assert (wd / "kseq.skd").read_bytes() == (wd / "klist.skd").read_bytes()
+
+
+def test_arg_group_enforcement(tmp_path, monkeypatch):
+    """clap ArgGroup semantics: required/exclusive input groups
+    (cli.rs:121-126), --ani requires -k (cli.rs:212), precluster mode
+    group exclusive (cli.rs:416-420)."""
+    import pytest
+
+    from sketchtpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "g.fa").write_text(">r0\nACGTACGTACGTACGTACGTACGT\n")
+    (tmp_path / "rf.txt").write_text("a\tg.fa\n")
+    with pytest.raises(SystemExit, match="provide input"):
+        main(["sketch", "-o", "db", "-k", "17", "--quiet"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["sketch", "g.fa", "-f", "rf.txt", "-o", "db", "-k", "17",
+              "--quiet"])
+    with pytest.raises(SystemExit, match="--ani requires -k"):
+        main(["dist", "db", "--ani", "--quiet"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["inverted", "precluster", "x.ski", "--count", "--skd", "db",
+              "--quiet"])
