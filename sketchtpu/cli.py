@@ -662,7 +662,7 @@ def main(argv=None) -> int:
                     _log_pair_rate(len(_row_names(uni_rows)) * len(qnames))
                 elif cross_ca_engine is not None and hasattr(
                     cross_ca_engine, "stream_cross_dense"
-                ):  # the multi-chip sharded engine has no cross-dense path
+                ):
                     log.info(
                         "Using on-device core/accessory tile engine (cross)"
                     )

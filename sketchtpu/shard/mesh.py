@@ -333,6 +333,80 @@ class ShardedCoreAccEngine:
         )
         return np.asarray(out)[:na]
 
+    def stream_cross_dense(
+        self,
+        out,
+        ref_names: list[str],
+        query_names: list[str],
+        query_ms,
+        rcomp=None,
+        qcomp=None,
+        cutoff: float = 0.64,
+        row_range: slice | None = None,
+    ) -> None:
+        """Ref-major rectangular core/acc output over the mesh: ref row
+        blocks shard over 'rows', the query stack replicates (word-sharded).
+        Completeness applies only when both sides have values
+        (jaccard.rs:36-42)."""
+        from ..dist.output import _name_table, _native_lines, fmt_f32_column
+        from .._native import get_lib
+
+        n = len(ref_names)
+        nq = query_ms.number_samples_loaded()
+        nk = len(self.kmers)
+        w = self.ms.kmer_stride
+        qmat = query_ms.sketch_bins.reshape(nq, nk, w)
+        q_stack = np.ascontiguousarray(qmat.transpose(1, 0, 2)).view(
+            np.uint32
+        )
+        q_dev = jax.device_put(
+            q_stack, NamedSharding(self.mesh, P(None, None, "words"))
+        )
+        comp_on = rcomp is not None and qcomp is not None
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
+        tab_r = _name_table(ref_names) if get_lib() is not None else None
+        tab_q = _name_table(query_names) if tab_r is not None else None
+        for r0 in range(lo, hi, self.tile):
+            r1 = min(r0 + self.tile, hi)
+            a = self._stack_host[:, r0:r1, :]
+            na = r1 - r0
+            pad = (-na) % self._rows_mult()
+            if pad:
+                a = np.pad(a, ((0, 0), (0, pad), (0, 0)))
+            a_dev = jax.device_put(
+                a, NamedSharding(self.mesh, P(None, "rows", "words"))
+            )
+            c1 = c2 = None
+            if comp_on:
+                c1 = np.pad(
+                    np.asarray(rcomp, dtype=np.float32)[r0:r1], (0, pad),
+                    constant_values=1.0,
+                )
+                c2 = np.asarray(qcomp, dtype=np.float32)
+            block = np.asarray(
+                sharded_coreacc_step(
+                    a_dev, q_dev, self.s64, self.mesh, self.kmers,
+                    self.ms.sketch_size, c1=c1, c2=c2, cutoff=cutoff,
+                )
+            )[:na]
+            if tab_r is not None:
+                rows = np.repeat(np.arange(r0, r1, dtype=np.int32), nq)
+                cols = np.tile(np.arange(nq, dtype=np.int32), na)
+                flat = block.reshape(-1, 2)
+                _native_lines(
+                    out, tab_r, tab_q, rows, cols, flat[:, 0], flat[:, 1]
+                )
+                continue
+            for i in range(r0, r1):
+                cores = fmt_f32_column(block[i - r0, :, 0])
+                accs = fmt_f32_column(block[i - r0, :, 1])
+                out.write(
+                    "".join(
+                        f"{ref_names[i]}\t{query_names[j]}\t{c}\t{a}\n"
+                        for j, c, a in zip(range(nq), cores, accs)
+                    )
+                )
+
     def stream_self_dense(
         self, out, names: list[str], row_range: slice | None = None
     ) -> None:

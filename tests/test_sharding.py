@@ -325,3 +325,55 @@ def test_sharded_knn_coreacc_completeness(eight_devices):
             sorted(c for _, c, _ in dr), sorted(c for _, c, _ in hr),
             atol=1e-6,
         )
+
+
+def test_sharded_cross_dense_coreacc(eight_devices):
+    """Sharded dense cross core/acc matches the host pipeline (with and
+    without completeness)."""
+    import io
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.shard.mesh import ShardedCoreAccEngine, make_mesh
+
+    # refs and queries from one related family (split of a single
+    # synthetic MultiSketch) — unrelated pairs sit on the regression
+    # knife edge where f32/f64 can flip between (0,0) and (1,1)
+    family = _fake_ms(n=17, nk=3, kmers=(17, 21, 25), seed=41)
+    import copy
+
+    refs = copy.copy(family)
+    queries = copy.copy(family)
+    nk, w = 3, family.kmer_stride
+    mat = family.sketch_bins.reshape(17, nk * w)
+    refs.sketch_metadata = family.sketch_metadata[:11]
+    refs.sketch_bins = np.ascontiguousarray(mat[:11]).reshape(-1)
+    queries.sketch_metadata = family.sketch_metadata[11:]
+    queries.sketch_bins = np.ascontiguousarray(mat[11:]).reshape(-1)
+    rng = np.random.default_rng(43)
+    rc_v = rng.uniform(0.7, 1.0, 11)
+    qc_v = rng.uniform(0.7, 1.0, 6)
+    dist_type = api.set_k(refs, None, False)
+    rnames = [refs.sketch_name(i) for i in range(11)]
+    qnames = [f"q{i}" for i in range(6)]
+    eng = ShardedCoreAccEngine(
+        refs, mesh=make_mesh(n_rows=4, n_words=2), tile=4
+    )
+    for rcomp, qcomp in ((None, None), (rc_v, qc_v)):
+        host = api.cross_dists_all(
+            refs, queries, dist_type, rcomp, qcomp
+        ).reshape(11, 6, 2)
+        out = io.StringIO()
+        eng.stream_cross_dense(
+            out, rnames, qnames, queries, rcomp=rcomp, qcomp=qcomp
+        )
+        lines = out.getvalue().strip().split("\n")
+        assert len(lines) == 11 * 6
+        got = np.array(
+            [[float(x) for x in ln.split("\t")[2:]] for ln in lines]
+        ).reshape(11, 6, 2)
+        np.testing.assert_allclose(got, host, atol=2e-4)
