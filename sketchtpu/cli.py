@@ -140,6 +140,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-count", type=int, default=DEFAULT_MINCOUNT)
     p.add_argument("--min-qual", type=int, default=DEFAULT_MINQUAL)
     p.add_argument("--threads", type=int, default=1)
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=None,
+        help="Multi-host sharding: this process's rank",
+    )
+    p.add_argument(
+        "--n-processes",
+        type=int,
+        default=None,
+        help="Multi-host sharding: total process count; each process "
+        "builds its slice of the sample rows, rank 0 merges the .ski "
+        "(byte-identical to a single-process build)",
+    )
     _add_common(p)
 
     p = inv_sub.add_parser("query")
@@ -835,28 +849,89 @@ def _inverted_main(args) -> None:
         from .runtime import select_backend
         from .progress import progress_printer
 
-        _inv_tick, _inv_finish = progress_printer(
-            len(input_files), getattr(args, "quiet", False), "Sketching "
-        )
-        inv = Inverted.build(
-            input_files,
-            file_order,
-            args.kmer_length,
-            args.sketch_size,
-            not args.single_strand,
-            args.min_count,
-            args.min_qual,
-            write_skq=f"{args.output}.skq" if args.write_skq else None,
-            metadata=metadata_vec,
-            labels=labels_vec,
-            hash_type=HashType("dna"),
-            backend=select_backend(HashType("dna"), len(input_files)),
-            threads=args.threads,
-            progress=_inv_tick,
-        )
-        _inv_finish()
-        inv.save(args.output)
-        log.info("Index info:\n%s", inv.debug_str())
+        proc_id, n_proc, multiproc = _resolve_ranks(args)
+        if multiproc:
+            # each rank builds its slice of sample rows; rank 0 merges
+            # byte-identically (labels/metadata are global, so they are
+            # attached at merge time from the full input list)
+            from pathlib import Path
+
+            from .shard.distributed import (
+                inverted_build_shard,
+                merge_inverted_shards,
+                shard_prefix,
+            )
+
+            inverted_build_shard(
+                args.output,
+                input_files,
+                file_order,
+                proc_id,
+                n_proc,
+                k=args.kmer_length,
+                sketch_size=args.sketch_size,
+                rc=not args.single_strand,
+                min_count=args.min_count,
+                min_qual=args.min_qual,
+                write_skq=args.write_skq,
+                hash_type=HashType("dna"),
+                threads=args.threads,
+            )
+            try:
+                import jax
+
+                if jax.process_count() == n_proc:
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices(
+                        "sketchtpu_inverted_shards"
+                    )
+            except Exception:
+                pass  # manual orchestration: caller merges when ready
+            if proc_id == 0:
+                if all(
+                    Path(f"{shard_prefix(args.output, i)}.ski").exists()
+                    for i in range(n_proc)
+                ):
+                    inv = merge_inverted_shards(
+                        args.output,
+                        n_proc,
+                        metadata=metadata_vec,
+                        labels=labels_vec,
+                        write_skq=args.write_skq,
+                    )
+                    log.info("Index info:\n%s", inv.debug_str())
+                else:
+                    log.warning(
+                        "shards incomplete; run sketchtpu.shard."
+                        "distributed.merge_inverted_shards(%r, %d) once "
+                        "all ranks finish",
+                        args.output,
+                        n_proc,
+                    )
+        else:
+            _inv_tick, _inv_finish = progress_printer(
+                len(input_files), getattr(args, "quiet", False), "Sketching "
+            )
+            inv = Inverted.build(
+                input_files,
+                file_order,
+                args.kmer_length,
+                args.sketch_size,
+                not args.single_strand,
+                args.min_count,
+                args.min_qual,
+                write_skq=f"{args.output}.skq" if args.write_skq else None,
+                metadata=metadata_vec,
+                labels=labels_vec,
+                hash_type=HashType("dna"),
+                backend=select_backend(HashType("dna"), len(input_files)),
+                threads=args.threads,
+                progress=_inv_tick,
+            )
+            _inv_finish()
+            inv.save(args.output)
+            log.info("Index info:\n%s", inv.debug_str())
 
     elif args.inverted_command == "query":
         from .runtime import select_backend, select_inverted_engine

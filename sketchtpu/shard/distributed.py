@@ -150,3 +150,108 @@ def merge_shards(output_prefix: str, process_count: int, *, keep_parts: bool = F
             os.remove(f"{p}.skd")
             os.remove(f"{p}.skm")
     return merged
+
+
+def inverted_build_shard(
+    output_prefix: str,
+    input_files: list,
+    file_order: list[int],
+    process_index: int,
+    process_count: int,
+    *,
+    k: int,
+    sketch_size: int,
+    rc: bool,
+    min_count: int,
+    min_qual: int,
+    write_skq: bool,
+    hash_type,
+    threads: int = 1,
+    progress=None,
+) -> str:
+    """Build this process's slice of the inverted index into
+    {output_prefix}.part{i}.ski (+ .skq). The slice is over DISTINCT
+    sample indices (rows of the sign matrix), so multi-file samples —
+    which min-combine into one row — stay whole on one rank. Returns the
+    shard prefix."""
+    from ..inverted.index import Inverted
+    from ..runtime import select_backend
+
+    n_distinct = (max(file_order) + 1) if file_order else 0
+    sl = process_slice(n_distinct, process_index, process_count)
+    pairs = [
+        (idx - sl.start, f)
+        for idx, f in zip(file_order, input_files)
+        if sl.start <= idx < sl.stop
+    ]
+    part_order = [i for i, _ in pairs]
+    part_files = [f for _, f in pairs]
+    prefix = shard_prefix(output_prefix, process_index)
+    inv = Inverted.build(
+        part_files,
+        part_order,
+        k,
+        sketch_size,
+        rc,
+        min_count,
+        min_qual,
+        write_skq=f"{prefix}.skq" if write_skq else None,
+        hash_type=hash_type,
+        backend=select_backend(hash_type, len(part_files)),
+        threads=threads,
+        progress=progress,
+    )
+    inv.save(prefix)
+    return prefix
+
+
+def merge_inverted_shards(
+    output_prefix: str,
+    process_count: int,
+    *,
+    metadata=None,
+    labels=None,
+    write_skq: bool = False,
+    keep_parts: bool = False,
+):
+    """Concatenate per-process inverted shards into {output_prefix}.ski
+    (+ .skq), byte-identical to a single-process build of the full list.
+    metadata/labels are global (rank 0 computes them from the full input
+    list)."""
+    import numpy as np
+
+    from ..inverted.index import Inverted
+
+    parts = [
+        Inverted.load(shard_prefix(output_prefix, i))
+        for i in range(process_count)
+    ]
+    first = parts[0]
+    inv = Inverted(
+        sign_matrix=np.concatenate([p.sign_matrix for p in parts]),
+        sample_names=[n for p in parts for n in p.sample_names],
+        kmer_size=first.kmer_size,
+        rc=first.rc,
+        hash_type=first.hash_type,
+        metadata=metadata,
+        labels=labels,
+    )
+    inv.save(output_prefix)
+    if write_skq:
+        # .skq is the row-major u16 sign stream in .ski order: parts
+        # concatenate bytewise
+        with open(f"{output_prefix}.skq", "wb") as out:
+            for i in range(process_count):
+                with open(f"{shard_prefix(output_prefix, i)}.skq", "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 24)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+    if not keep_parts:
+        for i in range(process_count):
+            p = shard_prefix(output_prefix, i)
+            os.remove(f"{p}.ski")
+            if write_skq:
+                os.remove(f"{p}.skq")
+    return inv

@@ -341,3 +341,36 @@ def test_cross_dense_coreacc_device_cli(wd, monkeypatch):
         assert res["host"].keys() == res["tpu"].keys(), comp
         for pair, hv in res["host"].items():
             np.testing.assert_allclose(res["tpu"][pair], hv, atol=2e-4)
+
+
+def test_multiprocess_inverted_build(wd, monkeypatch):
+    """inverted build --n-processes: rank 0's merged .ski/.skq are
+    byte-identical to a single-process build, incl. multi-file samples
+    (rows stay whole on one rank) and species-label reordering."""
+    rng = np.random.default_rng(9900)
+    genomes = _related_fastas(wd, rng, 11)
+    with open("rfile.txt", "w") as f:
+        for i, g in enumerate(genomes[:9]):
+            f.write(f"s{i}\t{g}\n")
+        # one multi-file sample (bin-min merge + deferred densify)
+        f.write(f"s1\t{genomes[9]}\n")
+        f.write(f"s8\t{genomes[10]}\n")
+    with open("species.tsv", "w") as f:
+        for i in range(9):
+            f.write(f"s{i}\tspecies{'AB'[i % 2]}\n")
+
+    for extra, tag in (
+        ([], "plain"),
+        (["--species-names", "species.tsv"], "lab"),
+    ):
+        run("inverted", "build", "-f", "rfile.txt", "-o", f"single_{tag}",
+            "-k", "17", "-s", "12", "--write-skq", *extra, "--quiet")
+        for r in (1, 2, 0):  # rank 0 last: it merges once parts exist
+            run("inverted", "build", "-f", "rfile.txt", "-o",
+                f"multi_{tag}", "-k", "17", "-s", "12", "--write-skq",
+                *extra, "--quiet", "--n-processes", "3",
+                "--process-id", str(r))
+        for ext in (".ski", ".skq"):
+            a = open(f"single_{tag}{ext}", "rb").read()
+            b = open(f"multi_{tag}{ext}", "rb").read()
+            assert a == b, (tag, ext)
