@@ -1005,6 +1005,8 @@ def _inverted_main(args) -> None:
         if args.count and args.skd:
             # clap: the "mode" ArgGroup is exclusive (cli.rs:416-420)
             raise SystemExit("--count and --skd are mutually exclusive")
+        if args.count and args.core_acc:
+            raise SystemExit("--core-acc needs --skd, not --count")
         input_prefix = strip_sketch_extension(args.ski)
         inv = Inverted.load(input_prefix)
         if args.count:

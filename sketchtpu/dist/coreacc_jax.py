@@ -245,7 +245,7 @@ class DeviceCoreAccEngine:
         values (jaccard.rs:36-42); select the engine with a completeness
         vector in that case so the XLA tile is active."""
         from .._native import get_lib
-        from .output import _name_table, _native_lines, fmt_f32_column
+        from .output import _name_table, emit_coreacc_cross_block
 
         n = len(ref_names)
         nq = query_ms.number_samples_loaded()
@@ -320,26 +320,9 @@ class DeviceCoreAccEngine:
             if nxt is not None:
                 dispatch(nxt)
             block = np.asarray(block_dev)[: r1 - r0]
-            if tab_r is not None:
-                rows = np.repeat(
-                    np.arange(r0, r1, dtype=np.int32), nq
-                )
-                cols = np.tile(np.arange(nq, dtype=np.int32), r1 - r0)
-                flat = block.reshape(-1, 2)
-                _native_lines(
-                    out, tab_r, tab_q, rows, cols, flat[:, 0], flat[:, 1]
-                )
-                continue
-            for i in range(r0, r1):
-                cores = fmt_f32_column(block[i - r0, :, 0])
-                accs = fmt_f32_column(block[i - r0, :, 1])
-                name_i = ref_names[i]
-                out.write(
-                    "".join(
-                        f"{name_i}\t{query_names[j]}\t{c}\t{a}\n"
-                        for j, c, a in zip(range(nq), cores, accs)
-                    )
-                )
+            emit_coreacc_cross_block(
+                out, ref_names, query_names, tab_r, tab_q, block, r0, r1, nq
+            )
 
     def stream_self_dense(
         self, out, names: list[str], row_range: slice | None = None
@@ -350,7 +333,7 @@ class DeviceCoreAccEngine:
         device compute overlaps host text formatting. row_range restricts
         to a block of rows (multi-process sharding)."""
         from .._native import get_lib
-        from .output import _name_table, _native_lines, fmt_f32_column
+        from .output import _name_table, emit_coreacc_self_block
 
         n = len(names)
         lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
@@ -370,24 +353,4 @@ class DeviceCoreAccEngine:
             if nxt is not None:
                 dispatch(nxt)
             block = np.asarray(block_dev)[: r1 - r0]
-            if tab is not None:
-                counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
-                rows = np.repeat(np.arange(r0, r1, dtype=np.int32), counts)
-                cols = np.concatenate(
-                    [np.arange(i + 1, n, dtype=np.int32) for i in range(r0, r1)]
-                )
-                flat = block.reshape(-1, 2)[
-                    (rows - r0).astype(np.int64) * n + cols
-                ]
-                _native_lines(out, tab, tab, rows, cols, flat[:, 0], flat[:, 1])
-                continue
-            for i in range(r0, r1):
-                cores = fmt_f32_column(block[i - r0, i + 1 :, 0])
-                accs = fmt_f32_column(block[i - r0, i + 1 :, 1])
-                name_i = names[i]
-                out.write(
-                    "".join(
-                        f"{name_i}\t{names[j]}\t{c}\t{a}\n"
-                        for j, c, a in zip(range(i + 1, n), cores, accs)
-                    )
-                )
+            emit_coreacc_self_block(out, names, tab, block, r0, r1, n)

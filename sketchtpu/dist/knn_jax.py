@@ -99,6 +99,34 @@ def _knn_scan_block(
     return vals, idxs
 
 
+def _ca_topk_merge(carry, ca, c0, row0, nb_real, a_sig, b_sig, knn,
+                   exclude_self, masked):
+    """Merge one (tr, tc, 2) core/acc tile into the running top-k carry
+    (shared by the XLA and Pallas CA scan kernels; selection key is the
+    negated core distance)."""
+    keys, accs, idxs = carry
+    tr, tc = ca.shape[0], ca.shape[1]
+    cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+    valid = cols < nb_real
+    if exclude_self:
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+        valid = valid & (cols != rows)
+    if masked:
+        st = jax.lax.dynamic_slice(b_sig, (c0, 0), (tc, b_sig.shape[1]))
+        shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
+        valid = valid & shared
+    key = jnp.where(valid, -ca[:, :, 0], -jnp.inf)
+    cat_k = jnp.concatenate([keys, key], axis=1)
+    cat_a = jnp.concatenate([accs, ca[:, :, 1]], axis=1)
+    cat_i = jnp.concatenate([idxs, cols], axis=1)
+    k2, sel = jax.lax.top_k(cat_k, knn)
+    return (
+        k2,
+        jnp.take_along_axis(cat_a, sel, axis=1),
+        jnp.take_along_axis(cat_i, sel, axis=1),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -135,7 +163,6 @@ def _knn_scan_block_ca(
     init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32) + row0 * 0
 
     def body(carry, t):
-        keys, accs, idxs = carry
         c0 = t * tc
         bt = jax.lax.dynamic_slice(b_stack, (0, c0, 0), (nk, tc, w2))
         c2t = (
@@ -147,25 +174,10 @@ def _knn_scan_block_ca(
             a_stack, bt, s64, kmers, sketch_size,
             c1=c1, c2=c2t, cutoff=cutoff,
         )
-        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
-        valid = cols < nb_real
-        if exclude_self:
-            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
-            valid = valid & (cols != rows)
-        if masked:
-            st = jax.lax.dynamic_slice(
-                b_sig, (c0, 0), (tc, b_sig.shape[1])
-            )
-            shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
-            valid = valid & shared
-        key = jnp.where(valid, -ca[:, :, 0], -jnp.inf)
-        cat_k = jnp.concatenate([keys, key], axis=1)
-        cat_a = jnp.concatenate([accs, ca[:, :, 1]], axis=1)
-        cat_i = jnp.concatenate([idxs, cols], axis=1)
-        k2, sel = jax.lax.top_k(cat_k, knn)
-        a2 = jnp.take_along_axis(cat_a, sel, axis=1)
-        i2 = jnp.take_along_axis(cat_i, sel, axis=1)
-        return (k2, a2, i2), None
+        return _ca_topk_merge(
+            carry, ca, c0, row0, nb_real, a_sig, b_sig, knn,
+            exclude_self, masked,
+        ), None
 
     (keys, accs, idxs), _ = jax.lax.scan(
         body, (init_key, init_acc, init_i), jnp.arange(n_tiles, dtype=jnp.int32)
@@ -209,31 +221,15 @@ def _knn_scan_block_ca_pallas(
     tj = 512 if tc % 512 == 0 else tc
 
     def body(carry, t):
-        keys, accs, idxs = carry
         c0 = t * tc
         bt = jax.lax.dynamic_slice(bt_cm, (0, c0), (sw, tc))
         ca = coreacc_pallas(a_cm, bt, s64, kmers, sketch_size, ti=ti, tj=tj)
-        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
-        valid = cols < nb_real
-        if exclude_self:
-            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
-            valid = valid & (cols != rows)
-        if masked:
-            # the prefilter mask runs in XLA around the Pallas tile; it
-            # fuses with the where/top_k chain, so no kernel change needed
-            st = jax.lax.dynamic_slice(
-                b_sig, (c0, 0), (tc, b_sig.shape[1])
-            )
-            shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
-            valid = valid & shared
-        key = jnp.where(valid, -ca[:, :, 0], -jnp.inf)
-        cat_k = jnp.concatenate([keys, key], axis=1)
-        cat_a = jnp.concatenate([accs, ca[:, :, 1]], axis=1)
-        cat_i = jnp.concatenate([idxs, cols], axis=1)
-        k2, sel = jax.lax.top_k(cat_k, knn)
-        a2 = jnp.take_along_axis(cat_a, sel, axis=1)
-        i2 = jnp.take_along_axis(cat_i, sel, axis=1)
-        return (k2, a2, i2), None
+        # the prefilter mask runs in XLA around the Pallas tile; it fuses
+        # with the where/top_k chain, so no kernel change needed
+        return _ca_topk_merge(
+            carry, ca, c0, row0, nb_real, a_sig, b_sig, knn,
+            exclude_self, masked,
+        ), None
 
     (keys, accs, idxs), _ = jax.lax.scan(
         body, (init_key, init_acc, init_i), jnp.arange(n_tiles, dtype=jnp.int32)
@@ -352,8 +348,9 @@ class DeviceKnnEngine:
             )
         return self._planes[k_idx]
 
-    def _stack(self) -> jax.Array:
-        if "stack" not in self.__dict__:
+    def _stack_host(self) -> np.ndarray:
+        """(nk, n_pad, W2) u32 multi-k stack on the host (no transfer)."""
+        if "stack_host" not in self.__dict__:
             nk = len(self.ms.kmer_lengths)
             w = self.ms.kmer_stride
             mat = self.ms.sketch_bins.reshape(self.n, nk, w)
@@ -361,7 +358,12 @@ class DeviceKnnEngine:
             pad = (-self.n) % self.col_tile
             if pad:
                 stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
-            self.__dict__["stack"] = jax.device_put(stack)
+            self.__dict__["stack_host"] = stack
+        return self.__dict__["stack_host"]
+
+    def _stack(self) -> jax.Array:
+        if "stack" not in self.__dict__:
+            self.__dict__["stack"] = jax.device_put(self._stack_host())
         return self.__dict__["stack"]
 
     # --- single-k (Jaccard / ANI) ---
@@ -558,8 +560,7 @@ class DeviceKnnEngine:
     def self_knn_coreacc(self, knn: int, row_range: slice | None = None,
                          completeness_vec=None,
                          completeness_cutoff: float = 0.64):
-        b_stack = self._stack()
-        a_host = np.asarray(jax.device_get(b_stack))[:, : self.n, :]
+        a_host = self._stack_host()[:, : self.n, :]
         base = 0
         comp = (
             np.asarray(completeness_vec, dtype=np.float32)
@@ -658,7 +659,7 @@ class DeviceKnnEngine:
                 else None
             )
             c2_dev = self._comp_cols_dev(comp) if comp is not None else None
-            a_host = np.asarray(jax.device_get(self._stack()))[:, : n, :]
+            a_host = self._stack_host()[:, : n, :]
             res = self._knn_coreacc(
                 a_host[:, lo:hi, :],
                 hi - lo,

@@ -261,3 +261,51 @@ def write_sparse(out, row_names, ref_names, rows, coreacc: bool):
                 col_name = ref_names[ref_idx]
                 if np.float32(dist) < np.float32(1.0) or col_name != row_name:
                     out.write(f"{row_name}\t{col_name}\t{fmt_f32(dist)}\n")
+
+
+def emit_coreacc_cross_block(
+    out, ref_names, query_names, tab_r, tab_q, block, r0, r1, nq
+):
+    """Write one (r1-r0, nq, 2) core/acc block of ref-major rectangular
+    output (shared by the single-device and sharded cross engines)."""
+    if tab_r is not None:
+        rows = np.repeat(np.arange(r0, r1, dtype=np.int32), nq)
+        cols = np.tile(np.arange(nq, dtype=np.int32), r1 - r0)
+        flat = block.reshape(-1, 2)
+        _native_lines(out, tab_r, tab_q, rows, cols, flat[:, 0], flat[:, 1])
+        return
+    for i in range(r0, r1):
+        cores = fmt_f32_column(block[i - r0, :, 0])
+        accs = fmt_f32_column(block[i - r0, :, 1])
+        name_i = ref_names[i]
+        out.write(
+            "".join(
+                f"{name_i}\t{query_names[j]}\t{c}\t{a}\n"
+                for j, c, a in zip(range(nq), cores, accs)
+            )
+        )
+
+
+def emit_coreacc_self_block(out, names, tab, block, r0, r1, n):
+    """Write one (r1-r0, n, 2) core/acc block's upper-triangle rows of the
+    long-form self output (shared by the single-device and sharded
+    engines)."""
+    if tab is not None:
+        counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
+        rows = np.repeat(np.arange(r0, r1, dtype=np.int32), counts)
+        cols = np.concatenate(
+            [np.arange(i + 1, n, dtype=np.int32) for i in range(r0, r1)]
+        )
+        flat = block.reshape(-1, 2)[(rows - r0).astype(np.int64) * n + cols]
+        _native_lines(out, tab, tab, rows, cols, flat[:, 0], flat[:, 1])
+        return
+    for i in range(r0, r1):
+        cores = fmt_f32_column(block[i - r0, i + 1 :, 0])
+        accs = fmt_f32_column(block[i - r0, i + 1 :, 1])
+        name_i = names[i]
+        out.write(
+            "".join(
+                f"{name_i}\t{names[j]}\t{c}\t{a}\n"
+                for j, c, a in zip(range(i + 1, n), cores, accs)
+            )
+        )

@@ -60,9 +60,16 @@ class MultiSketch:
         }
 
     def save_metadata(self, file_prefix: str) -> None:
+        import os
+
         payload = cbor.dumps(self.to_serde())
-        with open(f"{file_prefix}.skm", "wb") as f:
+        # write-then-rename so the .skm appears atomically: the multi-
+        # process sketch merge uses its existence as the shard-complete
+        # signal (the .skd is written before the metadata)
+        tmp = f"{file_prefix}.skm.tmp"
+        with open(tmp, "wb") as f:
             f.write(snappy.frame_compress(payload))
+        os.replace(tmp, f"{file_prefix}.skm")
 
     @classmethod
     def load_metadata(cls, file_prefix: str) -> "MultiSketch":

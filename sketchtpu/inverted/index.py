@@ -153,8 +153,12 @@ class Inverted:
             col = mat[:, b]
             order = np.argsort(col, kind="stable")
             svals = col[order]
-            starts = np.flatnonzero(
-                np.concatenate([[True], svals[1:] != svals[:-1]])
+            starts = (
+                np.flatnonzero(
+                    np.concatenate([[True], svals[1:] != svals[:-1]])
+                )
+                if svals.size
+                else np.zeros(0, dtype=np.int64)  # empty shard
             )
             bounds = np.append(starts, svals.shape[0])
             bin_map = {}
@@ -188,8 +192,12 @@ class Inverted:
             col = mat[:, b]
             order = np.argsort(col, kind="stable").astype(np.uint32)
             svals = col[order]
-            starts = np.flatnonzero(
-                np.concatenate([[True], svals[1:] != svals[:-1]])
+            starts = (
+                np.flatnonzero(
+                    np.concatenate([[True], svals[1:] != svals[:-1]])
+                )
+                if n
+                else np.zeros(0, dtype=np.int64)  # empty shard
             )
             ent_off = np.append(starts, n).astype(np.int64)
             signs = np.ascontiguousarray(svals[starts], dtype=np.uint16)
@@ -231,9 +239,15 @@ class Inverted:
         ]
 
     def save(self, file_prefix: str) -> None:
+        import os
+
         payload = msgpack.dumps(self.to_serde())
-        with open(f"{file_prefix}.ski", "wb") as f:
+        # write-then-rename so the .ski appears atomically: the multi-
+        # process build uses its existence as the shard-complete signal
+        tmp = f"{file_prefix}.ski.tmp"
+        with open(tmp, "wb") as f:
             f.write(snappy.frame_compress(payload))
+        os.replace(tmp, f"{file_prefix}.ski")
 
     @classmethod
     def _load_index_native(cls, payload: bytes):

@@ -187,6 +187,20 @@ def inverted_build_shard(
     part_order = [i for i, _ in pairs]
     part_files = [f for _, f in pairs]
     prefix = shard_prefix(output_prefix, process_index)
+    if not part_files:  # more ranks than samples: write an empty shard
+        import numpy as np
+
+        inv = Inverted(
+            sign_matrix=np.zeros((0, sketch_size), dtype=np.uint16),
+            sample_names=[],
+            kmer_size=k,
+            rc=rc,
+            hash_type=hash_type,
+        )
+        if write_skq:
+            open(f"{prefix}.skq", "wb").close()
+        inv.save(prefix)
+        return prefix
     inv = Inverted.build(
         part_files,
         part_order,

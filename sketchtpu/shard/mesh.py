@@ -348,7 +348,7 @@ class ShardedCoreAccEngine:
         blocks shard over 'rows', the query stack replicates (word-sharded).
         Completeness applies only when both sides have values
         (jaccard.rs:36-42)."""
-        from ..dist.output import _name_table, _native_lines, fmt_f32_column
+        from ..dist.output import _name_table, emit_coreacc_cross_block
         from .._native import get_lib
 
         n = len(ref_names)
@@ -389,28 +389,14 @@ class ShardedCoreAccEngine:
                     self.ms.sketch_size, c1=c1, c2=c2, cutoff=cutoff,
                 )
             )[:na]
-            if tab_r is not None:
-                rows = np.repeat(np.arange(r0, r1, dtype=np.int32), nq)
-                cols = np.tile(np.arange(nq, dtype=np.int32), na)
-                flat = block.reshape(-1, 2)
-                _native_lines(
-                    out, tab_r, tab_q, rows, cols, flat[:, 0], flat[:, 1]
-                )
-                continue
-            for i in range(r0, r1):
-                cores = fmt_f32_column(block[i - r0, :, 0])
-                accs = fmt_f32_column(block[i - r0, :, 1])
-                out.write(
-                    "".join(
-                        f"{ref_names[i]}\t{query_names[j]}\t{c}\t{a}\n"
-                        for j, c, a in zip(range(nq), cores, accs)
-                    )
-                )
+            emit_coreacc_cross_block(
+                out, ref_names, query_names, tab_r, tab_q, block, r0, r1, nq
+            )
 
     def stream_self_dense(
         self, out, names: list[str], row_range: slice | None = None
     ) -> None:
-        from ..dist.output import _name_table, _native_lines, fmt_f32_column
+        from ..dist.output import _name_table, emit_coreacc_self_block
         from .._native import get_lib
 
         n = len(names)
@@ -419,26 +405,7 @@ class ShardedCoreAccEngine:
         for r0 in range(lo, hi, self.tile):
             r1 = min(r0 + self.tile, hi)
             block = self.tile_dists(slice(r0, r1), slice(0, n))
-            if tab is not None:
-                counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
-                rows = np.repeat(np.arange(r0, r1, dtype=np.int32), counts)
-                cols = np.concatenate(
-                    [np.arange(i + 1, n, dtype=np.int32) for i in range(r0, r1)]
-                )
-                flat = block.reshape(-1, 2)[
-                    (rows - r0).astype(np.int64) * n + cols
-                ]
-                _native_lines(out, tab, tab, rows, cols, flat[:, 0], flat[:, 1])
-                continue
-            for i in range(r0, r1):
-                cores = fmt_f32_column(block[i - r0, i + 1 :, 0])
-                accs = fmt_f32_column(block[i - r0, i + 1 :, 1])
-                out.write(
-                    "".join(
-                        f"{names[i]}\t{names[j]}\t{c}\t{a}\n"
-                        for j, c, a in zip(range(i + 1, n), cores, accs)
-                    )
-                )
+            emit_coreacc_self_block(out, names, tab, block, r0, r1, n)
 
 
 class ShardedKnnEngine:

@@ -374,3 +374,19 @@ def test_multiprocess_inverted_build(wd, monkeypatch):
             a = open(f"single_{tag}{ext}", "rb").read()
             b = open(f"multi_{tag}{ext}", "rb").read()
             assert a == b, (tag, ext)
+
+
+def test_multiprocess_inverted_build_empty_rank(wd, monkeypatch):
+    """More ranks than samples: empty ranks write empty shards and the
+    merge still reproduces the single-process files byte-identically."""
+    rng = np.random.default_rng(9950)
+    genomes = _related_fastas(wd, rng, 3)
+    run("inverted", "build", *genomes, "-o", "single", "-k", "17", "-s",
+        "12", "--write-skq", "--quiet")
+    for r in (1, 2, 3, 4, 0):
+        run("inverted", "build", *genomes, "-o", "multi", "-k", "17",
+            "-s", "12", "--write-skq", "--quiet", "--n-processes", "5",
+            "--process-id", str(r))
+    for ext in (".ski", ".skq"):
+        assert open(f"single{ext}", "rb").read() == open(
+            f"multi{ext}", "rb").read(), ext
