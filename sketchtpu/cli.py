@@ -570,7 +570,9 @@ def main(argv=None) -> int:
                         )
                     else:
                         rows = knn_engine.self_knn(
-                            nn, dist_type, row_range=uni_rows
+                            nn, dist_type, row_range=uni_rows,
+                            completeness_vec=ref_comp,
+                            completeness_cutoff=args.completeness_cutoff,
                         )
                 else:
                     rows = api.self_dists_knn(
@@ -630,7 +632,12 @@ def main(argv=None) -> int:
                             completeness_cutoff=args.completeness_cutoff,
                         )
                     else:
-                        rows = knn_engine.cross_knn(queries, nn, dist_type)
+                        rows = knn_engine.cross_knn(
+                            queries, nn, dist_type,
+                            ref_completeness_vec=ref_comp,
+                            query_completeness_vec=q_comp,
+                            completeness_cutoff=args.completeness_cutoff,
+                        )
                 else:
                     rows = api.cross_dists_knn(
                         references,

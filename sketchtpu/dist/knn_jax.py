@@ -35,11 +35,28 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..constants import BBITS
 from .coreacc_jax import coreacc_tile
 from .jaccard_jax import _samebits_tile
 from .jaccard_np import ani_pois, jaccard_from_samebits
 
 _NEG = -0x7FFFFFFF
+
+
+def _tile_valid(c0, tr, tc, row0, nb_real, exclude_self, masked, a_sig,
+                b_sig):
+    """(cols, valid) for one column tile: in-range, not-self, and (in
+    masked mode) sharing at least one inverted-index sign."""
+    cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+    valid = cols < nb_real
+    if exclude_self:
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+        valid = valid & (cols != rows)
+    if masked:
+        st = jax.lax.dynamic_slice(b_sig, (c0, 0), (tc, b_sig.shape[1]))
+        shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
+        valid = valid & shared
+    return cols, valid
 
 
 @functools.partial(
@@ -75,17 +92,9 @@ def _knn_scan_block(
         c0 = t * tc
         bt = jax.lax.dynamic_slice(b, (c0, 0), (tc, w2))
         sb = _samebits_tile(a, bt, s64)
-        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
-        valid = cols < nb_real
-        if exclude_self:
-            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
-            valid = valid & (cols != rows)
-        if masked:
-            st = jax.lax.dynamic_slice(
-                b_sig, (c0, 0), (tc, b_sig.shape[1])
-            )
-            shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
-            valid = valid & shared
+        cols, valid = _tile_valid(
+            c0, tr, tc, row0, nb_real, exclude_self, masked, a_sig, b_sig
+        )
         sb = jnp.where(valid, sb, _NEG)
         cat_v = jnp.concatenate([vals, sb], axis=1)
         cat_i = jnp.concatenate([idxs, cols], axis=1)
@@ -99,6 +108,77 @@ def _knn_scan_block(
     return vals, idxs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("s64", "knn", "tc", "exclude_self", "masked", "cutoff"),
+)
+def _knn_scan_block_comp(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    row0: jnp.ndarray,
+    nb_real: jnp.ndarray,
+    a_sig: jnp.ndarray,
+    b_sig: jnp.ndarray,
+    c1: jnp.ndarray,  # (tr,) f32 row completeness
+    c2: jnp.ndarray,  # (nbp,) f32 column completeness
+    s64: int,
+    knn: int,
+    tc: int,
+    exclude_self: bool,
+    masked: bool,
+    cutoff: float,
+):
+    """Single-k selection under completeness correction: the per-sample
+    correction breaks samebits-distance monotonicity ACROSS columns, so
+    the running top-k keys on the corrected f32 Jaccard (monotone for
+    both plain and ANI distances). Returns the SELECTED raw samebits +
+    indices; the host recomputes exact f64 corrected values from them,
+    so printed output matches the host path (selection among f32
+    near-ties may differ, the same accuracy class as the core/acc
+    engines)."""
+    nbp, w2 = b.shape
+    tr = a.shape[0]
+    n_tiles = nbp // tc
+    maxnbits = float(s64 * 64)
+    expected = float(int(s64 * 64) >> BBITS)
+    init_k = jnp.full((tr, knn), -jnp.inf, jnp.float32) + row0 * 0
+    init_v = jnp.full((tr, knn), _NEG, jnp.int32) + row0 * 0
+    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32) + row0 * 0
+
+    def body(carry, t):
+        keys, vals, idxs = carry
+        c0 = t * tc
+        bt = jax.lax.dynamic_slice(b, (c0, 0), (tc, w2))
+        sb = _samebits_tile(a, bt, s64)
+        cols, valid = _tile_valid(
+            c0, tr, tc, row0, nb_real, exclude_self, masked, a_sig, b_sig
+        )
+        diff = jnp.maximum(sb.astype(jnp.float32) - expected, 0.0)
+        j = (diff * maxnbits / (maxnbits - expected)) / maxnbits
+        c2t = jax.lax.dynamic_slice(c2, (c0,), (tc,))
+        prod = c1[:, None] * c2t[None, :]
+        factor = prod / (c1[:, None] + c2t[None, :] - prod)
+        j = jnp.where(
+            prod >= jnp.float32(cutoff), jnp.minimum(j / factor, 1.0), j
+        )
+        key = jnp.where(valid, j, -jnp.inf)
+        sb = jnp.where(valid, sb, _NEG)
+        cat_k = jnp.concatenate([keys, key], axis=1)
+        cat_v = jnp.concatenate([vals, sb], axis=1)
+        cat_i = jnp.concatenate([idxs, cols], axis=1)
+        k2, sel = jax.lax.top_k(cat_k, knn)
+        return (
+            k2,
+            jnp.take_along_axis(cat_v, sel, axis=1),
+            jnp.take_along_axis(cat_i, sel, axis=1),
+        ), None
+
+    (keys, vals, idxs), _ = jax.lax.scan(
+        body, (init_k, init_v, init_i), jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return vals, idxs
+
+
 def _ca_topk_merge(carry, ca, c0, row0, nb_real, a_sig, b_sig, knn,
                    exclude_self, masked):
     """Merge one (tr, tc, 2) core/acc tile into the running top-k carry
@@ -106,15 +186,9 @@ def _ca_topk_merge(carry, ca, c0, row0, nb_real, a_sig, b_sig, knn,
     negated core distance)."""
     keys, accs, idxs = carry
     tr, tc = ca.shape[0], ca.shape[1]
-    cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
-    valid = cols < nb_real
-    if exclude_self:
-        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
-        valid = valid & (cols != rows)
-    if masked:
-        st = jax.lax.dynamic_slice(b_sig, (c0, 0), (tc, b_sig.shape[1]))
-        shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
-        valid = valid & shared
+    cols, valid = _tile_valid(
+        c0, tr, tc, row0, nb_real, exclude_self, masked, a_sig, b_sig
+    )
     key = jnp.where(valid, -ca[:, :, 0], -jnp.inf)
     cat_k = jnp.concatenate([keys, key], axis=1)
     cat_a = jnp.concatenate([accs, ca[:, :, 1]], axis=1)
@@ -286,12 +360,26 @@ class SparseKnnRows:
 def rows_from_samebits(
     sb: np.ndarray, idx: np.ndarray, dist_type, s64: int,
     as_lists: bool = False,
+    c1_rows: np.ndarray | None = None,
+    c2_all: np.ndarray | None = None,
+    cutoff: float = 0.64,
 ):
     """Exact f64 host post-processing of selected samebits -> sparse rows
     (ANI items hold the similarity, as the host driver emits). Entries
-    with sb == _NEG are missing candidates and are truncated."""
+    with sb == _NEG are missing candidates and are truncated. c1_rows
+    (na,) / c2_all (n,) apply the completeness correction (c2 gathered by
+    the selected column indices)."""
     na, knn = sb.shape
-    j = jaccard_from_samebits(sb.ravel(), s64).reshape(na, knn)
+    if c1_rows is not None:
+        c1 = np.repeat(np.asarray(c1_rows, dtype=np.float64), knn)
+        c2 = np.asarray(c2_all, dtype=np.float64)[
+            np.clip(idx, 0, len(c2_all) - 1).ravel()
+        ]
+        j = jaccard_from_samebits(sb.ravel(), s64, c1, c2, cutoff).reshape(
+            na, knn
+        )
+    else:
+        j = jaccard_from_samebits(sb.ravel(), s64).reshape(na, knn)
     if dist_type.ani:
         d = ani_pois(j, dist_type.k).astype(np.float32)  # similarity
     else:
@@ -377,13 +465,18 @@ class DeviceKnnEngine:
         a_sig: np.ndarray | None = None,
         b_sig_dev: jax.Array | None = None,
         row_base: int = 0,
+        c1_rows: np.ndarray | None = None,
+        c2_dev: jax.Array | None = None,
+        cutoff: float = 0.64,
     ):
         """Generic row-block scan; a_mat is host u32 (na, W2). row_base is
         the global index of a_mat's first row (self-exclusion offset when
-        rows are a multi-process slice)."""
+        rows are a multi-process slice). c1_rows/c2_dev switch selection
+        to the completeness-corrected kernel."""
         na = a_mat.shape[0]
         tc = self.col_tile
         masked = a_sig is not None
+        comp = c1_rows is not None
         out_v = np.empty((na, knn), dtype=np.int32)
         out_i = np.empty((na, knn), dtype=np.int32)
         dummy = self._dummy_sig
@@ -394,19 +487,37 @@ class DeviceKnnEngine:
             r1 = min(r0 + self.row_tile, na)
             a_blk = a_mat[r0:r1]
             sig_blk = a_sig[r0:r1].astype(np.int32) if masked else dummy
-            v, i = _knn_scan_block(
-                a_blk,
-                b_dev,
-                np.int32(row_base + r0),
-                np.int32(self.n),
-                sig_blk,
-                b_sig_dev if masked else dummy,
-                s64=self.s64,
-                knn=knn,
-                tc=tc,
-                exclude_self=exclude_self,
-                masked=masked,
-            )
+            if comp:
+                v, i = _knn_scan_block_comp(
+                    a_blk,
+                    b_dev,
+                    np.int32(row_base + r0),
+                    np.int32(self.n),
+                    sig_blk,
+                    b_sig_dev if masked else dummy,
+                    jnp.asarray(c1_rows[r0:r1].astype(np.float32)),
+                    c2_dev,
+                    s64=self.s64,
+                    knn=knn,
+                    tc=tc,
+                    exclude_self=exclude_self,
+                    masked=masked,
+                    cutoff=cutoff,
+                )
+            else:
+                v, i = _knn_scan_block(
+                    a_blk,
+                    b_dev,
+                    np.int32(row_base + r0),
+                    np.int32(self.n),
+                    sig_blk,
+                    b_sig_dev if masked else dummy,
+                    s64=self.s64,
+                    knn=knn,
+                    tc=tc,
+                    exclude_self=exclude_self,
+                    masked=masked,
+                )
             pending.append((r0, r1, v, i))
         for r0, r1, v, i in pending:
             out_v[r0:r1] = np.asarray(v)
@@ -414,33 +525,72 @@ class DeviceKnnEngine:
         return out_v, out_i
 
     def _rows_from_samebits(
-        self, sb: np.ndarray, idx: np.ndarray, dist_type, as_lists: bool = False
+        self, sb: np.ndarray, idx: np.ndarray, dist_type,
+        as_lists: bool = False, c1_rows=None, c2_all=None,
+        cutoff: float = 0.64,
     ):
-        return rows_from_samebits(sb, idx, dist_type, self.s64, as_lists)
+        return rows_from_samebits(
+            sb, idx, dist_type, self.s64, as_lists,
+            c1_rows=c1_rows, c2_all=c2_all, cutoff=cutoff,
+        )
 
-    def self_knn(self, knn: int, dist_type, row_range: slice | None = None):
-        """Self kNN (Jaccard or ANI, no completeness); row_range restricts
-        to a block of rows (multi-process sharding), neighbours always
-        range over all samples."""
+    def self_knn(self, knn: int, dist_type, row_range: slice | None = None,
+                 completeness_vec=None, completeness_cutoff: float = 0.64):
+        """Self kNN (Jaccard or ANI); row_range restricts to a block of
+        rows (multi-process sharding), neighbours always range over all
+        samples. With completeness the device selects by the corrected
+        f32 Jaccard and the host recomputes exact f64 values."""
         b_dev = self._plane(dist_type.k_idx)
         a_mat = self._plane_host(dist_type.k_idx)
         base = 0
+        comp = (
+            np.asarray(completeness_vec, dtype=np.float64)
+            if completeness_vec is not None
+            else None
+        )
+        c1 = comp
         if row_range is not None:
             a_mat = a_mat[row_range]
             base = row_range.start
+            if comp is not None:
+                c1 = comp[row_range]
         sb, idx = self._scan_rows(
-            a_mat, b_dev, knn, exclude_self=True, row_base=base
+            a_mat, b_dev, knn, exclude_self=True, row_base=base,
+            c1_rows=c1,
+            c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
+            cutoff=completeness_cutoff,
         )
-        return self._rows_from_samebits(sb, idx, dist_type)
+        return self._rows_from_samebits(
+            sb, idx, dist_type,
+            c1_rows=c1, c2_all=comp, cutoff=completeness_cutoff,
+        )
 
-    def cross_knn(self, query_ms, knn: int, dist_type):
-        """Cross kNN: rows = queries, neighbours among refs."""
+    def cross_knn(self, query_ms, knn: int, dist_type,
+                  ref_completeness_vec=None, query_completeness_vec=None,
+                  completeness_cutoff: float = 0.64):
+        """Cross kNN: rows = queries, neighbours among refs. Correction
+        applies only when BOTH sides have values (jaccard.rs:36-42)."""
         q = np.ascontiguousarray(query_ms.bins_matrix(dist_type.k_idx)).view(
             np.uint32
         )
         b_dev = self._plane(dist_type.k_idx)
-        sb, idx = self._scan_rows(q, b_dev, knn, exclude_self=False)
-        return self._rows_from_samebits(sb, idx, dist_type)
+        c1 = c2 = None
+        if (
+            ref_completeness_vec is not None
+            and query_completeness_vec is not None
+        ):
+            c1 = np.asarray(query_completeness_vec, dtype=np.float64)
+            c2 = np.asarray(ref_completeness_vec, dtype=np.float64)
+        sb, idx = self._scan_rows(
+            q, b_dev, knn, exclude_self=False,
+            c1_rows=c1,
+            c2_dev=self._comp_cols_dev(c2) if c2 is not None else None,
+            cutoff=completeness_cutoff,
+        )
+        return self._rows_from_samebits(
+            sb, idx, dist_type,
+            c1_rows=c1, c2_all=c2, cutoff=completeness_cutoff,
+        )
 
     # --- multi-k core/accessory ---
 
@@ -729,6 +879,14 @@ class DeviceKnnEngine:
                         ]
             return rows_ca
 
+        comp_sk = (
+            np.asarray(completeness_vec, dtype=np.float64)
+            if completeness_vec is not None
+            else None
+        )
+        comp_cols = (
+            self._comp_cols_dev(comp_sk) if comp_sk is not None else None
+        )
         b_dev = self._plane(dist_type.k_idx)
         a_mat = self._plane_host(dist_type.k_idx)
         sb, idx = self._scan_rows(
@@ -739,8 +897,15 @@ class DeviceKnnEngine:
             a_sig=signs[lo:hi],
             b_sig_dev=sig_dev,
             row_base=lo,
+            c1_rows=comp_sk[lo:hi] if comp_sk is not None else None,
+            c2_dev=comp_cols,
+            cutoff=completeness_cutoff,
         )
-        rows_out = self._rows_from_samebits(sb, idx, dist_type, as_lists=True)
+        rows_out = self._rows_from_samebits(
+            sb, idx, dist_type, as_lists=True,
+            c1_rows=comp_sk[lo:hi] if comp_sk is not None else None,
+            c2_all=comp_sk, cutoff=completeness_cutoff,
+        )
 
         # rows with zero candidates: retain_unmatched handling
         empty = np.flatnonzero(sb[:, 0] == _NEG)  # local (row - lo) indices
@@ -748,6 +913,11 @@ class DeviceKnnEngine:
             sb2, idx2 = self._scan_rows(
                 a_mat[lo:hi][empty], b_dev, min(knn + 1, self.n),
                 exclude_self=False,
+                c1_rows=(
+                    comp_sk[lo:hi][empty] if comp_sk is not None else None
+                ),
+                c2_dev=comp_cols,
+                cutoff=completeness_cutoff,
             )
             # exclude self manually (scan's exclude_self keys on block row
             # offset, which is wrong for a gathered row subset)
@@ -756,7 +926,13 @@ class DeviceKnnEngine:
                 sb_r = sb2[bi][mask][:knn]
                 idx_r = idx2[bi][mask][:knn]
                 sub = self._rows_from_samebits(
-                    sb_r[None, :], idx_r[None, :], dist_type
+                    sb_r[None, :], idx_r[None, :], dist_type,
+                    c1_rows=(
+                        comp_sk[lo + r_loc : lo + r_loc + 1]
+                        if comp_sk is not None
+                        else None
+                    ),
+                    c2_all=comp_sk, cutoff=completeness_cutoff,
                 )[0]
                 rows_out[r_loc] = sub
         # singleton + padding entries use raw 0.0/1.0 regardless of ANI mode

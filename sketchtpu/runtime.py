@@ -188,13 +188,13 @@ def select_dense_stream_engine(ms, dist_type):
 def select_knn_engine(ms, dist_type, has_completeness: bool):
     """On-device kNN engine for large sparse runs (selection by samebits on
     device, exact f64 distance values; core-acc mode is f32 like the dense
-    device engine). Host path remains the default for small runs, golden
-    tests, and single-k completeness correction (per-sample correction
-    breaks the samebits-distance monotonicity the single-k device
-    selection relies on; core-acc selects by the corrected f32 core
-    distance computed on device, so completeness is fine there)."""
+    device engine). With completeness correction, selection keys on the
+    corrected f32 distance (per-sample correction breaks samebits
+    monotonicity) and single-k values are still recomputed exactly on the
+    host from the selected samebits. The sharded single-k path has no
+    completeness kernel yet, so corrected single-k runs take one chip."""
     mode = _mode()
-    if mode == "host" or (has_completeness and not dist_type.coreacc):
+    if mode == "host":
         return None
     n = ms.number_samples_loaded()
     if dist_type.coreacc and len(ms.kmer_lengths) < 2:
@@ -205,7 +205,9 @@ def select_knn_engine(ms, dist_type, has_completeness: bool):
         try:
             import jax
 
-            if len(jax.devices()) > 1:
+            if len(jax.devices()) > 1 and not (
+                has_completeness and not dist_type.coreacc
+            ):
                 from .shard.mesh import ShardedKnnEngine
 
                 return ShardedKnnEngine(ms)

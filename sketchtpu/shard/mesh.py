@@ -449,7 +449,12 @@ class ShardedKnnEngine:
         )
         return np.asarray(v)[:na], np.asarray(i)[:na]
 
-    def self_knn(self, knn: int, dist_type, row_range: slice | None = None):
+    def self_knn(self, knn: int, dist_type, row_range: slice | None = None,
+                 completeness_vec=None, completeness_cutoff: float = 0.64):
+        if completeness_vec is not None:  # runtime routes these elsewhere
+            raise NotImplementedError(
+                "single-k completeness: use the single-device engine"
+            )
         from ..dist.knn_jax import rows_from_samebits
 
         a_mat, b_mat = self._mats(dist_type.k_idx)
@@ -461,7 +466,16 @@ class ShardedKnnEngine:
                             row_base=base)
         return rows_from_samebits(sb, idx, dist_type, self.s64)
 
-    def cross_knn(self, query_ms, knn: int, dist_type):
+    def cross_knn(self, query_ms, knn: int, dist_type,
+                  ref_completeness_vec=None, query_completeness_vec=None,
+                  completeness_cutoff: float = 0.64):
+        if (
+            ref_completeness_vec is not None
+            and query_completeness_vec is not None
+        ):
+            raise NotImplementedError(
+                "single-k completeness: use the single-device engine"
+            )
         from ..dist.knn_jax import rows_from_samebits
 
         _, b_mat = self._mats(dist_type.k_idx)

@@ -390,3 +390,35 @@ def test_multiprocess_inverted_build_empty_rank(wd, monkeypatch):
     for ext in (".ski", ".skq"):
         assert open(f"single{ext}", "rb").read() == open(
             f"multi{ext}", "rb").read(), ext
+
+
+def test_completeness_singlek_knn_device_cli(wd, monkeypatch):
+    """Single-k kNN and precluster with completeness run on the device
+    engine; printed values equal the host path (exact f64 recompute from
+    the selected samebits), pair sets match."""
+    rng = np.random.default_rng(8600)
+    genomes = _related_fastas(wd, rng, 9)
+    run("sketch", "--k-vals", "17", "-s", "100", *genomes, "-o", "db",
+        "--quiet")
+    run("inverted", "build", *genomes, "-o", "inv", "-k", "17", "-s",
+        "12", "--write-skq", "--quiet")
+    with open("comp.tsv", "w") as f:
+        for i, _ in enumerate(genomes):
+            f.write(f"g{i}\t{0.72 + 0.03 * i:.2f}\n")
+
+    for cmd in (
+        ["dist", "db", "--knn", "3", "-k", "17",
+         "--ref-completeness-file", "comp.tsv"],
+        ["dist", "db", "--knn", "3", "--ani", "-k", "17",
+         "--ref-completeness-file", "comp.tsv"],
+        ["inverted", "precluster", "inv.ski", "--skd", "db", "--knn", "3",
+         "--ref-completeness-file", "comp.tsv"],
+    ):
+        res = {}
+        for be in ("host", "tpu"):
+            monkeypatch.setenv("SKETCHTPU_BACKEND", be)
+            run(*cmd, "-o", f"o_{be}.txt", "--quiet")
+            res[be] = _parse_pairs(wd / f"o_{be}.txt")
+        assert res["host"].keys() == res["tpu"].keys(), cmd
+        for pair, hv in res["host"].items():
+            np.testing.assert_allclose(res["tpu"][pair], hv, atol=1e-6)

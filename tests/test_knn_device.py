@@ -311,3 +311,50 @@ def test_precluster_coreacc_completeness_device_matches_host():
             sorted(c for _, c, _ in hr),
             atol=2e-4,
         )
+
+
+def test_self_knn_singlek_completeness_matches_host():
+    """Single-k kNN with completeness: device selects by corrected f32
+    Jaccard, host recomputes exact f64 values from the selected samebits."""
+    ms = _fake_ms(n=40, nk=2, kmers=(17, 21), seed=18)
+    rng = np.random.default_rng(19)
+    comp = rng.uniform(0.7, 1.0, 40)
+    knn = 5
+    for ani in (False, True):
+        dist_type = api.set_k(ms, 17, ani)
+        host = api.self_dists_knn(
+            ms, knn, dist_type, completeness_vec=comp
+        )
+        dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).self_knn(
+            knn, dist_type, completeness_vec=comp
+        )
+        for r, (dr, hr) in enumerate(zip(dev, host)):
+            d_dists = sorted(np.float32(d) for _, d in dr)
+            h_dists = sorted(np.float32(d) for _, d in hr)
+            np.testing.assert_allclose(
+                d_dists, h_dists, atol=1e-6, err_msg=f"row {r} ani={ani}"
+            )
+
+
+def test_precluster_singlek_completeness_matches_host():
+    ms, inv, skq_flat, stride = _coreacc_precluster_fixture(n=30, seed=23)
+    rng = np.random.default_rng(24)
+    comp = rng.uniform(0.7, 1.0, 30)
+    dist_type = api.set_k(ms, 17, False)
+    for retain in (None, "singleton", "bruteforce"):
+        host = api.self_dists_knn_precluster(
+            ms, inv, skq_flat, stride, 4, dist_type,
+            completeness_vec=comp, retain_unmatched=retain,
+        )
+        dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).precluster_knn(
+            inv, skq_flat, 4, dist_type, retain_unmatched=retain,
+            completeness_vec=comp,
+        )
+        assert len(dev) == len(host)
+        for r, (dr, hr) in enumerate(zip(dev, host)):
+            assert len(dr) == len(hr), (r, retain)
+            d_dists = sorted(np.float32(d) for _, d in dr)
+            h_dists = sorted(np.float32(d) for _, d in hr)
+            np.testing.assert_allclose(
+                d_dists, h_dists, atol=1e-6, err_msg=f"row {r} {retain}"
+            )
