@@ -191,8 +191,8 @@ def select_knn_engine(ms, dist_type, has_completeness: bool):
     device engine). With completeness correction, selection keys on the
     corrected f32 distance (per-sample correction breaks samebits
     monotonicity) and single-k values are still recomputed exactly on the
-    host from the selected samebits. The sharded single-k path has no
-    completeness kernel yet, so corrected single-k runs take one chip."""
+    host from the selected samebits, on both the single-device and
+    sharded engines."""
     mode = _mode()
     if mode == "host":
         return None
@@ -205,9 +205,7 @@ def select_knn_engine(ms, dist_type, has_completeness: bool):
         try:
             import jax
 
-            if len(jax.devices()) > 1 and not (
-                has_completeness and not dist_type.coreacc
-            ):
+            if len(jax.devices()) > 1:
                 from .shard.mesh import ShardedKnnEngine
 
                 return ShardedKnnEngine(ms)

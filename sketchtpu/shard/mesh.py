@@ -115,7 +115,8 @@ def sharded_coreacc_step(a_stack, b_stack, s64: int, mesh: Mesh,
 
 def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
                      exclude_self: bool, col_tile: int = 2048,
-                     row_base: int = 0):
+                     row_base: int = 0, c1=None, c2=None,
+                     cutoff: float = 0.64):
     """Sparse kNN selection over a mesh: rows sharded, columns streamed.
 
     a: (na, W2) u32 row-sharded (na % mesh rows == 0); b: (nbp, W2) u32
@@ -123,23 +124,42 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
     range for its row block and keeps a running top-k; only (rows x knn)
     samebits + global column indices leave the devices (row-sharded).
     The word axis must be unsharded (selection needs whole samebits).
-    """
+    c1 (na,) / c2 (nbp,) f32 switch selection to the completeness-
+    corrected f32 Jaccard (c1 shards with the rows)."""
     from jax import shard_map
 
-    from ..dist.knn_jax import _knn_scan_block
+    from ..dist.knn_jax import _knn_scan_block, _knn_scan_block_comp
 
     if mesh.shape["words"] != 1:
         raise ValueError("sharded kNN requires an unsharded word axis")
     rows = mesh.shape["rows"]
     rows_per = a.shape[0] // rows
     tc = min(col_tile, b.shape[0])
+    comp = c1 is not None
 
-    def shard_fn(a_blk, b_blk):
+    def shard_fn(a_blk, b_blk, c1_blk, c2_all):
         dummy = jnp.zeros((1, 1), jnp.int32)
         row0 = jnp.int32(row_base) + jax.lax.axis_index("rows").astype(
             jnp.int32
         ) * jnp.int32(rows_per)
-        v, i = _knn_scan_block(
+        if comp:
+            return _knn_scan_block_comp(
+                a_blk,
+                b_blk,
+                row0,
+                jnp.int32(n_real),
+                dummy,
+                dummy,
+                c1_blk,
+                c2_all,
+                s64=s64,
+                knn=knn,
+                tc=tc,
+                exclude_self=exclude_self,
+                masked=False,
+                cutoff=cutoff,
+            )
+        return _knn_scan_block(
             a_blk,
             b_blk,
             row0,
@@ -152,14 +172,16 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
             exclude_self=exclude_self,
             masked=False,
         )
-        return v, i
 
+    if not comp:
+        c1 = jnp.zeros(a.shape[0], jnp.float32)
+        c2 = jnp.zeros(b.shape[0], jnp.float32)
     return shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("rows", None), P(None, None)),
+        in_specs=(P("rows", None), P(None, None), P("rows"), P(None)),
         out_specs=(P("rows", None), P("rows", None)),
-    )(a, b)
+    )(a, b, jnp.asarray(c1), jnp.asarray(c2))
 
 
 def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
@@ -432,7 +454,8 @@ class ShardedKnnEngine:
         return mat, b
 
     def _run(self, a_mat: np.ndarray, b_mat: np.ndarray, knn: int,
-             exclude_self: bool, row_base: int = 0):
+             exclude_self: bool, row_base: int = 0,
+             c1_rows=None, c2_cols=None, cutoff: float = 0.64):
         rows_mult = self.mesh.shape["rows"]
         na = a_mat.shape[0]
         if na == 0:  # empty multi-process row slice
@@ -440,50 +463,76 @@ class ShardedKnnEngine:
         pad = (-na) % rows_mult
         if pad:
             a_mat = np.pad(a_mat, ((0, pad), (0, 0)))
+        c1 = c2 = None
+        if c1_rows is not None:
+            c1 = np.pad(
+                np.asarray(c1_rows, dtype=np.float32), (0, pad),
+                constant_values=1.0,
+            )
+            c2 = np.asarray(c2_cols, dtype=np.float32)
+            padb = b_mat.shape[0] - c2.size
+            if padb:
+                c2 = np.pad(c2, (0, padb), constant_values=1.0)
         a_dev = jax.device_put(a_mat, NamedSharding(self.mesh, P("rows", None)))
         b_dev = jax.device_put(b_mat, NamedSharding(self.mesh, P(None, None)))
         v, i = sharded_knn_step(
             a_dev, b_dev, self.s64, self.mesh, knn, n_real=self.n,
             exclude_self=exclude_self, col_tile=self.col_tile,
-            row_base=row_base,
+            row_base=row_base, c1=c1, c2=c2, cutoff=cutoff,
         )
         return np.asarray(v)[:na], np.asarray(i)[:na]
 
     def self_knn(self, knn: int, dist_type, row_range: slice | None = None,
                  completeness_vec=None, completeness_cutoff: float = 0.64):
-        if completeness_vec is not None:  # runtime routes these elsewhere
-            raise NotImplementedError(
-                "single-k completeness: use the single-device engine"
-            )
         from ..dist.knn_jax import rows_from_samebits
 
         a_mat, b_mat = self._mats(dist_type.k_idx)
         base = 0
+        comp = (
+            np.asarray(completeness_vec, dtype=np.float64)
+            if completeness_vec is not None
+            else None
+        )
+        c1 = comp
         if row_range is not None:
             a_mat = a_mat[row_range]
             base = row_range.start
-        sb, idx = self._run(a_mat, b_mat, knn, exclude_self=True,
-                            row_base=base)
-        return rows_from_samebits(sb, idx, dist_type, self.s64)
+            if comp is not None:
+                c1 = comp[row_range]
+        sb, idx = self._run(
+            a_mat, b_mat, knn, exclude_self=True, row_base=base,
+            c1_rows=c1, c2_cols=comp, cutoff=completeness_cutoff,
+        )
+        return rows_from_samebits(
+            sb, idx, dist_type, self.s64,
+            c1_rows=c1, c2_all=comp, cutoff=completeness_cutoff,
+        )
 
     def cross_knn(self, query_ms, knn: int, dist_type,
                   ref_completeness_vec=None, query_completeness_vec=None,
                   completeness_cutoff: float = 0.64):
-        if (
-            ref_completeness_vec is not None
-            and query_completeness_vec is not None
-        ):
-            raise NotImplementedError(
-                "single-k completeness: use the single-device engine"
-            )
         from ..dist.knn_jax import rows_from_samebits
 
         _, b_mat = self._mats(dist_type.k_idx)
         q = np.ascontiguousarray(query_ms.bins_matrix(dist_type.k_idx)).view(
             np.uint32
         )
-        sb, idx = self._run(q, b_mat, knn, exclude_self=False)
-        return rows_from_samebits(sb, idx, dist_type, self.s64)
+        # correction only when BOTH sides have values (jaccard.rs:36-42)
+        c1 = c2 = None
+        if (
+            ref_completeness_vec is not None
+            and query_completeness_vec is not None
+        ):
+            c1 = np.asarray(query_completeness_vec, dtype=np.float64)
+            c2 = np.asarray(ref_completeness_vec, dtype=np.float64)
+        sb, idx = self._run(
+            q, b_mat, knn, exclude_self=False,
+            c1_rows=c1, c2_cols=c2, cutoff=completeness_cutoff,
+        )
+        return rows_from_samebits(
+            sb, idx, dist_type, self.s64,
+            c1_rows=c1, c2_all=c2, cutoff=completeness_cutoff,
+        )
 
     def _stack(self, ms) -> np.ndarray:
         nk = len(ms.kmer_lengths)

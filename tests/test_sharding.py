@@ -377,3 +377,37 @@ def test_sharded_cross_dense_coreacc(eight_devices):
             [[float(x) for x in ln.split("\t")[2:]] for ln in lines]
         ).reshape(11, 6, 2)
         np.testing.assert_allclose(got, host, atol=2e-4)
+
+
+def test_sharded_knn_singlek_completeness(eight_devices):
+    """Sharded single-k kNN with completeness matches the single-device
+    engine item-for-item (identical selection key and exact host
+    recompute)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.knn_jax import DeviceKnnEngine
+    from sketchtpu.shard.mesh import ShardedKnnEngine, make_mesh
+
+    ms = _fake_ms(n=26, nk=2, kmers=(17, 21), seed=51)
+    rng = np.random.default_rng(52)
+    comp = rng.uniform(0.7, 1.0, 26)
+    dist_type = api.set_k(ms, 17, False)
+    sharded = ShardedKnnEngine(ms, mesh=make_mesh(n_rows=8, n_words=1),
+                               col_tile=8)
+    single = DeviceKnnEngine(ms, row_tile=8, col_tile=8)
+    host = api.self_dists_knn(ms, 4, dist_type, completeness_vec=comp)
+    for dr, sr, hr in zip(
+        single.self_knn(4, dist_type, completeness_vec=comp),
+        sharded.self_knn(4, dist_type, completeness_vec=comp),
+        host,
+    ):
+        d_dists = sorted(np.float32(d) for _, d in dr)
+        s_dists = sorted(np.float32(d) for _, d in sr)
+        h_dists = sorted(np.float32(d) for _, d in hr)
+        np.testing.assert_allclose(s_dists, d_dists, atol=1e-7)
+        np.testing.assert_allclose(s_dists, h_dists, atol=1e-6)
