@@ -35,8 +35,15 @@ def init_distributed(
     configured (env JAX_COORDINATOR_ADDRESS or explicit args)."""
     import jax
 
+    from ..runtime import apply_platform_env
+
+    apply_platform_env()
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator:
+        if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+            num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+        if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+            process_id = int(os.environ["JAX_PROCESS_ID"])
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,

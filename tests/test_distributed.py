@@ -250,3 +250,100 @@ def test_multiprocess_more_ranks_than_rows(tmp_path, monkeypatch, backend,
         open(f"{multi}.part{r}", "rb").read() for r in range(5)
     )
     assert parts == open(single, "rb").read()
+
+
+def test_live_two_process_sketch_and_count(tmp_path):
+    """REAL jax.distributed integration: two subprocesses with a
+    coordinator. Exercises the auto rank detection
+    (JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES/JAX_PROCESS_ID), the
+    sync_global_devices barrier before the rank-0 sketch merge, and the
+    precluster --count process_allgather sum."""
+    import gzip
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    pypath = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+    rng = np.random.default_rng(77)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = alphabet[rng.integers(0, 4, 4000)]
+    genomes = []
+    for i in range(6):
+        seq = base.copy()
+        muts = rng.integers(0, seq.size, 40 * (i % 3))
+        seq[muts] = alphabet[rng.integers(0, 4, muts.size)]
+        p = tmp_path / f"g{i}.fa.gz"
+        with gzip.open(p, "wb") as f:
+            f.write(b">r0\n" + seq.tobytes() + b"\n")
+        genomes.append(str(p))
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def run_pair(args):
+        procs = []
+        for pid in range(2):
+            env = dict(
+                os.environ,
+                PYTHONPATH=pypath,
+                JAX_PLATFORMS="cpu",
+                JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                JAX_NUM_PROCESSES="2",
+                JAX_PROCESS_ID=str(pid),
+                SKETCHTPU_BACKEND="host",
+            )
+            env.pop("XLA_FLAGS", None)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-m", "sketchtpu.cli", *args],
+                    env=env,
+                    cwd=tmp_path,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                )
+            )
+        outs = [p.communicate(timeout=240) for p in procs]
+        for p, (so, se) in zip(procs, outs):
+            assert p.returncode == 0, se.decode()[-2000:]
+        return outs
+
+    # single-process oracle (in-process main would lock jax platforms;
+    # use a subprocess for isolation)
+    env1 = dict(os.environ, PYTHONPATH=pypath, JAX_PLATFORMS="cpu",
+                SKETCHTPU_BACKEND="host")
+    env1.pop("XLA_FLAGS", None)
+    subprocess.run(
+        [sys.executable, "-m", "sketchtpu.cli", "sketch", "--k-vals", "17",
+         "-s", "100", *genomes, "-o", "single", "--quiet"],
+        env=env1, cwd=tmp_path, check=True, capture_output=True, timeout=240,
+    )
+    run_pair(["sketch", "--k-vals", "17", "-s", "100", *genomes, "-o",
+              "multi", "--quiet"])
+    for ext in (".skd", ".skm"):
+        a = (tmp_path / f"single{ext}").read_bytes()
+        b = (tmp_path / f"multi{ext}").read_bytes()
+        assert a == b, ext
+
+    # precluster --count with a spanning runtime: ranks psum their
+    # partials, rank 0 prints the global total
+    subprocess.run(
+        [sys.executable, "-m", "sketchtpu.cli", "inverted", "build",
+         *genomes, "-o", "inv", "-k", "17", "-s", "12", "--quiet"],
+        env=env1, cwd=tmp_path, check=True, capture_output=True, timeout=240,
+    )
+    single = subprocess.run(
+        [sys.executable, "-m", "sketchtpu.cli", "inverted", "precluster",
+         "inv.ski", "--count", "--quiet"],
+        env=env1, cwd=tmp_path, check=True, capture_output=True, timeout=240,
+    ).stdout.decode()
+    outs = run_pair(["inverted", "precluster", "inv.ski", "--count",
+                     "--quiet"])
+    rank0_out = outs[0][0].decode()
+    assert single.strip() in rank0_out, (single, rank0_out)
