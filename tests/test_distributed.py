@@ -347,3 +347,17 @@ def test_live_two_process_sketch_and_count(tmp_path):
                      "--quiet"])
     rank0_out = outs[0][0].decode()
     assert single.strip() in rank0_out, (single, rank0_out)
+
+    # live inverted build: barrier + rank-0 merge byte-identical
+    run_pair(["inverted", "build", *genomes, "-o", "inv2", "-k", "17",
+              "-s", "12", "--write-skq", "--quiet"])
+    subprocess.run(
+        [sys.executable, "-m", "sketchtpu.cli", "inverted", "build",
+         *genomes, "-o", "inv2s", "-k", "17", "-s", "12", "--write-skq",
+         "--quiet"],
+        env=env1, cwd=tmp_path, check=True, capture_output=True, timeout=240,
+    )
+    for ext in (".ski", ".skq"):
+        assert (tmp_path / f"inv2{ext}").read_bytes() == (
+            tmp_path / f"inv2s{ext}"
+        ).read_bytes(), ext
