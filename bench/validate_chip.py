@@ -130,7 +130,11 @@ def step3_pallas_comp():
     bad = np.abs(got - want).max()
     print(f"3) pallas comp vs xla comp: max abs diff {bad:.2e} "
           f"({'OK' if bad < 1e-5 else 'INVESTIGATE'})")
-    # quick rate probe (salted reruns)
+    # quick rate probe (salted reruns). NOTE: this forces the full (na, nb,
+    # 2) f32 output across the tunneled device->host link each iteration,
+    # so on this rig it measures the tunnel, not the kernel (~3 M pair/s).
+    # bench/probe_comp_pallas.py chains salted iterations on device and
+    # measured 307 corrected vs 282 uncorrected M pair/s — parity.
     t0 = time.time()
     for i in range(3):
         np.asarray(

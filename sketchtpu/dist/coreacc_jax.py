@@ -153,10 +153,6 @@ class DeviceCoreAccEngine:
         self._use_pallas = kern == "pallas" or (
             kern != "xla" and jax.default_backend() not in ("cpu",)
         )
-        if self._comp is not None:
-            # the Pallas tile has no completeness path; the XLA tile is
-            # still fully on-device and far ahead of the host fallback
-            self._use_pallas = False
         if self._use_pallas:
             from .coreacc_pallas import chunk_major
 
@@ -169,6 +165,15 @@ class DeviceCoreAccEngine:
             )
             self._bt_pad.block_until_ready()
             self._stack = None
+            if self._comp is not None:
+                # column completeness padded like _bt_pad (pad value 1.0
+                # keeps the correction factor finite; padded cols are
+                # cropped before anything reads them)
+                self._comp_pad = (
+                    jnp.pad(self._comp, (0, pb), constant_values=1.0)
+                    if pb
+                    else self._comp
+                )
         else:
             self._stack = jax.device_put(stack)
         self._n = n
@@ -200,8 +205,17 @@ class DeviceCoreAccEngine:
             a = jnp.pad(a, ((0, pa), (0, 0)))
         if pb:
             bt = jnp.pad(bt, ((0, 0), (0, pb)))
+        c1 = c2 = None
+        if self._comp is not None:
+            c1 = self._comp[rows]
+            if pa:
+                c1 = jnp.pad(c1, (0, pa), constant_values=1.0)
+            c2 = self._comp_pad if full_cols else self._comp[cols]
+            if not full_cols and pb:
+                c2 = jnp.pad(c2, (0, pb), constant_values=1.0)
         out = coreacc_pallas(
-            a, bt, self.s64, self.kmers, self.ms.sketch_size, ti=self.ti, tj=self.tj
+            a, bt, self.s64, self.kmers, self.ms.sketch_size,
+            ti=self.ti, tj=self.tj, c1=c1, c2=c2, cutoff=self._cutoff,
         )
         return np.asarray(out[:na, :nb])
 
@@ -215,9 +229,15 @@ class DeviceCoreAccEngine:
             pa = (-(r1 - r0)) % self.ti
             if pa:
                 a = jnp.pad(a, ((0, pa), (0, 0)))
+            c1 = c2 = None
+            if self._comp is not None:
+                c1 = self._comp[r0:r1]
+                if pa:
+                    c1 = jnp.pad(c1, (0, pa), constant_values=1.0)
+                c2 = self._comp_pad
             out = coreacc_pallas(
                 a, self._bt_pad, self.s64, self.kmers, self.ms.sketch_size,
-                ti=self.ti, tj=self.tj,
+                ti=self.ti, tj=self.tj, c1=c1, c2=c2, cutoff=self._cutoff,
             )
             return out[: r1 - r0, :n]
         a = self._stack[:, r0:r1, :]
@@ -242,8 +262,7 @@ class DeviceCoreAccEngine:
         """Ref-major rectangular core/acc output (cross_dists_all
         semantics); ref row blocks stream against the device-resident
         query stack. Completeness applies only when both sides have
-        values (jaccard.rs:36-42); select the engine with a completeness
-        vector in that case so the XLA tile is active."""
+        values (jaccard.rs:36-42), on either tile kernel."""
         from .._native import get_lib
         from .output import _name_table, emit_coreacc_cross_block
 
@@ -256,11 +275,6 @@ class DeviceCoreAccEngine:
             np.uint32
         )
         comp_on = rcomp is not None and qcomp is not None
-        if comp_on and self._use_pallas:  # pragma: no cover - guarded by CLI
-            raise ValueError(
-                "completeness needs the XLA tile: select the engine with "
-                "a completeness vector"
-            )
         if self._use_pallas:
             from .coreacc_pallas import coreacc_pallas, chunk_major
 
@@ -271,6 +285,13 @@ class DeviceCoreAccEngine:
             if pb:
                 qt = jnp.pad(qt, ((0, 0), (0, pb)))
             qt.block_until_ready()
+            qc_pad = None
+            if comp_on:
+                qc_pad = jnp.pad(
+                    jnp.asarray(np.asarray(qcomp, dtype=np.float32)),
+                    (0, pb),
+                    constant_values=1.0,
+                )
         else:
             q_dev = jax.device_put(q_stack)
         rc_v = (
@@ -300,9 +321,15 @@ class DeviceCoreAccEngine:
                 pa = (-(r1 - r0)) % self.ti
                 if pa:
                     a = jnp.pad(a, ((0, pa), (0, 0)))
+                c1 = None
+                if comp_on:
+                    c1 = rc_v[r0:r1]
+                    if pa:
+                        c1 = jnp.pad(c1, (0, pa), constant_values=1.0)
                 blk = coreacc_pallas(
                     a, qt, self.s64, self.kmers, self.ms.sketch_size,
                     ti=self.ti, tj=self.tj,
+                    c1=c1, c2=qc_pad if comp_on else None, cutoff=cutoff,
                 )[: r1 - r0, :nq]
             else:
                 blk = coreacc_tile(

@@ -262,7 +262,8 @@ def _knn_scan_block_ca(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "s64", "kmers", "sketch_size", "knn", "tc", "exclude_self", "masked"
+        "s64", "kmers", "sketch_size", "knn", "tc", "exclude_self",
+        "masked", "cutoff",
     ),
 )
 def _knn_scan_block_ca_pallas(
@@ -279,6 +280,9 @@ def _knn_scan_block_ca_pallas(
     tc: int,
     exclude_self: bool,
     masked: bool,
+    c1: jnp.ndarray | None = None,  # (tr,) f32 row completeness
+    c2: jnp.ndarray | None = None,  # (nbp,) f32 column completeness
+    cutoff: float = 0.64,
 ):
     """Same contract as _knn_scan_block_ca but with the fused multi-k
     Pallas core/accessory tile (coreacc_pallas.py) as the tile kernel."""
@@ -293,11 +297,17 @@ def _knn_scan_block_ca_pallas(
     init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32)
     ti = 128 if tr % 128 == 0 else tr
     tj = 512 if tc % 512 == 0 else tc
+    comp = c1 is not None
 
     def body(carry, t):
         c0 = t * tc
         bt = jax.lax.dynamic_slice(bt_cm, (0, c0), (sw, tc))
-        ca = coreacc_pallas(a_cm, bt, s64, kmers, sketch_size, ti=ti, tj=tj)
+        ca = coreacc_pallas(
+            a_cm, bt, s64, kmers, sketch_size, ti=ti, tj=tj,
+            c1=c1,
+            c2=jax.lax.dynamic_slice(c2, (c0,), (tc,)) if comp else None,
+            cutoff=cutoff,
+        )
         # the prefilter mask runs in XLA around the Pallas tile; it fuses
         # with the where/top_k chain, so no kernel change needed
         return _ca_topk_merge(
@@ -614,8 +624,8 @@ class DeviceKnnEngine:
         """Shared row-block driver for self/cross core-acc kNN; row_stack is
         (nk, nrows, W2) u32. a_sig/b_sig_dev add the inverted-index
         prefilter mask (precluster mode). c1_rows/c2_dev apply the MAG
-        completeness correction on device (XLA tile only — the Pallas tile
-        has no completeness path, so corrected runs use the XLA kernel)."""
+        completeness correction on device, inside whichever tile kernel
+        (fused Pallas or XLA) is active."""
         if nrows == 0:  # empty multi-process row slice
             return SparseKnnRows(
                 np.zeros((0, knn), np.int32),
@@ -625,7 +635,7 @@ class DeviceKnnEngine:
         kmers = tuple(self.ms.kmer_lengths)
         masked = a_sig is not None
         comp = c1_rows is not None
-        use_pallas = self._use_pallas_ca and not comp
+        use_pallas = self._use_pallas_ca
         dummy = self._dummy_sig
         if use_pallas:
             from .coreacc_pallas import chunk_major
@@ -643,10 +653,17 @@ class DeviceKnnEngine:
             if use_pallas:
                 a_blk = row_cm[r0:r1]
                 pad = (-(r1 - r0)) % 128
+                c1_blk = (
+                    c1_rows[r0:r1].astype(np.float32) if comp else None
+                )
                 if pad:
                     a_blk = jnp.pad(a_blk, ((0, pad), (0, 0)))
                     if masked:
                         sig_blk = np.pad(sig_blk, ((0, pad), (0, 0)))
+                    if comp:
+                        c1_blk = np.pad(
+                            c1_blk, (0, pad), constant_values=1.0
+                        )
                 core, acc, idx = _knn_scan_block_ca_pallas(
                     a_blk,
                     bt_cm,
@@ -661,6 +678,9 @@ class DeviceKnnEngine:
                     tc=self.col_tile,
                     exclude_self=exclude_self,
                     masked=masked,
+                    c1=jnp.asarray(c1_blk) if comp else None,
+                    c2=c2_dev if comp else None,
+                    cutoff=cutoff,
                 )
             else:
                 core, acc, idx = _knn_scan_block_ca(

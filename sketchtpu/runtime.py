@@ -118,9 +118,9 @@ def select_coreacc_engine(ms, completeness_vec=None,
                           completeness_cutoff: float = 0.64):
     """Fully on-device core/accessory engine for large dense runs (f32; the
     exact f64 host pipeline is used for small runs). Completeness
-    correction runs on device too (XLA tile — the correction folds into
-    the regression chain after the samebits psum, so the multi-chip
-    sharded engine takes it as well)."""
+    correction runs on device too — the per-k Jaccard correction folds
+    into the regression chain of both the fused Pallas tile and the XLA
+    tile (after the samebits psum on the multi-chip sharded engine)."""
     mode = _mode()
     if mode == "host":
         return None

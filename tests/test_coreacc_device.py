@@ -224,3 +224,99 @@ def test_coreacc_pallas_completeness_matches_xla(
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def _force_pallas_interpret(monkeypatch):
+    """Route engine Pallas-tile calls through interpret mode (CPU CI)."""
+    import functools
+
+    from sketchtpu.dist import coreacc_pallas as cp_mod
+
+    real = cp_mod.coreacc_pallas
+    monkeypatch.setattr(
+        cp_mod, "coreacc_pallas", functools.partial(real, interpret=True)
+    )
+    monkeypatch.setenv("SKETCHTPU_COREACC_KERNEL", "pallas")
+
+
+def test_dense_engine_completeness_pallas_matches_host(monkeypatch):
+    """Corrected dense runs use the fused Pallas tile by default on TPU
+    (validated compiled on-chip; interpret mode here)."""
+    import io
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.coreacc_jax import DeviceCoreAccEngine
+
+    _force_pallas_interpret(monkeypatch)
+    ms = _fake_ms(n=20, nk=4, kmers=(17, 21, 25, 29), seed=8)
+    rng = np.random.default_rng(9)
+    comp = rng.uniform(0.7, 1.0, 20)
+    dist_type = api.set_k(ms, None, False)
+    host = api.self_dists_all(ms, dist_type, completeness_vec=comp)
+    eng = DeviceCoreAccEngine(ms, tile=8, completeness_vec=comp)
+    assert eng._use_pallas
+    out = io.StringIO()
+    names = [ms.sketch_name(i) for i in range(20)]
+    eng.stream_self_dense(out, names)
+    lines = out.getvalue().strip().split("\n")
+    assert len(lines) == host.shape[0]
+    got = np.array(
+        [[float(x) for x in ln.split("\t")[2:]] for ln in lines]
+    )
+    np.testing.assert_allclose(got, host, atol=2e-4)
+
+
+def test_cross_engine_completeness_pallas_matches_host(monkeypatch):
+    import io
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.coreacc_jax import DeviceCoreAccEngine
+
+    _force_pallas_interpret(monkeypatch)
+    # split one correlated family into ref/query: unrelated random pairs
+    # have flat Jaccard-vs-k profiles whose fitted slope straddles the
+    # reference's beta==0 discontinuity (see BENCHMARKS.md), which is not
+    # what this test is about
+    import copy
+
+    family = _fake_ms(n=29, nk=4, kmers=(17, 21, 25, 29), seed=21)
+    nk, w = 4, family.kmer_stride
+    mat = family.sketch_bins.reshape(29, nk * w)
+    ms = copy.copy(family)
+    ms.sketch_metadata = family.sketch_metadata[:20]
+    ms.sketch_bins = np.ascontiguousarray(mat[:20]).reshape(-1)
+    qms = copy.copy(family)
+    qms.sketch_metadata = family.sketch_metadata[20:]
+    qms.sketch_bins = np.ascontiguousarray(mat[20:]).reshape(-1)
+    rng = np.random.default_rng(23)
+    rcomp = rng.uniform(0.7, 1.0, 20)
+    qcomp = rng.uniform(0.7, 1.0, 9)
+    dist_type = api.set_k(ms, None, False)
+    host = api.cross_dists_all(
+        ms, qms, dist_type, ref_completeness_vec=rcomp,
+        query_completeness_vec=qcomp,
+    )
+    names = [ms.sketch_name(i) for i in range(20)]
+    qnames = [qms.sketch_name(i) for i in range(9)]
+    eng = DeviceCoreAccEngine(ms, tile=8)
+    assert eng._use_pallas
+    out = io.StringIO()
+    eng.stream_cross_dense(
+        out, names, qnames, qms, rcomp=rcomp, qcomp=qcomp, cutoff=0.64
+    )
+    lines = out.getvalue().strip().split("\n")
+    assert len(lines) == host.shape[0]
+    got = np.array(
+        [[float(x) for x in ln.split("\t")[2:]] for ln in lines]
+    )
+    np.testing.assert_allclose(got, host, atol=2e-4)
