@@ -227,7 +227,13 @@ class DeviceAaSketchBackend:
                 fd_all = np.asarray(found).reshape(
                     len(kmers), _MAX_GROUP_FAST, nbins
                 )
-                if int(overflow) <= w and fd_all[:, :g, :].all():
+                if int(overflow) <= w:
+                    # compaction is intact: fast results are exact wherever
+                    # bins were found; only rows with a missing (ambiguous:
+                    # prefiltered-away vs genuinely empty) bin need the
+                    # exact kernel — typically one row per affected group,
+                    # so a whole-group redo would waste ~70x the work
+                    bad_rows = np.where(~fd_all[:, :g, :].all(axis=(0, 2)))[0]
                     o_hi = np.asarray(o_hi)
                     o_lo = np.asarray(o_lo)
                     for ki, kk in enumerate(kmers):
@@ -236,8 +242,30 @@ class DeviceAaSketchBackend:
                         out[kk][start:end] = combine_bin_minima(
                             mh, ml, fd_all[ki, :g]
                         )
+                    for c0 in range(0, len(bad_rows), _MAX_GROUP):
+                        rows = bad_rows[c0 : c0 + _MAX_GROUP]
+                        group = [streams[start + int(i)] for i in rows]
+                        codes, starts2, total2, n_pad2 = prepare(group)
+                        res = dispatch_exact(
+                            group, jax.device_put(codes), starts2, total2,
+                            n_pad2,
+                        )
+                        for kk, (min_hi, min_lo, found2) in res.items():
+                            mh = np.asarray(min_hi).reshape(
+                                _MAX_GROUP, nbins
+                            )[: len(group)]
+                            ml = np.asarray(min_lo).reshape(
+                                _MAX_GROUP, nbins
+                            )[: len(group)]
+                            fd = np.asarray(found2).reshape(
+                                _MAX_GROUP, nbins
+                            )[: len(group)]
+                            out[kk][start + rows] = combine_bin_minima(
+                                mh, ml, fd
+                            )
                     return
-                # rare fallback (block overflow / ambiguous empty bin)
+                # block overflow dropped candidates: nothing in the group
+                # is trustworthy
                 if g <= _MAX_GROUP:
                     group = streams[start:end]
                     exact = dispatch_exact(group, codes_d, starts, total, n_pad)

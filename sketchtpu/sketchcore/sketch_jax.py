@@ -288,12 +288,22 @@ class DeviceSketchBackend:
             (start, end, g, rows, packed_d, breakbits_d, starts, total,
              fast, exact) = item
             if fast is not None:
-                done = self._collect_fast_multi_k(fast, kmers, g, nbins, rows)
+                done, bad_rows = self._collect_fast_multi_k(
+                    fast, kmers, g, nbins, rows
+                )
                 if done is not None:
                     for kk in kmers:
                         out[kk][start:end] = done[kk][:g]
+                    if len(bad_rows):
+                        # redo only the rows with a prefiltered-away bin
+                        redo = self.bin_minima_multi_k_exact(
+                            [streams[start + int(i)] for i in bad_rows],
+                            kmers, rc, nbins,
+                        )
+                        for kk in kmers:
+                            out[kk][start + bad_rows] = redo[kk]
                     return
-                # rare exact fallback (prefilter overflow / lost bin)
+                # compaction overflow: nothing in the group is trustworthy
                 if g <= _MAX_GROUP:
                     exact = self._dispatch_exact(
                         packed_d, breakbits_d, self._pad_starts(starts, total),
@@ -431,25 +441,28 @@ class DeviceSketchBackend:
         return (o_hi, o_lo, found, overflow, w)
 
     def _collect_fast_multi_k(self, fast, kmers, g, nbins, out_rows):
-        """Validate a fast-path result; returns {k: (out_rows, nbins) u64}
-        or None when the group needs the exact fallback."""
+        """Validate a fast-path result; returns ({k: (out_rows, nbins) u64},
+        bad_rows). bad_rows lists genome rows with a missing bin (ambiguous:
+        prefiltered-away vs genuinely empty) — the caller redoes ONLY those
+        rows with the exact kernel (measured: typically one row with one
+        missing bin per affected group, so a whole-group redo wasted ~70x
+        the work). Returns (None, None) when a compaction block overflowed
+        (candidates were dropped, so no row of the group is trustworthy)."""
         o_hi, o_lo, found, overflow, w = fast
         if int(overflow) > w:
-            return None
+            return None, None
         o_hi = np.asarray(o_hi)
         o_lo = np.asarray(o_lo)
         found = np.asarray(found)
-        # any missing bin within a real genome is ambiguous (prefiltered-away
-        # vs genuinely empty) -> exact fallback
-        if not found.reshape(len(kmers), out_rows, nbins)[:, :g, :].all():
-            return None
+        fd_rows = found.reshape(len(kmers), out_rows, nbins)[:, :g, :]
+        bad_rows = np.where(~fd_rows.all(axis=(0, 2)))[0]
         out = {}
         for ki, kk in enumerate(kmers):
             mh = o_hi[ki].reshape(out_rows, nbins)
             ml = o_lo[ki].reshape(out_rows, nbins)
             fd = found[ki].reshape(out_rows, nbins)
             out[kk] = combine_bin_minima(mh, ml, fd)
-        return out
+        return out, bad_rows
 
     def _prepare_group(self, streams, k: int):
         """Host-side packing of a genome group: 2-bit packed stream plus

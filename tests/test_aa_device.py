@@ -157,3 +157,44 @@ def test_oversized_aa_stream_segmented(monkeypatch):
         streams, names, kmers, 100, 1, True
     )
     _assert_equal(dev, host)
+
+
+def test_aa_row_level_fallback_bit_exact(monkeypatch):
+    """A genome whose bin the prefilter lost is redone alone via the exact
+    per-k kernel; the rest of the group keeps the fast result (bit-exact
+    vs the host oracle)."""
+    from sketchtpu.hash import aahash_multik as am
+    from sketchtpu.sketchcore import sketch_aa_jax
+
+    orig_multik = am.multik_aa_hash_bin_kernel
+
+    def lose_a_bin(*a, **kw):
+        o_hi, o_lo, found, overflow = orig_multik(*a, **kw)
+        f = np.asarray(found).copy()
+        shape = f.shape
+        f3 = f.reshape(len(kw["kmers"]), kw["out_rows"], kw["num_bins"])
+        f3[0, 1, 3] = False
+        return o_hi, o_lo, f3.reshape(shape), overflow
+
+    monkeypatch.setattr(am, "multik_aa_hash_bin_kernel", lose_a_bin)
+    calls = {"exact": 0}
+    orig_exact = sketch_aa_jax.aa_hash_bin_kernel
+
+    def spy(*a, **kw):
+        calls["exact"] += 1
+        return orig_exact(*a, **kw)
+
+    monkeypatch.setattr(sketch_aa_jax, "aa_hash_bin_kernel", spy)
+
+    rng = np.random.default_rng(77)
+    streams = [_rand_stream(rng, int(n)) for n in (60_000, 25_000, 90_000)]
+    names = [f"p{i}" for i in range(len(streams))]
+    kmers = [6, 9]
+    host = _host_sketches(streams, names, kmers, 100, 1)
+    dev = DeviceAaSketchBackend().sketch_aa_streams(
+        streams, names, kmers, 100, 1, True
+    )
+    _assert_equal(dev, host)
+    # the redo ran the exact kernel for the single bad row only:
+    # one dispatch_exact call = len(kmers) kernel invocations
+    assert calls["exact"] == len(kmers), calls

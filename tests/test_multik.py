@@ -122,8 +122,8 @@ def test_big_group_exact_fallback_split():
     # force a big fast group regardless of genome sizes...
     orig_elig = backend._fast_eligible
     backend._fast_eligible = lambda *a, **kw: True
-    # ...and make its validation always fail
-    backend._collect_fast_multi_k = lambda *a, **kw: None
+    # ...and make its validation always fail (overflow contract)
+    backend._collect_fast_multi_k = lambda *a, **kw: (None, None)
     assert len(list(backend._groups_mixed(streams, kmers, 128))) == 1
     dev = backend.sketch_dna_streams(streams, names, kmers, 128, True, 0)
     backend._fast_eligible = orig_elig
@@ -182,3 +182,47 @@ def test_single_k_fast_route_small_genomes():
     )
     assert not backend._fast_eligible(big, [17], 128)
     assert backend._fast_eligible(streams[0], [17], 128)
+
+
+def test_row_level_fallback_bit_exact(monkeypatch):
+    """When the prefilter loses a bin in ONE genome, only that row is
+    redone through the exact kernel; the others keep the fast result.
+    End-to-end output must stay bit-exact vs the host oracle."""
+    from sketchtpu.hash import nthash_multik as nm
+    import sketchtpu.sketchcore.sketch_jax as sj
+
+    orig_kernel = nm.multik_hash_bin_kernel
+
+    def lose_a_bin(*a, **kw):
+        o_hi, o_lo, found, overflow = orig_kernel(*a, **kw)
+        f = np.asarray(found).copy()
+        shape = f.shape
+        f3 = f.reshape(len(kw["kmers"]), kw["out_rows"], kw["num_bins"])
+        f3[0, 1, 3] = False  # row 1: one bin "prefiltered away"
+        return o_hi, o_lo, f3.reshape(shape), overflow
+
+    monkeypatch.setattr(nm, "multik_hash_bin_kernel", lose_a_bin)
+
+    redo_sizes = []
+    orig_exact = sj.DeviceSketchBackend.bin_minima_multi_k_exact
+
+    def spy_exact(self, streams, kmers, rc, nbins):
+        redo_sizes.append(len(streams))
+        return orig_exact(self, streams, kmers, rc, nbins)
+
+    monkeypatch.setattr(
+        sj.DeviceSketchBackend, "bin_minima_multi_k_exact", spy_exact
+    )
+
+    streams = _streams(n_genomes=3, seed=23)
+    names = [f"g{i}" for i in range(len(streams))]
+    kmers = [15, 21]
+    backend = sj.DeviceSketchBackend()
+    dev = backend.sketch_dna_streams(streams, names, kmers, 128, True, 0)
+    host = [
+        sketch_dna_sample(s, n, kmers, 128, True, 0)
+        for s, n in zip(streams, names)
+    ]
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs)
+    assert redo_sizes == [1], redo_sizes
