@@ -219,6 +219,10 @@ class DeviceAaSketchBackend:
                 fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:g]
                 out[kk][start:end] = combine_bin_minima(mh, ml, fd)
 
+        # prefilter-missed rows, redone in one batched exact pass at the
+        # end (an inline redo would block the collect loop per group)
+        bad_global: list[int] = []
+
         def collect(item):
             start, end, codes_d, starts, total, n_pad, fast, exact = item
             g = end - start
@@ -242,27 +246,7 @@ class DeviceAaSketchBackend:
                         out[kk][start:end] = combine_bin_minima(
                             mh, ml, fd_all[ki, :g]
                         )
-                    for c0 in range(0, len(bad_rows), _MAX_GROUP):
-                        rows = bad_rows[c0 : c0 + _MAX_GROUP]
-                        group = [streams[start + int(i)] for i in rows]
-                        codes, starts2, total2, n_pad2 = prepare(group)
-                        res = dispatch_exact(
-                            group, jax.device_put(codes), starts2, total2,
-                            n_pad2,
-                        )
-                        for kk, (min_hi, min_lo, found2) in res.items():
-                            mh = np.asarray(min_hi).reshape(
-                                _MAX_GROUP, nbins
-                            )[: len(group)]
-                            ml = np.asarray(min_lo).reshape(
-                                _MAX_GROUP, nbins
-                            )[: len(group)]
-                            fd = np.asarray(found2).reshape(
-                                _MAX_GROUP, nbins
-                            )[: len(group)]
-                            out[kk][start + rows] = combine_bin_minima(
-                                mh, ml, fd
-                            )
+                    bad_global.extend(start + int(i) for i in bad_rows)
                     return
                 # block overflow dropped candidates: nothing in the group
                 # is trustworthy
@@ -296,6 +280,22 @@ class DeviceAaSketchBackend:
             )
         for item in in_flight:
             collect(item)
+        # one exact dispatch per bad row, all in flight before any collect
+        # (per-row so each reuses the hot single-sample bucket shape
+        # instead of compiling a novel batched total length)
+        handles = []
+        for i in bad_global:
+            group = [streams[int(i)]]
+            codes, starts2, total2, n_pad2 = prepare(group)
+            handles.append((int(i), dispatch_exact(
+                group, jax.device_put(codes), starts2, total2, n_pad2
+            )))
+        for i, res in handles:
+            for kk, (min_hi, min_lo, found2) in res.items():
+                mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:1]
+                ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:1]
+                fd = np.asarray(found2).reshape(_MAX_GROUP, nbins)[:1]
+                out[kk][i] = combine_bin_minima(mh, ml, fd)[0]
         return out
 
     def sketch_aa_streams(

@@ -284,6 +284,12 @@ class DeviceSketchBackend:
             return (start, end, g, rows, packed_d, breakbits_d, starts, total,
                     fast, exact)
 
+        # rows whose bin the prefilter lost; redone in ONE batched exact
+        # pass after all groups are collected (keeps the collect loop
+        # non-blocking — inline redos serialized a dispatch round-trip per
+        # affected group)
+        bad_global: list[int] = []
+
         def collect(item):
             (start, end, g, rows, packed_d, breakbits_d, starts, total,
              fast, exact) = item
@@ -294,14 +300,7 @@ class DeviceSketchBackend:
                 if done is not None:
                     for kk in kmers:
                         out[kk][start:end] = done[kk][:g]
-                    if len(bad_rows):
-                        # redo only the rows with a prefiltered-away bin
-                        redo = self.bin_minima_multi_k_exact(
-                            [streams[start + int(i)] for i in bad_rows],
-                            kmers, rc, nbins,
-                        )
-                        for kk in kmers:
-                            out[kk][start + bad_rows] = redo[kk]
+                    bad_global.extend(start + int(i) for i in bad_rows)
                     return
                 # compaction overflow: nothing in the group is trustworthy
                 if g <= _MAX_GROUP:
@@ -332,6 +331,28 @@ class DeviceSketchBackend:
             )
         for item in in_flight:
             collect(item)
+        if bad_global:
+            # one exact dispatch per bad row, all in flight before any
+            # collect. Per-row (not batched into one group): a batch would
+            # concatenate to a novel total-length bucket and recompile the
+            # exact kernels, while single-genome buckets are hot
+            handles = []
+            for i in bad_global:
+                packed, breakbits, starts, total = self._prepare_group(
+                    [streams[i]], min(kmers)
+                )
+                handles.append((i, self._dispatch_exact(
+                    jax.device_put(packed),
+                    jax.device_put(breakbits),
+                    self._pad_starts(starts, total),
+                    total, kmers, rc, nbins,
+                )))
+            for i, exact in handles:
+                for kk, (min_hi, min_lo, found) in exact.items():
+                    mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:1]
+                    ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:1]
+                    fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:1]
+                    out[kk][i] = combine_bin_minima(mh, ml, fd)[0]
         return out
 
     @staticmethod

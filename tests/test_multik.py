@@ -203,16 +203,14 @@ def test_row_level_fallback_bit_exact(monkeypatch):
 
     monkeypatch.setattr(nm, "multik_hash_bin_kernel", lose_a_bin)
 
-    redo_sizes = []
-    orig_exact = sj.DeviceSketchBackend.bin_minima_multi_k_exact
+    redo_calls = []
+    orig_exact = sj.DeviceSketchBackend._dispatch_exact
 
-    def spy_exact(self, streams, kmers, rc, nbins):
-        redo_sizes.append(len(streams))
-        return orig_exact(self, streams, kmers, rc, nbins)
+    def spy_exact(self, *a, **kw):
+        redo_calls.append(1)
+        return orig_exact(self, *a, **kw)
 
-    monkeypatch.setattr(
-        sj.DeviceSketchBackend, "bin_minima_multi_k_exact", spy_exact
-    )
+    monkeypatch.setattr(sj.DeviceSketchBackend, "_dispatch_exact", spy_exact)
 
     streams = _streams(n_genomes=3, seed=23)
     names = [f"g{i}" for i in range(len(streams))]
@@ -225,4 +223,5 @@ def test_row_level_fallback_bit_exact(monkeypatch):
     ]
     for h, d in zip(host, dev):
         assert np.array_equal(h.usigs, d.usigs)
-    assert redo_sizes == [1], redo_sizes
+    # exactly one per-row exact redo (the forced bad row), nothing else
+    assert redo_calls == [1], redo_calls
