@@ -526,11 +526,16 @@ class DeviceKnnEngine:
         c1_rows: np.ndarray | None = None,
         c2_dev: jax.Array | None = None,
         cutoff: float = 0.64,
+        a_dev: jax.Array | None = None,
     ):
         """Generic row-block scan; a_mat is host u32 (na, W2). row_base is
         the global index of a_mat's first row (self-exclusion offset when
         rows are a multi-process slice). c1_rows/c2_dev switch selection
-        to the completeness-corrected kernel."""
+        to the completeness-corrected kernel. a_dev, when given, is a
+        device-resident matrix holding the same rows at global indices
+        (the self case passes the column matrix): row blocks then slice
+        on device instead of re-uploading planes that already live in
+        HBM."""
         na = a_mat.shape[0]
         tc = self.col_tile
         masked = a_sig is not None
@@ -543,7 +548,11 @@ class DeviceKnnEngine:
         pending = []
         for r0 in range(0, na, self.row_tile):
             r1 = min(r0 + self.row_tile, na)
-            a_blk = a_mat[r0:r1]
+            a_blk = (
+                a_dev[row_base + r0 : row_base + r1]
+                if a_dev is not None
+                else a_mat[r0:r1]
+            )
             sig_blk = a_sig[r0:r1].astype(np.int32) if masked else dummy
             if comp:
                 v, i = _knn_scan_block_comp(
@@ -617,6 +626,7 @@ class DeviceKnnEngine:
             c1_rows=c1,
             c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
             cutoff=completeness_cutoff,
+            a_dev=b_dev,
         )
         return self._rows_from_samebits(
             sb, idx, dist_type,
@@ -652,13 +662,19 @@ class DeviceKnnEngine:
 
     # --- multi-k core/accessory ---
 
+    def _stack_cm(self) -> jax.Array:
+        """Chunk-major reference stack (row side of the Pallas tile)."""
+        if "stack_cm" not in self.__dict__:
+            from .coreacc_pallas import chunk_major
+
+            self.__dict__["stack_cm"] = chunk_major(self._stack(), self.s64)
+            self.__dict__["stack_cm"].block_until_ready()
+        return self.__dict__["stack_cm"]
+
     def _stack_cm_t(self) -> jax.Array:
         """Chunk-major transposed reference stack for the Pallas tile."""
         if "stack_cm_t" not in self.__dict__:
-            from .coreacc_pallas import chunk_major
-
-            a_cm = chunk_major(self._stack(), self.s64)
-            self.__dict__["stack_cm_t"] = jnp.transpose(a_cm)
+            self.__dict__["stack_cm_t"] = jnp.transpose(self._stack_cm())
             self.__dict__["stack_cm_t"].block_until_ready()
         return self.__dict__["stack_cm_t"]
 
@@ -668,12 +684,15 @@ class DeviceKnnEngine:
                      b_sig_dev=None,
                      c1_rows: np.ndarray | None = None,
                      c2_dev=None,
-                     cutoff: float = 0.64):
+                     cutoff: float = 0.64,
+                     self_rows: bool = False):
         """Shared row-block driver for self/cross core-acc kNN; row_stack is
         (nk, nrows, W2) u32. a_sig/b_sig_dev add the inverted-index
         prefilter mask (precluster mode). c1_rows/c2_dev apply the MAG
         completeness correction on device, inside whichever tile kernel
-        (fused Pallas or XLA) is active."""
+        (fused Pallas or XLA) is active. self_rows marks row_stack as a
+        [row_base:row_base+nrows] view of the reference stack, so row
+        blocks slice the device-resident copy instead of re-uploading."""
         if nrows == 0:  # empty multi-process row slice
             return SparseKnnRows(
                 np.zeros((0, knn), np.int32),
@@ -689,7 +708,11 @@ class DeviceKnnEngine:
             from .coreacc_pallas import chunk_major
 
             bt_cm = self._stack_cm_t()
-            row_cm = chunk_major(jnp.asarray(row_stack), self.s64)
+            row_cm = (
+                self._stack_cm()
+                if self_rows
+                else chunk_major(jnp.asarray(row_stack), self.s64)
+            )
         else:
             b_stack = self._stack()
         pending = []
@@ -699,7 +722,11 @@ class DeviceKnnEngine:
                 a_sig[r0:r1].astype(np.int32) if masked else dummy
             )
             if use_pallas:
-                a_blk = row_cm[r0:r1]
+                a_blk = (
+                    row_cm[row_base + r0 : row_base + r1]
+                    if self_rows
+                    else row_cm[r0:r1]
+                )
                 pad = (-(r1 - r0)) % 128
                 c1_blk = (
                     c1_rows[r0:r1].astype(np.float32) if comp else None
@@ -732,7 +759,11 @@ class DeviceKnnEngine:
                 )
             else:
                 core, acc, idx = _knn_scan_block_ca(
-                    jnp.asarray(np.asarray(row_stack)[:, r0:r1, :]),
+                    (
+                        b_stack[:, row_base + r0 : row_base + r1, :]
+                        if self_rows
+                        else jnp.asarray(np.asarray(row_stack)[:, r0:r1, :])
+                    ),
                     b_stack,
                     np.int32(row_base + r0),
                     np.int32(self.n),
@@ -796,6 +827,7 @@ class DeviceKnnEngine:
             c1_rows=c1_rows,
             c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
             cutoff=completeness_cutoff,
+            self_rows=True,
         )
 
     def cross_knn_coreacc(self, query_ms, knn: int,
@@ -889,6 +921,7 @@ class DeviceKnnEngine:
                 c1_rows=comp[lo:hi] if comp is not None else None,
                 c2_dev=c2_dev,
                 cutoff=completeness_cutoff,
+                self_rows=True,
             )
             idx_a, vals_a, _ = res.as_arrays()
             rows_ca: list[list[tuple]] = []
@@ -968,6 +1001,7 @@ class DeviceKnnEngine:
             c1_rows=comp_sk[lo:hi] if comp_sk is not None else None,
             c2_dev=comp_cols,
             cutoff=completeness_cutoff,
+            a_dev=b_dev,
         )
         rows_out = self._rows_from_samebits(
             sb, idx, dist_type, as_lists=True,
