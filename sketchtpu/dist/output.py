@@ -14,6 +14,8 @@ tests/test_output_native.py). Pure-Python paths remain as fallback.
 from __future__ import annotations
 
 import ctypes
+import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -21,6 +23,18 @@ from .._native import get_lib
 
 # lines per native-formatting chunk (bounds the host buffer)
 _CHUNK = 1 << 21
+# formatting threads: ctypes CDLL calls release the GIL, so chunks format
+# in parallel in the native helper while writes stay in order. One worker
+# on a single-core host degenerates to the serial path.
+_WORKERS = min(8, os.cpu_count() or 1)
+_POOL: ThreadPoolExecutor | None = None
+
+
+def _pool() -> ThreadPoolExecutor:
+    global _POOL
+    if _POOL is None:
+        _POOL = ThreadPoolExecutor(max_workers=_WORKERS)
+    return _POOL
 
 
 def fmt_f32(value) -> str:
@@ -80,8 +94,8 @@ def _native_lines(
     if v2 is not None:
         v2 = np.ascontiguousarray(v2, dtype=np.float32)
     write = out.buffer.write if hasattr(out, "buffer") else None
-    for s in range(0, rows.size, _CHUNK):
-        e = min(s + _CHUNK, rows.size)
+
+    def fmt(s: int, e: int) -> bytes:
         r = rows[s:e]
         c = cols[s:e]
         cap = int(
@@ -105,11 +119,33 @@ def _native_lines(
         )
         if written < 0:  # cap is sufficient by construction (64B/value)
             raise RuntimeError("native line formatting overflowed its buffer")
-        chunk = ctypes.string_at(buf, written)
+        return ctypes.string_at(buf, written)
+
+    def emit(chunk: bytes) -> None:
         if write is not None:
             write(chunk)
         else:
             out.write(chunk.decode("ascii"))
+
+    spans = [
+        (s, min(s + _CHUNK, rows.size))
+        for s in range(0, rows.size, _CHUNK)
+    ]
+    if _WORKERS == 1 or len(spans) == 1:
+        for s, e in spans:
+            emit(fmt(s, e))
+    else:
+        # the native call releases the GIL: format up to _WORKERS chunks
+        # concurrently, write strictly in order; the bounded window caps
+        # in-flight buffers
+        pool = _pool()
+        futures = []
+        for s, e in spans:
+            if len(futures) >= _WORKERS + 1:
+                emit(futures.pop(0).result())
+            futures.append(pool.submit(fmt, s, e))
+        for f in futures:
+            emit(f.result())
     if write is not None:
         out.buffer.flush()
     return True
