@@ -388,3 +388,63 @@ def test_self_knn_coreacc_completeness_pallas_close_to_host(monkeypatch):
             sorted(c for _, c, _ in hr),
             atol=2e-4,
         )
+
+
+def test_grouped_merge_path_matches_host():
+    """Engine shapes that trigger the two-stage grouped top-k merge
+    (col_tile/8 groups > knn — see _tile_topk_reduce) must match the host
+    item-for-item, in plain and masked (precluster) modes."""
+    from sketchtpu.dist.knn_jax import _MERGE_GROUP
+
+    n, knn, col_tile = 300, 8, 256
+    assert col_tile // _MERGE_GROUP > knn  # grouped reduce active
+    ms = _fake_ms(n=n, nk=2, kmers=(17, 21), seed=31)
+    dist_type = api.set_k(ms, 17, False)
+    host = api.self_dists_knn(ms, knn, dist_type)
+    dev = DeviceKnnEngine(ms, row_tile=64, col_tile=col_tile).self_knn(
+        knn, dist_type
+    )
+    for r, (dr, hr) in enumerate(zip(dev, host)):
+        assert [(i, np.float32(v)) for i, v in dr] == [
+            (i, np.float32(v)) for i, v in hr
+        ], f"row {r}"
+
+    # masked (precluster) mode through the same grouped merge
+    rng = np.random.default_rng(32)
+    stride = 19
+    signs = rng.integers(0, 9, (n, stride), dtype=np.uint16)
+    inv = Inverted(
+        sign_matrix=signs,
+        sample_names=[ms.sketch_name(i) for i in range(n)],
+        kmer_size=17,
+        rc=True,
+        hash_type=HashType("dna"),
+    )
+    skq_flat = signs.reshape(-1)
+    host_pc = api.self_dists_knn_precluster(
+        ms, inv, skq_flat, stride, knn, dist_type
+    )
+    dev_pc = DeviceKnnEngine(ms, row_tile=64, col_tile=col_tile).precluster_knn(
+        inv, skq_flat, knn, dist_type
+    )
+    for r, (dr, hr) in enumerate(zip(dev_pc, host_pc)):
+        np.testing.assert_allclose(
+            sorted(np.float32(v) for _, v in dr),
+            sorted(np.float32(v) for _, v in hr),
+            atol=0,
+            err_msg=f"row {r}",
+        )
+
+    # core/accessory through the grouped merge (XLA tile on CPU CI)
+    dt_ca = api.set_k(ms, None, False)
+    host_ca = api.self_dists_knn(ms, knn, dt_ca)
+    dev_ca = DeviceKnnEngine(
+        ms, row_tile=64, col_tile=col_tile
+    ).self_knn_coreacc(knn)
+    for r, (dr, hr) in enumerate(zip(dev_ca, host_ca)):
+        np.testing.assert_allclose(
+            sorted(c for _, c, _ in dr),
+            sorted(c for _, c, _ in hr),
+            atol=2e-4,
+            err_msg=f"row {r}",
+        )
