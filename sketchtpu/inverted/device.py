@@ -71,18 +71,28 @@ def _match_count_strip(
     return counts
 
 
-@jax.jit
-def _match_any_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(ti, S) x (tj, S) -> (ti, tj) bool: any shared bin."""
-    return (a[:, None, :] == b[None, :, :]).any(axis=2)
+@functools.partial(jax.jit, static_argnames=("tc", "count"))
+def _match_matrix_scan(q: jnp.ndarray, m: jnp.ndarray, tc: int, count: bool):
+    """(nq, S) x (n, S) -> (nq, n) uint16 counts (count=True) or bool
+    any-shared mask, with the column dimension scanned ON DEVICE so the
+    whole result crosses the link in one transfer (per-tile dispatches
+    each paid a fixed round-trip that dwarfed the compute)."""
+    n, s = m.shape
+    nq = q.shape[0]
 
+    def body(_, t):
+        b = jax.lax.dynamic_slice(m, (t * tc, 0), (tc, s))
+        eq = q[:, None, :] == b[None, :, :]
+        if count:
+            out = jnp.sum(eq.astype(jnp.int32), axis=2).astype(jnp.uint16)
+        else:
+            out = eq.any(axis=2)
+        return None, out
 
-@jax.jit
-def _match_count_matrix(q: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """(nq, S) x (n, S) -> (nq, n) int32: count of shared bins per pair."""
-    return jnp.sum(
-        (q[:, None, :] == m[None, :, :]).astype(jnp.int32), axis=2
-    )
+    _, tiles = jax.lax.scan(
+        body, None, jnp.arange(n // tc, dtype=jnp.int32)
+    )  # (n_tiles, nq, tc)
+    return tiles.transpose(1, 0, 2).reshape(nq, n)
 
 
 class DeviceInvertedEngine:
@@ -130,21 +140,22 @@ class DeviceInvertedEngine:
             )
         return int(sum(int(np.asarray(x).astype(np.int64).sum()) for x in pending))
 
+    def _padded_mat(self) -> jnp.ndarray:
+        if "_mat_pad" not in self.__dict__:
+            pad = (-self.n) % self.tile
+            self.__dict__["_mat_pad"] = (
+                jnp.pad(self._mat, ((0, pad), (0, 0))) if pad else self._mat
+            )
+        return self.__dict__["_mat_pad"]
+
     def match_counts(self, queries: np.ndarray) -> np.ndarray:
         """(nq, S) u16 query signs -> (nq, n) int64 shared-bin counts."""
         q = jax.device_put(np.asarray(queries, dtype=np.int32))
-        pending = [
-            _match_count_matrix(q, self._mat[j0 : j0 + self.tile])
-            for j0 in range(0, self.n, self.tile)
-        ]
-        outs = [np.asarray(x) for x in pending]
-        return np.concatenate(outs, axis=1).astype(np.int64)
+        out = _match_matrix_scan(q, self._padded_mat(), self.tile, True)
+        return np.asarray(out)[:, : self.n].astype(np.int64)
 
     def any_shared_rows(self, queries: np.ndarray) -> np.ndarray:
         """(nq, S) u16 query signs -> (nq, n) bool any-shared-bin mask."""
         q = jax.device_put(np.asarray(queries, dtype=np.int32))
-        pending = [
-            _match_any_tile(q, self._mat[j0 : j0 + self.tile])
-            for j0 in range(0, self.n, self.tile)
-        ]
-        return np.concatenate([np.asarray(x) for x in pending], axis=1)
+        out = _match_matrix_scan(q, self._padded_mat(), self.tile, False)
+        return np.asarray(out)[:, : self.n]
