@@ -79,8 +79,10 @@ def time_fast(be, streams, k, nbins):
             ) + (w,)
             items.append((start, end, fast))
         for start, end, fast in items:
-            done = be._collect_fast_multi_k(fast, [k], end - start, nbins, rows)
-            assert done is not None, "fallback hit"
+            done, bad = be._collect_fast_multi_k(
+                fast, [k], end - start, nbins, rows
+            )
+            assert done is not None and not len(bad), "fallback hit"
             out[k][start:end] = done[k][: end - start]
         return out
 

@@ -664,7 +664,7 @@ def main(argv=None) -> int:
                     from .runtime import select_coreacc_engine
 
                     # correction applies only when BOTH sides have values
-                    # (jaccard.rs:36-42); pass it so the XLA tile is used
+                    # (jaccard.rs:36-42)
                     both_comp = (
                         ref_comp is not None and q_comp is not None
                     )

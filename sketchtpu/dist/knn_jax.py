@@ -669,6 +669,9 @@ class DeviceKnnEngine:
 
             self.__dict__["stack_cm"] = chunk_major(self._stack(), self.s64)
             self.__dict__["stack_cm"].block_until_ready()
+            # the raw stack is dead once the chunk-major copies exist
+            # (Pallas mode never reads it again); free its HBM
+            self.__dict__.pop("stack", None)
         return self.__dict__["stack_cm"]
 
     def _stack_cm_t(self) -> jax.Array:

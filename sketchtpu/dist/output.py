@@ -127,9 +127,12 @@ def _native_lines(
         else:
             out.write(chunk.decode("ascii"))
 
+    # threaded runs shrink the chunk so total in-flight buffer bytes stay
+    # at the serial path's level (~64B/value per chunk, _WORKERS+2 live)
+    step = _CHUNK if _WORKERS == 1 else max(1 << 17, _CHUNK // _WORKERS)
     spans = [
-        (s, min(s + _CHUNK, rows.size))
-        for s in range(0, rows.size, _CHUNK)
+        (s, min(s + step, rows.size))
+        for s in range(0, rows.size, step)
     ]
     if _WORKERS == 1 or len(spans) == 1:
         for s, e in spans:

@@ -73,18 +73,20 @@ def _match_count_strip(
 
 @functools.partial(jax.jit, static_argnames=("tc", "count"))
 def _match_matrix_scan(q: jnp.ndarray, m: jnp.ndarray, tc: int, count: bool):
-    """(nq, S) x (n, S) -> (nq, n) uint16 counts (count=True) or bool
-    any-shared mask, with the column dimension scanned ON DEVICE so the
-    whole result crosses the link in one transfer (per-tile dispatches
-    each paid a fixed round-trip that dwarfed the compute)."""
+    """(nq, S) x (n, S) -> (nq, n) counts (count=True) or bool any-shared
+    mask, with the column dimension scanned ON DEVICE so the whole result
+    crosses the link in one transfer (per-tile dispatches each paid a
+    fixed round-trip that dwarfed the compute). Counts are bounded by S,
+    so they return as uint16 when that provably fits, int32 otherwise."""
     n, s = m.shape
     nq = q.shape[0]
+    cdtype = jnp.uint16 if s < 65536 else jnp.int32
 
     def body(_, t):
         b = jax.lax.dynamic_slice(m, (t * tc, 0), (tc, s))
         eq = q[:, None, :] == b[None, :, :]
         if count:
-            out = jnp.sum(eq.astype(jnp.int32), axis=2).astype(jnp.uint16)
+            out = jnp.sum(eq.astype(jnp.int32), axis=2).astype(cdtype)
         else:
             out = eq.any(axis=2)
         return None, out
@@ -125,10 +127,7 @@ class DeviceInvertedEngine:
         equality mask stays fused on the VPU and never touches HBM."""
         n, tile = self.n, self.tile
         lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
-        pad_cols = (-n) % tile
-        m = self._mat
-        if pad_cols:
-            m = jnp.pad(m, ((0, pad_cols), (0, 0)))
+        m = self._padded_mat()
         pending = []
         for i0 in range(lo, hi, tile):
             a, na = self._tile_of(i0)

@@ -280,22 +280,29 @@ class DeviceAaSketchBackend:
             )
         for item in in_flight:
             collect(item)
-        # one exact dispatch per bad row, all in flight before any collect
-        # (per-row so each reuses the hot single-sample bucket shape
-        # instead of compiling a novel batched total length)
-        handles = []
-        for i in bad_global:
-            group = [streams[int(i)]]
-            codes, starts2, total2, n_pad2 = prepare(group)
-            handles.append((int(i), dispatch_exact(
-                group, jax.device_put(codes), starts2, total2, n_pad2
-            )))
-        for i, res in handles:
+        # one exact dispatch per bad row, pipelined behind the same
+        # in-flight window as the main loop (bounds device memory; per-row
+        # so each reuses the hot single-sample bucket shape instead of
+        # compiling a novel batched total length)
+        def redo_collect(item):
+            i, res = item
             for kk, (min_hi, min_lo, found2) in res.items():
                 mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:1]
                 ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:1]
                 fd = np.asarray(found2).reshape(_MAX_GROUP, nbins)[:1]
                 out[kk][i] = combine_bin_minima(mh, ml, fd)[0]
+
+        handles = []
+        for i in bad_global:
+            if len(handles) >= window:
+                redo_collect(handles.pop(0))
+            group = [streams[int(i)]]
+            codes, starts2, total2, n_pad2 = prepare(group)
+            handles.append((int(i), dispatch_exact(
+                group, jax.device_put(codes), starts2, total2, n_pad2
+            )))
+        for item in handles:
+            redo_collect(item)
         return out
 
     def sketch_aa_streams(

@@ -332,12 +332,23 @@ class DeviceSketchBackend:
         for item in in_flight:
             collect(item)
         if bad_global:
-            # one exact dispatch per bad row, all in flight before any
-            # collect. Per-row (not batched into one group): a batch would
+            # one exact dispatch per bad row, pipelined behind the same
+            # in-flight window as the main loop (bounds device memory).
+            # Per-row (not batched into one group): a batch would
             # concatenate to a novel total-length bucket and recompile the
             # exact kernels, while single-genome buckets are hot
+            def redo_collect(item):
+                i, exact = item
+                for kk, (min_hi, min_lo, found) in exact.items():
+                    mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:1]
+                    ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:1]
+                    fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:1]
+                    out[kk][i] = combine_bin_minima(mh, ml, fd)[0]
+
             handles = []
             for i in bad_global:
+                if len(handles) >= window:
+                    redo_collect(handles.pop(0))
                 packed, breakbits, starts, total = self._prepare_group(
                     [streams[i]], min(kmers)
                 )
@@ -347,12 +358,8 @@ class DeviceSketchBackend:
                     self._pad_starts(starts, total),
                     total, kmers, rc, nbins,
                 )))
-            for i, exact in handles:
-                for kk, (min_hi, min_lo, found) in exact.items():
-                    mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:1]
-                    ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:1]
-                    fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:1]
-                    out[kk][i] = combine_bin_minima(mh, ml, fd)[0]
+            for item in handles:
+                redo_collect(item)
         return out
 
     @staticmethod
