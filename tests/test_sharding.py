@@ -411,3 +411,24 @@ def test_sharded_knn_singlek_completeness(eight_devices):
         h_dists = sorted(np.float32(d) for _, d in hr)
         np.testing.assert_allclose(s_dists, d_dists, atol=1e-7)
         np.testing.assert_allclose(s_dists, h_dists, atol=1e-6)
+
+
+def test_sharded_knn_grouped_merge(eight_devices):
+    """Sharded kNN with shapes that activate the two-stage grouped top-k
+    merge inside shard_map (col_tile/8 groups > knn) — the other sharded
+    tests use tiny tiles where it falls back to the flat merge."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _fake_ms, _assert_rows_equal
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.knn_jax import _MERGE_GROUP
+    from sketchtpu.shard.mesh import ShardedKnnEngine
+
+    col_tile, knn = 128, 4
+    assert col_tile // _MERGE_GROUP > knn
+    ms = _fake_ms(n=200, nk=2, s64=2, kmers=(17, 21), seed=61)
+    dist_type = api.set_k(ms, 17, False)
+    host = api.self_dists_knn(ms, knn, dist_type)
+    dev = ShardedKnnEngine(ms, col_tile=col_tile).self_knn(knn, dist_type)
+    _assert_rows_equal(dev, host)
