@@ -393,6 +393,40 @@ class Inverted:
         q = np.asarray(query_sigs, dtype=np.uint16)
         return np.flatnonzero((self.sign_matrix == q[None, :]).any(axis=1))
 
+    def query_probs(
+        self,
+        input_files: list[tuple[str, list[str]]],
+        nouts: int = 10,
+        min_count: int = 5,
+        min_qual: int = 20,
+    ) -> dict:
+        """In-memory analogue of the WASM frontend's
+        `SketchlibData::{query,get_probs}` (lib.rs:1019-1111): sketch ONE
+        query sample against this index, match-count it, convert each
+        count d to the Jaccard estimate d / (2*sketch_size - d), and
+        return the top `nouts` as {"probs", "names", "metadata"}. Like
+        the reference, names come from the index labels (metadata from
+        the metadata vector), empty strings when absent, and equal probs
+        keep the reference's stable-sort-then-reverse order (descending
+        sample index among ties)."""
+        queries, _names = self.sketch_queries(
+            input_files, min_count, min_qual
+        )
+        d = self.query_match_count(queries[0]).astype(np.float64)
+        probs = d / (2.0 * self.sketch_size - d)
+        order = np.argsort(probs, kind="stable")[::-1][:nouts]
+        return {
+            "probs": [float(probs[i]) for i in order],
+            "names": [
+                self.labels[i] if self.labels is not None else ""
+                for i in order
+            ],
+            "metadata": [
+                self.metadata[i] if self.metadata is not None else ""
+                for i in order
+            ],
+        }
+
     def any_shared_bin_count(
         self, tile: int = 2048, engine=None, row_range: slice | None = None
     ) -> int:

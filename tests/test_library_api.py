@@ -45,3 +45,30 @@ def test_sketch_load_dist_roundtrip(tmp_path):
 def test_all_exports_resolve():
     for name in st.__all__:
         assert getattr(st, name, None) is not None, name
+
+
+def test_inverted_query_probs():
+    """Python analogue of the WASM frontend's SketchlibData::{query,
+    get_probs} (lib.rs:1019-1111): top-N Jaccard estimates with labels."""
+    from sketchtpu.inverted.index import Inverted
+
+    inputs = st.get_input_list(
+        None,
+        [
+            str(REF_IN / "R6.fa.gz"),
+            str(REF_IN / "TIGR4.fa.gz"),
+            str(REF_IN / "14412_3#82.contigs_velvet.fa.gz"),
+        ],
+    )
+    inv = Inverted.build(
+        inputs, list(range(3)), 17, 100, True, 5, 20,
+        labels=["R6", "TIGR4", "s82"],
+    )
+    res = inv.query_probs(inputs[:1], nouts=3)
+    assert set(res) == {"probs", "names", "metadata"}
+    assert len(res["probs"]) == 3
+    # the query IS the first indexed sample: perfect match-count ->
+    # d = sketch_size, prob = s/(2s-s) = 1.0, ranked first
+    assert res["names"][0] == "R6" and res["probs"][0] == 1.0
+    assert res["probs"] == sorted(res["probs"], reverse=True)
+    assert res["metadata"] == ["", "", ""]  # no metadata vector, like WASM
