@@ -119,8 +119,79 @@ def one_iter(it: int) -> None:
     print(f"iter {it} OK (n={n_samples} k={kmers} s={ssize})", flush=True)
 
 
+def one_iter_fastq(it: int) -> None:
+    """Reads path: paired FASTQ with quality filtering + count filter."""
+    rng = np.random.default_rng(5000 + it)
+    pyr = random.Random(500 + it)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        tdp = Path(td)
+        lines = []
+        for s in range(2):
+            glen = pyr.choice([50_000, 200_000])
+            genome = rng.integers(0, 4, glen)
+            pair_files = []
+            for mate in (1, 2):
+                p = tdp / f"s{s}_{mate}.fastq"
+                with open(p, "wb") as f:
+                    n_reads = glen * pyr.choice([10, 20]) // 150 // 2
+                    starts = rng.integers(0, glen - 150, n_reads)
+                    for ri, st in enumerate(starts):
+                        seq = bases[genome[st : st + 150]].tobytes()
+                        # mixed qualities straddling min_qual (default 20,
+                        # phred+33 -> '5' = Q20)
+                        qual = bytes(
+                            int(x)
+                            for x in rng.integers(33 + 10, 33 + 40, 150)
+                        )
+                        f.write(b"@r%d\n%s\n+\n%s\n" % (ri, seq, qual))
+                pair_files.append(str(p))
+            lines.append(f"s{s}\t" + "\t".join(pair_files))
+        (tdp / "rfile.txt").write_text("\n".join(lines) + "\n")
+        kmers = pyr.choice(["17", "17,21"])
+        mc = pyr.choice(["1", "2", "5"])
+        for be in ("host", "tpu"):
+            run_cli(["sketch", "-f", "rfile.txt", "-o", f"db_{be}", "-k",
+                     kmers, "-s", "100", "--min-count", mc], be, td)
+        assert (tdp / "db_host.skd").read_bytes() == (tdp / "db_tpu.skd").read_bytes(), \
+            f"fastq iter {it}: .skd mismatch (k={kmers} mc={mc})"
+        assert (tdp / "db_host.skm").read_bytes() == (tdp / "db_tpu.skm").read_bytes()
+    print(f"fastq iter {it} OK (k={kmers} min_count={mc})", flush=True)
+
+
+def one_iter_aa(it: int) -> None:
+    """Amino-acid path across the three reduced-alphabet levels."""
+    rng = np.random.default_rng(7000 + it)
+    pyr = random.Random(700 + it)
+    aa = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        tdp = Path(td)
+        lines = []
+        for s in range(3):
+            p = tdp / f"p{s}.fa"
+            with open(p, "wb") as f:
+                for c in range(pyr.choice([1, 4])):
+                    f.write(f">c{c}\n".encode())
+                    seq = aa[rng.integers(0, 20, pyr.choice([5_000, 60_000]))]
+                    f.write(seq.tobytes() + b"\n")
+            lines.append(f"p{s}\t{p}")
+        (tdp / "rfile.txt").write_text("\n".join(lines) + "\n")
+        level = pyr.choice(["1", "2", "3"])
+        kmers = pyr.choice(["6", "6,9,12"])
+        for be in ("host", "tpu"):
+            run_cli(["sketch", "-f", "rfile.txt", "-o", f"db_{be}", "-k",
+                     kmers, "-s", "100", "--seq-type", "aa", "--level",
+                     f"level{level}"], be, td)
+        assert (tdp / "db_host.skd").read_bytes() == (tdp / "db_tpu.skd").read_bytes(), \
+            f"aa iter {it}: .skd mismatch (k={kmers} level={level})"
+    print(f"aa iter {it} OK (k={kmers} level={level})", flush=True)
+
+
 if __name__ == "__main__":
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     for it in range(iters):
         one_iter(it)
-    print(f"all {iters} iterations passed")
+    for it in range(max(2, iters // 3)):
+        one_iter_fastq(it)
+        one_iter_aa(it)
+    print(f"all {iters} dna + {max(2, iters // 3)}x(fastq+aa) iterations passed")
