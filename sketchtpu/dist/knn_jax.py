@@ -470,16 +470,13 @@ class DeviceKnnEngine:
         self.ms = ref_ms
         self.s64 = ref_ms.sketchsize64
         self.row_tile = row_tile
-        # col_tile is the padding multiple and the unmasked scan's column
-        # tile: with the grouped merge, the big top_k input stays ~knn*9
+        # col_tile is the padding multiple and the scans' column tile:
+        # with the grouped merge, the big top_k input stays ~knn*9
         # regardless of tile width, so wider tiles amortise the per-tile
-        # group-max/top-k (measured 1.21 -> 1.60 G pair/s from 2048 to
-        # 8192). Masked (precluster) scans keep <= 2048-column tiles: the
-        # sign-equality mask's VMEM footprint grows with tile * stride.
+        # group-max/top-k (measured 1.21 -> 1.60 G pair/s plain and
+        # 1.06 -> 1.31 masked from 2048 to 8192; the sign-equality mask
+        # fuses into the validity reduce, so no VMEM blowup)
         self.col_tile = col_tile
-        self.col_tile_masked = (
-            2048 if col_tile > 2048 and col_tile % 2048 == 0 else col_tile
-        )
         self.n = ref_ms.number_samples_loaded()
         self._planes: dict[int, jax.Array] = {}
         self._planes_host: dict[int, np.ndarray] = {}
@@ -547,7 +544,7 @@ class DeviceKnnEngine:
         HBM."""
         na = a_mat.shape[0]
         masked = a_sig is not None
-        tc = self.col_tile_masked if masked else self.col_tile
+        tc = self.col_tile
         comp = c1_rows is not None
         out_v = np.empty((na, knn), dtype=np.int32)
         out_i = np.empty((na, knn), dtype=np.int32)
