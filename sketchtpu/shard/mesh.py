@@ -435,7 +435,7 @@ class ShardedKnnEngine:
     columns stream on every device; per-shard top-k results come back
     row-sharded. Same self_knn/cross_knn interface as DeviceKnnEngine."""
 
-    def __init__(self, ms, mesh: Mesh | None = None, col_tile: int = 2048):
+    def __init__(self, ms, mesh: Mesh | None = None, col_tile: int = 8192):
         from ..runtime import enable_compilation_cache
 
         enable_compilation_cache()
