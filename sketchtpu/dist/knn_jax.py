@@ -461,7 +461,8 @@ class DeviceKnnEngine:
     the selected neighbours.
     """
 
-    def __init__(self, ref_ms, row_tile: int = 2048, col_tile: int = 8192):
+    def __init__(self, ref_ms, row_tile: int = 2048,
+                 col_tile: int | None = None):
         import os
 
         from ..runtime import enable_compilation_cache
@@ -475,7 +476,17 @@ class DeviceKnnEngine:
         # regardless of tile width, so wider tiles amortise the per-tile
         # group-max/top-k (measured 1.21 -> 1.60 G pair/s plain and
         # 1.06 -> 1.31 masked from 2048 to 8192; the sign-equality mask
-        # fuses into the validity reduce, so no VMEM blowup)
+        # fuses into the validity reduce, so no VMEM blowup). Padded
+        # columns are computed and discarded, so the default picks the
+        # widest tile whose padding waste stays under ~10% of the run
+        # (50k samples -> 4096, 100k+ -> 8192)
+        if col_tile is None:
+            n = ref_ms.number_samples_loaded()
+            col_tile = 2048
+            for tc in (8192, 4096):
+                if n and ((-n) % tc) / n <= 0.10:
+                    col_tile = tc
+                    break
         self.col_tile = col_tile
         self.n = ref_ms.number_samples_loaded()
         self._planes: dict[int, jax.Array] = {}
