@@ -335,13 +335,8 @@ def main(argv=None) -> int:
             seq_type.debug_str(),
             args.threads,
         )
-        n_proc = args.n_processes
-        proc_id = args.process_id
-        if n_proc is None and os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            from .shard.distributed import init_distributed
-
-            proc_id, n_proc = init_distributed()
-        if n_proc is not None and n_proc > 1:
+        proc_id, n_proc, multiproc = _resolve_ranks(args)
+        if multiproc:
             # Multi-host: sketch this rank's slice to a shard; rank 0 merges
             # once every shard file exists (byte-identical to a single-host
             # sketch of the full list).
@@ -350,7 +345,7 @@ def main(argv=None) -> int:
             sketch_shard(
                 args.output,
                 input_files,
-                proc_id or 0,
+                proc_id,
                 n_proc,
                 concat_fasta=args.concat_fasta,
                 kmers=kmers,
@@ -371,7 +366,7 @@ def main(argv=None) -> int:
                     multihost_utils.sync_global_devices("sketchtpu_shards")
             except Exception:
                 pass  # manual orchestration: caller merges when ready
-            if (proc_id or 0) == 0:
+            if proc_id == 0:
                 from pathlib import Path
 
                 from .shard.distributed import shard_prefix
@@ -428,6 +423,18 @@ def main(argv=None) -> int:
             ms.save_metadata(args.output)
 
     elif args.command == "dist":
+        def _done_dense():
+            # shared epilogue for the early-returning dense engine paths
+            if out is not sys.stdout:
+                out.close()
+            if print_success and not getattr(args, "quiet", False):
+                print(
+                    f"\U0001f9ec\U0001f58b️ sketchtpu done in "
+                    f"{int(time.time() - start)}s",
+                    file=sys.stderr,
+                )
+            return 0
+
         from .dist import api, output as dist_output
         from .runtime import select_engine
 
@@ -507,15 +514,7 @@ def main(argv=None) -> int:
                         out, names, row_range=tri_rows
                     )
                     _log_pair_rate(_tri_pairs())
-                    if out is not sys.stdout:
-                        out.close()
-                    if print_success and not getattr(args, "quiet", False):
-                        print(
-                            f"\U0001f9ec\U0001f58b️ sketchtpu done in "
-                            f"{int(time.time() - start)}s",
-                            file=sys.stderr,
-                        )
-                    return 0
+                    return _done_dense()
                 if not dist_type.coreacc:
                     from .runtime import select_dense_stream_engine
 
@@ -529,15 +528,7 @@ def main(argv=None) -> int:
                             args.completeness_cutoff, row_range=tri_rows,
                         )
                         _log_pair_rate(_tri_pairs())
-                        if out is not sys.stdout:
-                            out.close()
-                        if print_success and not getattr(args, "quiet", False):
-                            print(
-                                f"\U0001f9ec\U0001f58b️ sketchtpu done in "
-                                f"{int(time.time() - start)}s",
-                                file=sys.stderr,
-                            )
-                        return 0
+                        return _done_dense()
                 d = api.self_dists_all(
                     references,
                     dist_type,
@@ -784,8 +775,15 @@ def main(argv=None) -> int:
 
 def _delete_samples(ms, ref_db: str, output_file: str, ids: list[str]) -> None:
     """Delete flow (lib.rs:879-908 + multisketch.rs:269-348): filter the
-    metadata (keeping the original index fields and name_map, as the
-    reference does), then rewrite the .skd keeping non-deleted positions."""
+    metadata, then rewrite the .skd keeping non-deleted positions.
+
+    Unlike the reference — which saves the OLD name_map and per-sketch
+    index fields alongside the filtered metadata, leaving the output
+    internally inconsistent (subset loads then panic / read the wrong
+    rows; its own tests compare via a PartialEq that ignores name_map,
+    multisketch.rs:376) — the surviving sketches are re-indexed to their
+    compacted .skd rows, so the output equals a direct sketch of the
+    remainder and every load path works on it."""
     from .formats import skd as skd_io
 
     removed = set()
@@ -800,15 +798,14 @@ def _delete_samples(ms, ref_db: str, output_file: str, ids: list[str]) -> None:
         raise SystemExit(
             f"The following samples have not been found in the database: {missing!r}"
         )
-    positions = []
-    missing_ids = [i for i in ids if i not in ms.name_map]
-    if missing_ids:
-        raise SystemExit(f"The following genome IDs were not found: {missing_ids!r}")
     positions = {ms.name_map[i] for i in ids}
     keep = [
         idx for idx in range(len(ms.sketch_metadata)) if idx not in positions
     ]
+    for new_idx, sketch in enumerate(new_meta):
+        sketch.index = new_idx
     ms.sketch_metadata = new_meta
+    ms.name_map = {s.name: s.index for s in new_meta}
     ms.save_metadata(output_file)
     data = skd_io.read_skd_batch(f"{ref_db}.skd", keep, ms.sample_stride)
     with skd_io.SketchDataWriter(f"{output_file}.skd") as w:

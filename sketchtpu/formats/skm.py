@@ -97,6 +97,22 @@ class MultiSketch:
         ms.sample_stride = obj.get(
             "sample_stride", ms.kmer_stride * len(ms.kmer_lengths)
         )
+        # The reference's delete saves the pre-delete name_map next to the
+        # filtered metadata (multisketch.rs:298-301), so files it produced
+        # can carry entries for deleted samples / out-of-range positions.
+        # Rebuild from the metadata when the keys disagree (our own delete
+        # writes a consistent map).
+        names = {s.name for s in ms.sketch_metadata}
+        if set(ms.name_map) != names:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                ".skm name_map is inconsistent with its sketch metadata "
+                "(a database deleted by sketchlib.rust?); rebuilding"
+            )
+            ms.name_map = {
+                s.name: i for i, s in enumerate(ms.sketch_metadata)
+            }
         return ms
 
     # --- data access ---

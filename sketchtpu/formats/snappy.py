@@ -193,8 +193,11 @@ def frame_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def frame_decompress(data: bytes, verify_checksums: bool = False) -> bytes:
-    """Decompress a snappy framed stream."""
+def frame_decompress(data: bytes, verify_checksums: bool = True) -> bytes:
+    """Decompress a snappy framed stream. Checksums are verified by
+    default, like the reference's snap::FrameDecoder — corruption then
+    fails here with a clear error instead of surfacing as a confusing
+    CBOR/msgpack decode failure (or silently wrong metadata)."""
     if data[: len(_STREAM_IDENTIFIER)] != _STREAM_IDENTIFIER:
         raise ValueError("not a snappy framed stream")
     pos = len(_STREAM_IDENTIFIER)

@@ -502,14 +502,16 @@ def sketch_files_inverted(
     threads and released per chunk, so memory stays bounded at 661k scale);
     bin minima are bit-identical to the host loop.
     """
+    from collections import Counter
+
+    if not input_files:  # empty multi-process query slice
+        return np.zeros((0, sketch_size), dtype=np.uint16), []
+
     n_distinct = len(set(name for name, _ in input_files))
     results: list[np.ndarray | None] = [None] * n_distinct
     seen_names: set[str] = set()
-    multi = {
-        name
-        for name in [n for n, _ in input_files]
-        if [n for n, _ in input_files].count(name) > 1
-    }
+    name_counts = Counter(n for n, _ in input_files)
+    multi = {name for name, c in name_counts.items() if c > 1}
     names_out = [""] * n_distinct
     for idx, (name, _files) in zip(file_order, input_files):
         names_out[idx] = name

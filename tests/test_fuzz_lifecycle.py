@@ -125,3 +125,62 @@ def test_lifecycle_fuzz(wd, seed):
         f.write("not-a-sample\n")
     with pytest.raises(SystemExit):
         run("delete", "full", "bad.txt", "nope", "--quiet")
+
+
+def test_deleted_db_is_fully_consistent(wd):
+    """A deleted database must be internally consistent — unlike the
+    reference, which saves the pre-delete name_map and index fields
+    (multisketch.rs:298-301) so subset loads on its output panic. Our
+    delete re-indexes the survivors; subset reads and distances work."""
+    rng = np.random.default_rng(99)
+    genomes = []
+    with open("rfile.txt", "w") as f:
+        for i in range(5):
+            name = f"g{i}"
+            _write_fasta(f"{name}.fa.gz", rng, 2, 8000)
+            f.write(f"{name}\t{name}.fa.gz\n")
+            genomes.append(name)
+    run("sketch", "-f", "rfile.txt", "-o", "full", "-k", "17", "-s", "100",
+        "--quiet")
+    with open("del.txt", "w") as f:
+        f.write("g1\n")
+    run("delete", "full", "del.txt", "deleted", "--quiet")
+
+    ms = MultiSketch.load_metadata("deleted")
+    assert set(ms.name_map) == {"g0", "g2", "g3", "g4"}
+    assert [s.index for s in ms.sketch_metadata] == [0, 1, 2, 3]
+
+    # subset load by name resolves the right rows
+    sub = MultiSketch.load_metadata("deleted")
+    sub.read_sketch_data_block("deleted", ["g4", "g2"])
+    full = MultiSketch.load_metadata("full")
+    full.read_sketch_data("full")
+    import numpy as _np
+
+    for want, got in (("g4", 0), ("g2", 1)):
+        w = full.get_sketch_slice(genomes.index(want), 0)
+        assert _np.array_equal(sub.get_sketch_slice(got, 0), w)
+
+    # (the CLI --subset variant is exercised in the golden tests; the
+    # block load above is exactly the path the reference breaks)
+
+
+def test_empty_query_rank_writes_empty_part(wd):
+    """A multi-process `inverted query` rank whose row slice is empty must
+    write its (empty) part instead of crashing (the build path already
+    handles empty shards, shard/distributed.py)."""
+    rng = np.random.default_rng(101)
+    with open("rfile.txt", "w") as f:
+        for i in range(3):
+            _write_fasta(f"q{i}.fa.gz", rng, 1, 6000)
+            f.write(f"q{i}\tq{i}.fa.gz\n")
+    run("inverted", "build", "-f", "rfile.txt", "-o", "inv", "-s", "50",
+        "-k", "17", "--quiet")
+    # 8 ranks, 3 queries: ranks 3..7 get empty slices
+    run("inverted", "query", "inv.ski", "-f", "rfile.txt",
+        "--query-type", "match-count", "-o", "out.txt",
+        "--process-id", "7", "--n-processes", "8", "--quiet")
+    import os
+
+    assert os.path.exists("out.txt.part7")
+    assert open("out.txt.part7").read() == ""
