@@ -22,6 +22,11 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a process-unique temp path and os.replace into place:
+    # concurrent processes (e.g. a multi-rank jax.distributed launch on a
+    # fresh checkout) must never CDLL a half-linked file or race g++ on
+    # the shared output
+    tmp = _LIB_PATH.with_suffix(f".so.tmp.{os.getpid()}")
     cmd = [
         "g++",
         "-O3",
@@ -29,13 +34,15 @@ def _build() -> bool:
         "-shared",
         "-fPIC",
         "-o",
-        str(_LIB_PATH),
+        str(tmp),
         str(_SRC),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        tmp.unlink(missing_ok=True)
         return False
 
 

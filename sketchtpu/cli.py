@@ -548,9 +548,7 @@ def main(argv=None) -> int:
                 if nn >= n:
                     log.warning("knn=%d is higher than number of samples=%d", nn, n)
                     nn = n - 1
-                knn_engine = select_knn_engine(
-                    references, dist_type, ref_comp is not None
-                )
+                knn_engine = select_knn_engine(references, dist_type)
                 if knn_engine is not None:
                     log.info("Using on-device kNN engine")
                     if dist_type.coreacc:
@@ -610,9 +608,7 @@ def main(argv=None) -> int:
                         "knn=%d is higher than number of reference samples=%d", nn, n
                     )
                     nn = n
-                knn_engine = select_knn_engine(
-                    references, dist_type, ref_comp is not None or q_comp is not None
-                )
+                knn_engine = select_knn_engine(references, dist_type)
                 if knn_engine is not None:
                     log.info("Using on-device kNN engine")
                     if dist_type.coreacc:
@@ -1107,9 +1103,7 @@ def _inverted_main(args) -> None:
             )
             from .runtime import select_knn_engine
 
-            knn_engine = select_knn_engine(
-                references, dist_type, ref_comp is not None
-            )
+            knn_engine = select_knn_engine(references, dist_type)
             if knn_engine is not None and not hasattr(
                 knn_engine, "precluster_knn"
             ):

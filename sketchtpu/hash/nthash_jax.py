@@ -184,33 +184,6 @@ def _windowed_hash_dyn(codes: jnp.ndarray, k, taps_fwd, taps_rev, rc: bool):
     )
 
 
-def _windowed_hash(codes: jnp.ndarray, k: int, rc: bool):
-    """Canonical hash for every window start; returns (lo, hi) u32 arrays of
-    length len(codes) - k + 1."""
-    fwd_tab, rev_tab = nt_tap_tables(k)
-    m = codes.shape[0] - k + 1
-    f_lo = jnp.zeros(m, dtype=_U32)
-    f_hi = jnp.zeros(m, dtype=_U32)
-    r_lo = jnp.zeros(m, dtype=_U32)
-    r_hi = jnp.zeros(m, dtype=_U32)
-    for j in range(k):
-        cj = jax.lax.slice(codes, (j,), (j + m,))
-        tl, th = _tap_select(cj, fwd_tab[j])
-        f_lo = f_lo ^ tl
-        f_hi = f_hi ^ th
-        if rc:
-            rl, rh = _tap_select(cj, rev_tab[j])
-            r_lo = r_lo ^ rl
-            r_hi = r_hi ^ rh
-    if not rc:
-        return f_lo, f_hi
-    rev_smaller = (r_hi < f_hi) | ((r_hi == f_hi) & (r_lo < f_lo))
-    return (
-        jnp.where(rev_smaller, r_lo, f_lo),
-        jnp.where(rev_smaller, r_hi, f_hi),
-    )
-
-
 def _mod_mersenne61(lo: jnp.ndarray, hi: jnp.ndarray):
     """(hi<<32|lo) mod (2^61 - 1) on u32 pairs."""
     # x = (x & M) + (x >> 61);  x >> 61 = hi >> 29 (<= 7)

@@ -133,7 +133,7 @@ def select_coreacc_engine(ms, completeness_vec=None,
         try:
             import jax
 
-            if len(jax.devices()) > 1:
+            if len(jax.local_devices()) > 1:
                 from .shard.mesh import ShardedCoreAccEngine
 
                 return ShardedCoreAccEngine(
@@ -185,7 +185,7 @@ def select_dense_stream_engine(ms, dist_type):
     return None
 
 
-def select_knn_engine(ms, dist_type, has_completeness: bool):
+def select_knn_engine(ms, dist_type):
     """On-device kNN engine for large sparse runs (selection by samebits on
     device, exact f64 distance values; core-acc mode is f32 like the dense
     device engine). With completeness correction, selection keys on the
@@ -205,7 +205,7 @@ def select_knn_engine(ms, dist_type, has_completeness: bool):
         try:
             import jax
 
-            if len(jax.devices()) > 1:
+            if len(jax.local_devices()) > 1:
                 from .shard.mesh import ShardedKnnEngine
 
                 return ShardedKnnEngine(ms)
@@ -250,7 +250,7 @@ def select_engine(ms):
         try:
             import jax
 
-            if len(jax.devices()) > 1:
+            if len(jax.local_devices()) > 1:
                 from .shard.mesh import ShardedSamebitsEngine
 
                 return ShardedSamebitsEngine(ms.sketchsize64).matrix

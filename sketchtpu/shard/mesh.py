@@ -32,8 +32,13 @@ from ..dist.jaccard_jax import _samebits_tile
 
 
 def make_mesh(n_rows: int | None = None, n_words: int = 1) -> Mesh:
-    """Mesh over available devices: ('rows', 'words')."""
-    devices = np.array(jax.devices())
+    """Mesh over THIS PROCESS's devices: ('rows', 'words').
+
+    Local (not global) devices on purpose: under jax.distributed the CLI
+    row-shards the work per process (shard/distributed.py), so each rank
+    computes its own row block on its own chips — a global mesh would put
+    rank-local arrays onto non-addressable devices and fail at collect."""
+    devices = np.array(jax.local_devices())
     if n_rows is None:
         n_rows = devices.size // n_words
     devices = devices[: n_rows * n_words].reshape(n_rows, n_words)
@@ -254,7 +259,7 @@ class ShardedSamebitsEngine:
         enable_compilation_cache()
         self.s64 = sketchsize64
         self.mesh = mesh or make_mesh()
-        self._cache: dict[int, jax.Array] = {}
+        self._cache: dict = {}
 
     def _rows(self) -> int:
         return self.mesh.shape["rows"]
@@ -276,9 +281,18 @@ class ShardedSamebitsEngine:
         return jax.device_put(a32, sharding)
 
     def put_b(self, b: np.ndarray):
+        # the dist drivers stream row chunks against the SAME column
+        # matrix; key the device copy on the array identity so it uploads
+        # once instead of once per chunk
+        key = (id(b), b.shape, b.dtype.str)
+        cached = self._cache.get("b")
+        if cached is not None and cached[0] == key:
+            return cached[1]
         b32 = np.ascontiguousarray(b, dtype=np.uint64).view(np.uint32)
         sharding = NamedSharding(self.mesh, P(None, "words"))
-        return jax.device_put(b32, sharding)
+        b_dev = jax.device_put(b32, sharding)
+        self._cache["b"] = (key, b_dev)
+        return b_dev
 
     def matrix(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         na = a.shape[0]

@@ -121,27 +121,37 @@ def sketch_files(
 
         if backend is not None and seq_type.kind in ("aa", "pdb"):
             # Device-batched AA/3Di path: parse on host, hash/bin on TPU.
-            names: list[str] = []
-            streams = []
+            # Chunked like the DNA path so host memory holds only one
+            # chunk of decoded streams at a time; progress ticks once per
+            # INPUT SAMPLE (the host path's unit), not per emitted sketch
+            # (--concat-fasta emits one sketch per record).
             split = concat_fasta and seq_type.kind == "aa"
-            for name, files in input_files:
-                if seq_type.kind == "pdb":
-                    sample_streams = _pdb_streams(name, files, convert_pdb)
-                else:
-                    sample_streams = read_aa_sample(files, split)
-                for idx, stream in enumerate(sample_streams):
-                    names.append(f"{name}_{idx + 1}" if split else name)
-                    streams.append(stream)
             level = seq_type.level if seq_type.kind == "aa" else 1
-            batch = backend.sketch_aa_streams(
-                streams, names, kmers, sketch_bins, level, rc
-            )
-            for sketch in batch:
-                sketch.index = writer.write_sketch(sketch.usigs)
-                sketch.usigs = None
-                sketches.append(sketch)
-                if progress is not None:
-                    progress()
+            for part in _chunk_inputs(input_files):
+                names: list[str] = []
+                streams = []
+                per_sample_sketches: list[int] = []
+                for name, files in part:
+                    if seq_type.kind == "pdb":
+                        sample_streams = _pdb_streams(name, files, convert_pdb)
+                    else:
+                        sample_streams = read_aa_sample(files, split)
+                    per_sample_sketches.append(len(sample_streams))
+                    for idx, stream in enumerate(sample_streams):
+                        names.append(f"{name}_{idx + 1}" if split else name)
+                        streams.append(stream)
+                batch = backend.sketch_aa_streams(
+                    streams, names, kmers, sketch_bins, level, rc
+                )
+                emitted = 0
+                for count in per_sample_sketches:
+                    for sketch in batch[emitted : emitted + count]:
+                        sketch.index = writer.write_sketch(sketch.usigs)
+                        sketch.usigs = None
+                        sketches.append(sketch)
+                    emitted += count
+                    if progress is not None:
+                        progress()
             return sketches
 
         if threads > 1:

@@ -191,12 +191,3 @@ def fill_usigs(signs: np.ndarray) -> np.ndarray:
     return planes.reshape(-1).astype(_U64)
 
 
-def unfill_usigs(usigs: np.ndarray, num_bins: int) -> np.ndarray:
-    """Inverse of fill_usigs restricted to the low BBITS bits: returns the
-    per-bin 14-bit values (the only information the planes retain)."""
-    s64 = num_bins // 64
-    planes = usigs.reshape(s64, BBITS)
-    bit_idx = np.arange(64, dtype=_U64).reshape(1, 64, 1)
-    bits = (planes.reshape(s64, 1, BBITS) >> bit_idx) & _U64(1)
-    vals = (bits << np.arange(BBITS, dtype=_U64)).sum(axis=2, dtype=_U64)
-    return vals.reshape(-1)

@@ -63,7 +63,7 @@ class DeviceAaSketchBackend:
         from ..runtime import enable_compilation_cache
 
         enable_compilation_cache()
-        self._magic = DeviceSketchBackend()._magic
+        self._magic = DeviceSketchBackend._magic
 
     # Group routing policy (eligibility rule, group caps, base budgets) is
     # shared with the DNA backend — the aaHash kernel has the same

@@ -12,6 +12,8 @@ Produces Sketch objects bit-identical to the host oracle
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..constants import SIGN_MOD, num_bins as num_bins_fn
@@ -29,7 +31,11 @@ from .signs import bin_minima_filtered, densify, fill_usigs
 from .sketch import Sketch
 
 # Up to this many concatenated bases per device batch (~bounded HBM temps).
-_BATCH_BASES = 1 << 24  # 16M
+# MAX_K under the bucket boundary: _prepare_group pads to
+# _bucket_size(total + MAX_K), and a group summing to exactly 2^24 would
+# otherwise spill into a one-off 2^25-element program (minutes of compile
+# at ~1/4 the efficiency — see the note at _BATCH_BASES_FAST).
+_BATCH_BASES = (1 << 24) - MAX_K  # ~16M
 # genomes per device group: the sort key packs the genome index into 3 bits
 # (value 7 marks invalid windows), so at most 7 genomes share one kernel call
 _MAX_GROUP = 7
@@ -40,7 +46,7 @@ _MAX_GROUP_FAST = 96
 # Same byte budget as the exact path: larger buckets measured slower (the
 # 64M-element program compiled minutes and ran at ~1/4 the 16M efficiency),
 # so big groups only help workloads of many sub-2M genomes.
-_BATCH_BASES_FAST = 1 << 24
+_BATCH_BASES_FAST = (1 << 24) - MAX_K
 # A single stream above this is split into overlapping segments rather
 # than forming a one-off giant device program (compile time and efficiency
 # degrade superlinearly past ~64M elements; the reference streams per-base
@@ -113,18 +119,23 @@ def segmented_min_combine(streams, kmers, nbins, oversized, segment, inner):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def bin_magic(nbins: int) -> tuple[int, int]:
+    """Memoised magic-divider constants for hash -> bin index (shared by
+    the DNA and AA device backends)."""
+    binsize = (SIGN_MOD + nbins - 1) // nbins
+    return magic_divider(binsize, nbins)
+
+
 class DeviceSketchBackend:
     def __init__(self):
         from ..runtime import enable_compilation_cache
 
         enable_compilation_cache()
-        self._magic_cache: dict[int, tuple[int, int]] = {}
 
-    def _magic(self, nbins: int) -> tuple[int, int]:
-        if nbins not in self._magic_cache:
-            binsize = (SIGN_MOD + nbins - 1) // nbins
-            self._magic_cache[nbins] = magic_divider(binsize, nbins)
-        return self._magic_cache[nbins]
+    @staticmethod
+    def _magic(nbins: int) -> tuple[int, int]:
+        return bin_magic(nbins)
 
     def _groups(self, streams):
         start = 0
