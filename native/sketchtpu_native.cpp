@@ -107,7 +107,9 @@ size_t stpu_snappy_compress(const uint8_t* in, size_t n, uint8_t* out,
 
     auto emit_literal = [&](size_t start, size_t len) -> bool {
         while (len > 0) {
-            size_t chunk = len;  // literal length fits in 32 bits via extra bytes
+            // the 4-extra-byte tag caps a single literal run at 2^32 bytes;
+            // longer runs (>=4 GiB inputs) split into maximal runs
+            size_t chunk = len < (1ull << 32) ? len : ((1ull << 32) - 1);
             size_t l = chunk - 1;
             if (l < 60) {
                 if (op + 1 + chunk > out_cap) return false;

@@ -61,20 +61,6 @@ def _usig_matrix(ms, k_idx: int) -> np.ndarray:
     return np.ascontiguousarray(ms.bins_matrix(k_idx))
 
 
-def _pair_jaccards_blocked(
-    ref_ms,
-    query_ms,
-    rows,
-    cols_ms,
-    k_idx,
-    engine,
-):
-    """samebits for a row block against all columns at one k."""
-    a = _usig_matrix(ref_ms, k_idx)[rows]
-    b = _usig_matrix(cols_ms, k_idx)
-    return engine(a, b)
-
-
 def self_dists_all(
     ms,
     dist_type: DistType,
@@ -103,6 +89,9 @@ def self_dists_all(
     out_parts = []
     if dist_type.coreacc:
         k_mats = [_usig_matrix(ms, ki) for ki in range(len(ms.kmer_lengths))]
+    else:
+        # hoisted: _usig_matrix copies the full (n, stride) column slice
+        mat = _usig_matrix(ms, dist_type.k_idx)
     for i0 in range(lo, hi, _ROW_CHUNK):
         i1 = min(i0 + _ROW_CHUNK, hi)
         rows = np.arange(i0, i1)
@@ -112,7 +101,7 @@ def self_dists_all(
         )  # local row idx, global col idx
         gi = rows[ii]
         if not dist_type.coreacc:
-            sb = engine(_usig_matrix(ms, dist_type.k_idx)[rows], _usig_matrix(ms, dist_type.k_idx))
+            sb = engine(mat[rows], mat)
             sb = sb[ii, jj]
             c1 = comp[gi] if comp is not None else None
             c2 = comp[jj] if comp is not None else None
@@ -169,6 +158,18 @@ def cross_dists_all(
     )
 
     out_parts = []
+    # hoisted: _usig_matrix copies the full column slice per call
+    if dist_type.coreacc:
+        r_mats = [
+            _usig_matrix(ref_ms, ki) for ki in range(len(ref_ms.kmer_lengths))
+        ]
+        q_mats = [
+            _usig_matrix(query_ms, ki)
+            for ki in range(len(ref_ms.kmer_lengths))
+        ]
+    else:
+        r_mat = _usig_matrix(ref_ms, dist_type.k_idx)
+        q_mat = _usig_matrix(query_ms, dist_type.k_idx)
     for i0 in range(lo, hi, _ROW_CHUNK):
         i1 = min(i0 + _ROW_CHUNK, hi)
         rows = np.arange(i0, i1)
@@ -177,9 +178,7 @@ def cross_dists_all(
         c1 = rcomp[gi] if rcomp is not None else None
         c2 = qcomp[gj] if qcomp is not None else None
         if not dist_type.coreacc:
-            sb = _pair_jaccards_blocked(
-                ref_ms, query_ms, rows, query_ms, dist_type.k_idx, engine
-            ).reshape(-1)
+            sb = engine(r_mat[rows], q_mat).reshape(-1)
             j = jaccard_from_samebits(sb, s64, c1, c2, completeness_cutoff)
             if dist_type.ani:
                 out_parts.append(ani_pois(j, dist_type.k).astype(np.float32))
@@ -188,9 +187,7 @@ def cross_dists_all(
         else:
             jaccs = np.empty((gi.size, len(ref_ms.kmer_lengths)))
             for ki in range(len(ref_ms.kmer_lengths)):
-                sb = _pair_jaccards_blocked(
-                    ref_ms, query_ms, rows, query_ms, ki, engine
-                ).reshape(-1)
+                sb = engine(r_mats[ki][rows], q_mats[ki]).reshape(-1)
                 jaccs[:, ki] = jaccard_from_samebits(
                     sb, s64, c1, c2, completeness_cutoff
                 )
@@ -288,6 +285,32 @@ def self_dists_knn(
     return rows_out
 
 
+def ski_skd_maps(ms, inverted):
+    """Name-based index maps between a loaded .skd and a .ski
+    (distances/mod.rs:413-438). Returns (skq_index_lookup, skd_index_from_ski):
+    the forward map gives each skd sample's ski position (every skd sample
+    must exist in the ski, like the reference); the reverse map covers
+    every SKI sample, with -1 for samples the .skd lacks."""
+    skq_lookup = {name: i for i, name in enumerate(inverted.sample_names)}
+    skq_index_lookup = []
+    not_found = []
+    for skd_idx in range(ms.number_samples_loaded()):
+        name = ms.sketch_name(skd_idx)
+        if name in skq_lookup:
+            skq_index_lookup.append(skq_lookup[name])
+        else:
+            not_found.append(name)
+    if not_found:
+        raise ValueError(
+            "The following samples in the .skd could not be found in the "
+            f".ski:\n{not_found!r}"
+        )
+    skd_index_from_ski = np.full(len(inverted.sample_names), -1, np.int64)
+    for skd_idx, ski_idx in enumerate(skq_index_lookup):
+        skd_index_from_ski[ski_idx] = skd_idx
+    return skq_index_lookup, skd_index_from_ski
+
+
 def self_dists_knn_precluster(
     ms,
     inverted,
@@ -321,24 +344,13 @@ def self_dists_knn_precluster(
         if completeness_vec is not None
         else None
     )
-    # name-based index mappings between the .skd and .ski orderings
-    skq_lookup = {name: i for i, name in enumerate(inverted.sample_names)}
-    skq_index_lookup = []
-    not_found = []
-    for skd_idx in range(n):
-        name = ms.sketch_name(skd_idx)
-        if name in skq_lookup:
-            skq_index_lookup.append(skq_lookup[name])
-        else:
-            not_found.append(name)
-    if not_found:
-        raise ValueError(
-            "The following samples in the .skd could not be found in the "
-            f".ski:\n{not_found!r}"
-        )
-    skd_index_from_ski = [0] * n
-    for skd_idx, ski_idx in enumerate(skq_index_lookup):
-        skd_index_from_ski[ski_idx] = skd_idx
+    # name-based index mappings between the .skd and .ski orderings.
+    # The reverse map covers EVERY ski sample, with -1 marking samples the
+    # .skd lacks (the reference sizes its reverse vec by the .skd count,
+    # distances/mod.rs:435-438, and panics / silently maps such candidates
+    # to sample 0 — the device path here already skips them, so the host
+    # path matches it)
+    skq_index_lookup, skd_index_from_ski = ski_skd_maps(ms, inverted)
 
     if dist_type.coreacc:
         k_mats = [_usig_matrix(ms, ki) for ki in range(len(ms.kmer_lengths))]
@@ -351,9 +363,8 @@ def self_dists_knn_precluster(
         flat_i = skq_bins[ski_i * skq_stride : (ski_i + 1) * skq_stride]
         candidates = inverted.any_shared_bins(flat_i)
         candidates = candidates[candidates != ski_i]
-        skd_js = np.array(
-            [skd_index_from_ski[int(j)] for j in candidates], dtype=np.int64
-        )
+        skd_js = skd_index_from_ski[candidates]
+        skd_js = skd_js[skd_js >= 0]  # .ski samples absent from the .skd
 
         if dist_type.coreacc:
 
@@ -467,14 +478,22 @@ def cross_dists_knn(
     )
     lo, hi = (row_range.start, row_range.stop) if row_range else (0, nq)
     rows_out = []
+    if dist_type.coreacc:
+        q_mats = [
+            _usig_matrix(query_ms, ki)
+            for ki in range(len(ref_ms.kmer_lengths))
+        ]
+        r_mats = [
+            _usig_matrix(ref_ms, ki) for ki in range(len(ref_ms.kmer_lengths))
+        ]
+    else:
+        q_mat = _usig_matrix(query_ms, dist_type.k_idx)
+        r_mat = _usig_matrix(ref_ms, dist_type.k_idx)
     for q0 in range(lo, hi, _ROW_CHUNK):
         q1 = min(q0 + _ROW_CHUNK, hi)
         qrows = np.arange(q0, q1)
         if not dist_type.coreacc:
-            sb = engine(
-                _usig_matrix(query_ms, dist_type.k_idx)[qrows],
-                _usig_matrix(ref_ms, dist_type.k_idx),
-            )
+            sb = engine(q_mat[qrows], r_mat)
             for lq, qi in enumerate(qrows):
                 c1 = np.full(n, qcomp[qi]) if qcomp is not None else None
                 c2 = rcomp if rcomp is not None else None
@@ -495,9 +514,7 @@ def cross_dists_knn(
         else:
             jaccs = np.empty((qrows.size * n, len(ref_ms.kmer_lengths)))
             for ki in range(len(ref_ms.kmer_lengths)):
-                sbk = engine(
-                    _usig_matrix(query_ms, ki)[qrows], _usig_matrix(ref_ms, ki)
-                ).reshape(-1)
+                sbk = engine(q_mats[ki][qrows], r_mats[ki]).reshape(-1)
                 gq = np.repeat(qrows, n)
                 gr = np.tile(np.arange(n), qrows.size)
                 c1 = rcomp[gr] if rcomp is not None else None

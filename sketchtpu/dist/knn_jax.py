@@ -902,21 +902,10 @@ class DeviceKnnEngine:
         n = self.n
         lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
         stride = inverted.sketch_size
-        # name-based ski<->skd mapping, exactly as the host driver
-        skq_lookup = {name: i for i, name in enumerate(inverted.sample_names)}
-        not_found = []
-        ski_of_skd = np.empty(n, dtype=np.int64)
-        for skd_idx in range(n):
-            name = self.ms.sketch_name(skd_idx)
-            if name in skq_lookup:
-                ski_of_skd[skd_idx] = skq_lookup[name]
-            else:
-                not_found.append(name)
-        if not_found:
-            raise ValueError(
-                "The following samples in the .skd could not be found in the "
-                f".ski:\n{not_found!r}"
-            )
+        # name-based ski<->skd mapping, shared with the host driver
+        from .api import ski_skd_maps
+
+        ski_of_skd = np.asarray(ski_skd_maps(self.ms, inverted)[0])
         signs = skq_bins.reshape(-1, stride)[ski_of_skd]  # skd-ordered (n, S)
         sig_dev = jax.device_put(
             _pad_rows(signs.astype(np.int32), self.col_tile)

@@ -125,7 +125,7 @@ def _native_lines(
         if write is not None:
             write(chunk)
         else:
-            out.write(chunk.decode("ascii"))
+            out.write(chunk.decode("utf-8"))
 
     # threaded runs shrink the chunk so total in-flight buffer bytes stay
     # at the serial path's level (~64B/value per chunk, _WORKERS+2 live)

@@ -91,9 +91,20 @@ def reorder_input_files(input_files, species_name_file: str):
     label_order: list[tuple[str, int]] = []
     order_idx = 0
     with open(species_name_file) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             fields = line.rstrip("\n").split("\t")
+            if len(fields) < 2:
+                raise ValueError(
+                    f"{species_name_file}:{lineno}: expected "
+                    f"'sample\\tspecies', got {line.rstrip()!r}"
+                )
             if fields[0] in input_names:
+                if fields[0] in map_names_labels:
+                    # a repeated sample row would otherwise claim two
+                    # output indices, colliding with the fallthrough
+                    # new_idx assignment below (the reference's version
+                    # has exactly that collision — first row wins here)
+                    continue
                 if fields[1] in species_labels:
                     label_order.append((fields[0], species_labels[fields[1]]))
                 else:
@@ -123,8 +134,13 @@ def reorder_input_files(input_files, species_name_file: str):
 def parse_metadata_info(metadata_file: str) -> dict[str, str]:
     out: dict[str, str] = {}
     with open(metadata_file) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             fields = line.rstrip("\n").split("\t")
+            if len(fields) < 2:
+                raise ValueError(
+                    f"{metadata_file}:{lineno}: expected "
+                    f"'sample\\tmetadata', got {line.rstrip()!r}"
+                )
             if fields[0] in out:
                 raise ValueError("Some entry in metadata is duplicated")
             out[fields[0]] = fields[1]
