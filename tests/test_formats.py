@@ -87,3 +87,48 @@ def test_skd_read_batch(tmp_path):
     batch = skd.read_skd_batch(path, [2, 0], 10)
     assert np.array_equal(batch[:10], data[20:30])
     assert np.array_equal(batch[10:], data[0:10])
+
+
+def test_species_file_validation(tmp_path):
+    """Tab-less lines error clearly; a repeated sample row keeps its first
+    label instead of claiming two output indices (the reference's version
+    collides an unlabeled sample with a labeled one, io.rs:95-105)."""
+    import pytest
+
+    from sketchtpu.ingest.inputs import parse_metadata_info, reorder_input_files
+
+    inputs = [("A", ["a.fa"]), ("B", ["b.fa"]), ("C", ["c.fa"])]
+    bad = tmp_path / "bad.txt"
+    bad.write_text("A\tlab1\nno-tab-line\n")
+    with pytest.raises(ValueError, match="expected"):
+        reorder_input_files(inputs, str(bad))
+
+    dup = tmp_path / "dup.txt"
+    dup.write_text("A\tlab1\nA\tlab1\nB\tlab2\n")
+    order, labels = reorder_input_files(inputs, str(dup))
+    # dense, collision-free indices: A,B labeled; C appended after
+    assert sorted(order) == [0, 1, 2]
+    assert labels == {"A": "lab1", "B": "lab2"}
+
+    meta_bad = tmp_path / "meta.txt"
+    meta_bad.write_text("A\n")
+    with pytest.raises(ValueError, match="expected"):
+        parse_metadata_info(str(meta_bad))
+
+
+def test_snappy_checksum_verified(tmp_path):
+    """Corrupted framed streams fail with a checksum error on load (the
+    reference's snap::FrameDecoder behavior), not a decode error."""
+    import pytest
+
+    from sketchtpu.formats import snappy
+
+    import numpy as np
+
+    # incompressible payload -> stored as an UNCOMPRESSED chunk, so the
+    # flipped byte reaches the CRC check rather than the decompressor
+    data = np.random.default_rng(0).integers(0, 256, 500, dtype=np.uint8)
+    framed = bytearray(snappy.frame_compress(data.tobytes()))
+    framed[-1] ^= 0xFF  # flip a payload byte, CRC now mismatches
+    with pytest.raises(ValueError, match="checksum"):
+        snappy.frame_decompress(bytes(framed))
