@@ -105,17 +105,29 @@ def one_iter(it: int) -> None:
 
         # inverted build/query A/B on a fresh small index
         inv_args = ["inverted", "build", "-f", "rfile.txt", "-s",
-                    str(pyr.choice([50, 100])), "-k", first_k]
+                    str(pyr.choice([50, 100])), "-k", first_k, "--write-skq"]
         for be in ("host", "tpu"):
             run_cli(inv_args[:4] + ["-o", f"inv_{be}"] + inv_args[4:], be, td)
         assert (tdp / "inv_host.ski").read_bytes() == (tdp / "inv_tpu.ski").read_bytes(), \
             f"iter {it}: .ski mismatch"
+        assert (tdp / "inv_host.skq").read_bytes() == (tdp / "inv_tpu.skq").read_bytes(), \
+            f"iter {it}: .skq mismatch"
         qt = pyr.choice(["match-count", "any-bins", "all-bins"])
         q = {}
         for be in ("host", "tpu"):
             q[be] = run_cli(["inverted", "query", "inv_host.ski", "-f",
                              "rfile.txt", "--query-type", qt], be, td)
         assert q["host"] == q["tpu"], f"iter {it}: query {qt}"
+
+        # preclustered kNN over the single-k db (fused prefilter path)
+        if "," not in kmers:
+            pc = {}
+            for be in ("host", "tpu"):
+                pc[be] = run_cli(
+                    ["inverted", "precluster", "inv_host.ski", "--skd",
+                     "db_host", "--knn", "2"], be, td)
+            assert pc["host"], f"iter {it}: precluster produced no output"
+            assert pc["host"] == pc["tpu"], f"iter {it}: precluster"
     print(f"iter {it} OK (n={n_samples} k={kmers} s={ssize})", flush=True)
 
 
