@@ -16,10 +16,13 @@ samebits with the exact f64 pipeline, so output values are identical to the
 host path; only the *choice* among exactly-tied distances can differ, which
 the reference itself leaves heap-order-defined.
 
-Core/accessory kNN selects by the f32 core distance computed on device
-(coreacc_jax.py), matching the host f64 pipeline to ~1e-5 — the same
-accuracy class as the dense device engine, far inside the reference's own
-0.05 accuracy gate (tests/distance.rs:16-30).
+Core/accessory kNN SELECTS by the f32 core distance computed on device
+(near-tie neighbour choice is in the f32 accuracy class, like single-k
+tie choice is heap-order-defined in the reference), but the printed
+values are recomputed exactly: the selected pairs' per-k samebits are
+gathered on device (_gather_pair_samebits) and the host replays the f64
+Jaccard + regression chain, so every emitted value matches the host
+oracle bit for bit.
 
 The precluster variant fuses the inverted-index any-shared-bin prefilter
 (inverted.rs:271-300, distances/mod.rs:399-553) into the same scan: a sign-
@@ -38,7 +41,7 @@ import jax.numpy as jnp
 from ..constants import BBITS
 from .coreacc_jax import coreacc_tile
 from .jaccard_jax import _samebits_tile
-from .jaccard_np import ani_pois, jaccard_from_samebits
+from .jaccard_np import ani_pois, core_acc_from_jaccards, jaccard_from_samebits
 
 _NEG = -0x7FFFFFFF
 
@@ -453,6 +456,85 @@ def _pad_rows(mat: np.ndarray, mult: int) -> np.ndarray:
     return mat
 
 
+@functools.partial(jax.jit, static_argnames=("s64",))
+def _gather_pair_samebits(a_stack, b_stack, a_idx, b_idx, s64: int):
+    """Exact per-pair samebits for selected pairs, every k at once:
+    a_stack (nk, na, W2) u32, b_stack (nk, nb, W2) u32, a_idx/b_idx (m,)
+    int32 -> (m, nk) int32. Elementwise (not a tile): used to recompute
+    the values of kNN-selected pairs exactly."""
+    a = a_stack[:, a_idx, :]
+    b = b_stack[:, b_idx, :]
+    x = ~(a ^ b)
+    nk, m, w2 = x.shape
+    x = x.reshape(nk, m, s64, BBITS, 2)
+    acc = x[:, :, :, 0, :]
+    for p in range(1, BBITS):
+        acc = acc & x[:, :, :, p, :]
+    counts = jnp.sum(
+        jax.lax.population_count(acc), axis=(2, 3), dtype=jnp.int32
+    )
+    return jnp.transpose(counts)
+
+
+_PAIR_CHUNK = 1 << 15  # selected pairs per exact-recompute dispatch
+
+
+def exact_ca_values(ms, s64, idx, core_f32, acc_f32, a_stack_dev,
+                    b_stack_dev, a_rows, c1_rows, c2_host, cutoff):
+    """Replace the f32 engine core/acc values of the SELECTED pairs with
+    the exact f64 pipeline's: gather per-pair samebits for every k on
+    device (_gather_pair_samebits, chunked), then run the same host f64
+    chain as api.self_dists_knn (Jaccard bias + completeness +
+    regression), and re-sort each row by (f32(core), column) — the host
+    driver's order. Selection itself remains in the f32 accuracy class
+    (near-tie neighbour choice, documented), but every emitted value
+    equals the host oracle's bit for bit. a_rows maps each result row to
+    its index in a_stack_dev. Returns (core, acc, idx) re-sorted."""
+    valid = (idx != 0x7FFFFFFF) & np.isfinite(core_f32)
+    vr, vc = np.nonzero(valid)
+    m = vr.size
+    if m:
+        a_idx_all = np.asarray(a_rows, dtype=np.int32)[vr]
+        b_idx_all = idx[vr, vc].astype(np.int32)
+        chunks = []
+        for c0 in range(0, m, _PAIR_CHUNK):
+            c1 = min(c0 + _PAIR_CHUNK, m)
+            chunks.append(_gather_pair_samebits(
+                a_stack_dev, b_stack_dev,
+                jnp.asarray(a_idx_all[c0:c1]),
+                jnp.asarray(b_idx_all[c0:c1]),
+                s64,
+            ))
+        sb = np.concatenate([np.asarray(c) for c in chunks])  # (m, nk)
+        kmers = list(ms.kmer_lengths)
+        comp_c1 = comp_c2 = None
+        if c1_rows is not None and c2_host is not None:
+            comp_c1 = np.asarray(c1_rows, dtype=np.float64)[vr]
+            comp_c2 = np.asarray(c2_host, dtype=np.float64)[b_idx_all]
+        jaccs = np.empty((m, len(kmers)), dtype=np.float64)
+        for ki in range(len(kmers)):
+            jaccs[:, ki] = jaccard_from_samebits(
+                sb[:, ki], s64, comp_c1, comp_c2, cutoff
+            )
+        core_x, acc_x = core_acc_from_jaccards(jaccs, kmers, ms.sketch_size)
+        core_f32 = core_f32.copy()
+        acc_f32 = acc_f32.copy()
+        core_f32[vr, vc] = core_x.astype(np.float32)
+        acc_f32[vr, vc] = acc_x.astype(np.float32)
+    # host order: ascending (f32 distance, column index); invalid entries
+    # (core=inf, idx=0x7FFFFFFF) sort last. f32 bit patterns of
+    # non-negative floats are order-isomorphic to the values.
+    key = (
+        core_f32.astype(np.float32).view(np.int32).astype(np.int64) << 32
+    ) | idx.astype(np.int64)
+    order = np.argsort(key, axis=1, kind="stable")
+    return (
+        np.take_along_axis(core_f32, order, axis=1),
+        np.take_along_axis(acc_f32, order, axis=1),
+        np.take_along_axis(idx, order, axis=1),
+    )
+
+
 class DeviceKnnEngine:
     """On-device kNN over a reference sketch DB.
 
@@ -686,9 +768,8 @@ class DeviceKnnEngine:
 
             self.__dict__["stack_cm"] = chunk_major(self._stack(), self.s64)
             self.__dict__["stack_cm"].block_until_ready()
-            # the raw stack is dead once the chunk-major copies exist
-            # (Pallas mode never reads it again); free its HBM
-            self.__dict__.pop("stack", None)
+            # the raw stack stays resident: the exact-value pass gathers
+            # selected pairs from it after the Pallas scan
         return self.__dict__["stack_cm"]
 
     def _stack_cm_t(self) -> jax.Array:
@@ -704,6 +785,7 @@ class DeviceKnnEngine:
                      b_sig_dev=None,
                      c1_rows: np.ndarray | None = None,
                      c2_dev=None,
+                     c2_host: np.ndarray | None = None,
                      cutoff: float = 0.64,
                      self_rows: bool = False):
         """Shared row-block driver for self/cross core-acc kNN; row_stack is
@@ -810,12 +892,33 @@ class DeviceKnnEngine:
             cores.append(np.asarray(core)[: r1 - r0])
             accs.append(np.asarray(acc)[: r1 - r0])
             idxs.append(np.asarray(idx)[: r1 - r0])
+        idx_all = np.concatenate(idxs)
+        core_all = np.concatenate(cores)
+        acc_all = np.concatenate(accs)
+        core_all, acc_all, idx_all = self._exact_ca_values(
+            idx_all, core_all, acc_all, row_stack, row_base, self_rows,
+            c1_rows, c2_host, cutoff,
+        )
         return SparseKnnRows(
-            np.concatenate(idxs),
-            np.stack(
-                [np.concatenate(cores), np.concatenate(accs)], axis=-1
-            ).astype(np.float32),
+            idx_all,
+            np.stack([core_all, acc_all], axis=-1).astype(np.float32),
             None,
+        )
+
+    def _exact_ca_values(self, idx, core_f32, acc_f32, row_stack, row_base,
+                         self_rows, c1_rows, c2_host, cutoff):
+        b_stack = self._stack()
+        if self_rows:
+            a_stack = b_stack
+            a_rows = row_base + np.arange(idx.shape[0], dtype=np.int32)
+        else:
+            a_stack = jax.device_put(
+                np.ascontiguousarray(np.asarray(row_stack)).view(np.uint32)
+            )
+            a_rows = np.arange(idx.shape[0], dtype=np.int32)
+        return exact_ca_values(
+            self.ms, self.s64, idx, core_f32, acc_f32, a_stack, b_stack,
+            a_rows, c1_rows, c2_host, cutoff,
         )
 
     def _comp_cols_dev(self, comp: np.ndarray):
@@ -846,6 +949,7 @@ class DeviceKnnEngine:
             a_host, a_host.shape[1], knn, exclude_self=True, row_base=base,
             c1_rows=c1_rows,
             c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
+            c2_host=comp,
             cutoff=completeness_cutoff,
             self_rows=True,
         )
@@ -863,18 +967,17 @@ class DeviceKnnEngine:
         # the correction formula is symmetric in (c1, c2); rows are queries.
         # Like the reference (jaccard.rs:36-42), correction applies only
         # when BOTH sides have completeness values.
-        c1 = c2d = None
+        c1 = c2d = c2h = None
         if (
             ref_completeness_vec is not None
             and query_completeness_vec is not None
         ):
             c1 = np.asarray(query_completeness_vec, dtype=np.float32)
-            c2d = self._comp_cols_dev(
-                np.asarray(ref_completeness_vec, dtype=np.float32)
-            )
+            c2h = np.asarray(ref_completeness_vec, dtype=np.float32)
+            c2d = self._comp_cols_dev(c2h)
         return self._knn_coreacc(
             qstack, nq, knn, exclude_self=False,
-            c1_rows=c1, c2_dev=c2d, cutoff=completeness_cutoff,
+            c1_rows=c1, c2_dev=c2d, c2_host=c2h, cutoff=completeness_cutoff,
         )
 
     # --- precluster (inverted-index prefiltered) kNN ---
@@ -929,6 +1032,7 @@ class DeviceKnnEngine:
                 b_sig_dev=sig_dev,
                 c1_rows=comp[lo:hi] if comp is not None else None,
                 c2_dev=c2_dev,
+                c2_host=comp,
                 cutoff=completeness_cutoff,
                 self_rows=True,
             )
@@ -962,6 +1066,7 @@ class DeviceKnnEngine:
                         else None
                     ),
                     c2_dev=c2_dev,
+                    c2_host=comp,
                     cutoff=completeness_cutoff,
                 )
                 idx2, vals2, _ = res2.as_arrays()

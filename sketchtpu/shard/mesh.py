@@ -598,10 +598,21 @@ class ShardedKnnEngine:
             sketch_size=self.ms.sketch_size, col_tile=self.col_tile,
             row_base=row_base, c1=c1, c2=c2, cutoff=cutoff,
         )
-        vals = np.stack(
-            [np.asarray(core)[:na], np.asarray(acc)[:na]], axis=-1
-        ).astype(np.float32)
-        return SparseKnnRows(np.asarray(idx)[:na], vals, None)
+        # exact f64 values for the selected pairs (same pass as the
+        # single-device engine; selection stays f32)
+        from ..dist.knn_jax import exact_ca_values
+
+        core_np = np.asarray(core)[:na]
+        acc_np = np.asarray(acc)[:na]
+        idx_np = np.asarray(idx)[:na]
+        core_np, acc_np, idx_np = exact_ca_values(
+            self.ms, self.s64, idx_np, core_np, acc_np, a_dev, b_dev,
+            np.arange(na, dtype=np.int32),
+            c1_rows[:na] if c1_rows is not None else None,
+            c2_cols, cutoff,
+        )
+        vals = np.stack([core_np, acc_np], axis=-1).astype(np.float32)
+        return SparseKnnRows(idx_np, vals, None)
 
     def self_knn_coreacc(self, knn: int, row_range: slice | None = None,
                          completeness_vec=None,

@@ -448,3 +448,68 @@ def test_grouped_merge_path_matches_host():
             atol=2e-4,
             err_msg=f"row {r}",
         )
+
+
+def test_coreacc_knn_values_exact():
+    """Core/acc kNN now emits EXACT f64-pipeline values for the selected
+    pairs (selection stays f32): each returned (i, j, core, acc) must equal
+    the host oracle's computation for that pair bit for bit."""
+    from sketchtpu.dist.jaccard_np import (
+        core_acc_from_jaccards,
+        jaccard_from_samebits,
+        samebits_matrix,
+    )
+
+    ms = _fake_ms(n=40, nk=4, kmers=(17, 21, 25, 29), seed=41)
+    dist_type = api.set_k(ms, None, False)
+    dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).self_knn_coreacc(5)
+    kmers = list(ms.kmer_lengths)
+    for i, row in enumerate(dev):
+        for j, core, acc in row:
+            jaccs = np.empty((1, len(kmers)))
+            for ki in range(len(kmers)):
+                a = np.ascontiguousarray(ms.bins_matrix(ki)[i : i + 1])
+                b = np.ascontiguousarray(ms.bins_matrix(ki)[j : j + 1])
+                sb = samebits_matrix(a, b)[0, 0]
+                jaccs[0, ki] = jaccard_from_samebits(
+                    np.array([sb]), ms.sketchsize64
+                )[0]
+            core_x, acc_x = core_acc_from_jaccards(
+                jaccs, kmers, ms.sketch_size
+            )
+            assert np.float32(core_x[0]) == core, (i, j)
+            assert np.float32(acc_x[0]) == acc, (i, j)
+
+
+def test_coreacc_knn_completeness_values_exact():
+    """Same exactness with the MAG completeness correction applied."""
+    from sketchtpu.dist.jaccard_np import (
+        core_acc_from_jaccards,
+        jaccard_from_samebits,
+        samebits_matrix,
+    )
+
+    ms = _fake_ms(n=30, nk=4, kmers=(17, 21, 25, 29), seed=42)
+    rng = np.random.default_rng(43)
+    comp = rng.uniform(0.7, 1.0, 30)
+    dist_type = api.set_k(ms, None, False)
+    dev = DeviceKnnEngine(ms, row_tile=8, col_tile=16).self_knn_coreacc(
+        4, completeness_vec=comp
+    )
+    kmers = list(ms.kmer_lengths)
+    for i, row in enumerate(dev):
+        for j, core, acc in row:
+            jaccs = np.empty((1, len(kmers)))
+            for ki in range(len(kmers)):
+                a = np.ascontiguousarray(ms.bins_matrix(ki)[i : i + 1])
+                b = np.ascontiguousarray(ms.bins_matrix(ki)[j : j + 1])
+                sb = samebits_matrix(a, b)[0, 0]
+                jaccs[0, ki] = jaccard_from_samebits(
+                    np.array([sb]), ms.sketchsize64,
+                    np.array([comp[i]]), np.array([comp[j]]), 0.64,
+                )[0]
+            core_x, acc_x = core_acc_from_jaccards(
+                jaccs, kmers, ms.sketch_size
+            )
+            assert np.float32(core_x[0]) == core, (i, j)
+            assert np.float32(acc_x[0]) == acc, (i, j)
