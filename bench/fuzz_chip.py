@@ -82,9 +82,11 @@ def one_iter(it: int) -> None:
 
         first_k = kmers.split(",")[0]
         dist_modes = [["-k", first_k], ["-k", first_k, "--ani"]]
-        if "," in kmers and kmers.count(",") >= 2:
-            dist_modes.append([])  # core/acc
         knn = str(pyr.choice([1, 2]))
+        if "," in kmers and kmers.count(",") >= 2:
+            dist_modes.append([])  # dense core/acc: f32 engine, tolerance
+            # core/acc kNN: byte-exact (selection f32, values exact f64)
+            dist_modes.append(["--knn", knn])
         dist_modes.append(["-k", first_k, "--knn", knn])
         for m in dist_modes:
             outs = {}
