@@ -25,6 +25,104 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import BBITS
 
 
+_CHUNK_GROUP = 4  # 64-bin chunks per grid step: 4*28 = 112 words -> 128 pad
+
+
+def chunk_group_major(x: jnp.ndarray, s64: int) -> jnp.ndarray:
+    """(n, W2) u32 [chunk][plane][lo,hi] -> (n, (s64/G)*128) with each
+    grid step's G-chunk word group zero-padded from G*28 to 128 words.
+
+    The grouped layout keeps the per-grid-step unroll small enough for
+    Mosaic (the whole-row kernel fails to compile at W2=448) while wasting
+    only 12.5% of the block bandwidth, and makes every Pallas block a
+    (sublane x 128-lane) tile."""
+    n, w2 = x.shape
+    g = _CHUNK_GROUP
+    assert s64 % g == 0 and w2 == s64 * BBITS * 2
+    xg = x.reshape(n, s64 // g, g * BBITS * 2)
+    xg = jnp.pad(xg, ((0, 0), (0, 0), (0, 128 - g * BBITS * 2)))
+    return xg.reshape(n, (s64 // g) * 128)
+
+
+def _samebits_chunked_kernel(
+    a_ref, bt_ref, out_ref, acc_ref, *, s64: int, ti: int, tj: int
+):
+    c = pl.program_id(2)
+    g = _CHUNK_GROUP
+    counts = jnp.zeros((ti, tj), dtype=jnp.int32)
+    full = jnp.full((ti, tj), 0xFFFFFFFF, dtype=jnp.uint32)
+    for cg in range(g):
+        for w in range(2):
+            acc = full
+            for p in range(BBITS):
+                widx = cg * (BBITS * 2) + p * 2 + w
+                a_col = a_ref[:, widx : widx + 1]  # (ti, 1)
+                b_row = bt_ref[widx : widx + 1, :]  # (1, tj)
+                acc = acc & ~(a_col ^ b_row)
+            counts = counts + jax.lax.population_count(acc).astype(jnp.int32)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:, :] = counts
+
+    @pl.when(c != 0)
+    def _accum():
+        acc_ref[:, :] = acc_ref[:, :] + counts
+
+    @pl.when(c == s64 // g - 1)
+    def _finish():
+        out_ref[:, :] = acc_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("s64", "ti", "tj", "interpret"))
+def samebits_pallas_chunked(
+    a: jnp.ndarray,  # (na, (s64/G)*128) u32, chunk-group-major layout
+    bt: jnp.ndarray,  # ((s64/G)*128, nb) u32 (transposed, same layout)
+    s64: int,
+    ti: int = 256,
+    tj: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(na, nb) int32 samebits via a VMEM-blocked outer-product kernel.
+
+    Unlike the XLA fusion path, each A row block / B^T column block is
+    read from HBM once per grid tile and reused across the whole (ti, tj)
+    output block, so large scans stay VPU-bound instead of re-streaming
+    operands per output element (measured ~2x on the kNN scan shape)."""
+    na = a.shape[0]
+    nb = bt.shape[1]
+    g = _CHUNK_GROUP
+    grid = (na // ti, nb // tj, s64 // g)
+    return pl.pallas_call(
+        functools.partial(_samebits_chunked_kernel, s64=s64, ti=ti, tj=tj),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (ti, 128), lambda i, j, c: (i, c), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (128, tj), lambda i, j, c: (c, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ti, tj), lambda i, j, c: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((na, nb), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ti, tj), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=na * nb * (BBITS * 2 + 2) * s64 * 2,
+            bytes_accessed=(na * 128 * (s64 // g) + nb * 128 * (s64 // g) + na * nb)
+            * 4,
+            transcendentals=0,
+        ),
+    )(a, bt)
+
+
 def _samebits_kernel(a_ref, bt_ref, out_ref, *, s64: int, ti: int, tj: int):
     counts = jnp.zeros((ti, tj), dtype=jnp.int32)
     full = jnp.full((ti, tj), 0xFFFFFFFF, dtype=jnp.uint32)
