@@ -11,12 +11,13 @@ Run on the real chip: python bench/probe_knn_gap.py
 """
 
 import functools
+import pathlib
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

@@ -92,6 +92,13 @@ def samebits_pallas_chunked(
     na = a.shape[0]
     nb = bt.shape[1]
     g = _CHUNK_GROUP
+    if na % ti or nb % tj or s64 % g:
+        raise ValueError(
+            "samebits_pallas_chunked needs shapes divisible by its tiles: "
+            f"na={na} % ti={ti}, nb={nb} % tj={tj}, s64={s64} % {g} "
+            "(a flooring grid would silently leave trailing blocks "
+            "unwritten)"
+        )
     grid = (na // ti, nb // tj, s64 // g)
     return pl.pallas_call(
         functools.partial(_samebits_chunked_kernel, s64=s64, ti=ti, tj=tj),
