@@ -124,6 +124,63 @@ def _samebits_strip(
     return tiles.transpose(1, 0, 2).reshape(a.shape[0], n)
 
 
+@functools.partial(jax.jit, static_argnames=("s64", "tc", "tri"))
+def _samebits_strip_pallas(
+    a_cm: jnp.ndarray,  # (blk, SW) u32 chunk-group-major rows (blk % 256 == 0)
+    mt_cm: jnp.ndarray,  # (SW, n) u32 chunk-group-major transposed columns
+    s64: int,
+    tc: int,
+    i0: jnp.ndarray = 0,
+    tri: bool = False,
+):
+    """_samebits_strip with the VMEM-blocked Pallas outer-product samebits
+    tile (pallas_kernels.samebits_pallas_chunked): each operand block is
+    read from HBM once per (ti, tj) output block instead of re-streaming
+    per output element. Same int16 strip contract and tri skip."""
+    from .pallas_kernels import samebits_pallas_chunked
+
+    sw, n = mt_cm.shape
+    n_tiles = n // tc
+    blk = a_cm.shape[0]
+
+    def tile(j0):
+        bt = jax.lax.dynamic_slice(mt_cm, (0, j0), (sw, tc))
+        return samebits_pallas_chunked(
+            a_cm, bt, s64, ti=256, tj=1024
+        ).astype(jnp.int16)
+
+    def body(_, t):
+        j0 = t * tc
+        if tri:
+            out = jax.lax.cond(
+                j0 + tc > i0,
+                tile,
+                lambda _: jnp.zeros((blk, tc), jnp.int16),
+                j0,
+            )
+        else:
+            out = tile(j0)
+        return None, out
+
+    _, tiles = jax.lax.scan(
+        body, None, jnp.arange(n_tiles, dtype=jnp.int32)
+    )  # (n_tiles, blk, tc)
+    return tiles.transpose(1, 0, 2).reshape(blk, n)
+
+
+def _use_pallas_samebits(s64: int, tile: int) -> bool:
+    """Kernel selection for the streaming strip engines: Pallas on TPU
+    (override with SKETCHTPU_SAMEBITS_KERNEL=pallas|xla) when the
+    chunk-group layout constraints hold."""
+    import os
+
+    kern = os.environ.get("SKETCHTPU_SAMEBITS_KERNEL", "auto")
+    want = kern == "pallas" or (
+        kern != "xla" and jax.default_backend() not in ("cpu",)
+    )
+    return want and s64 % 4 == 0 and tile % 1024 == 0 and tile % 256 == 0
+
+
 class DeviceDenseStreamEngine:
     """Streaming dense self-distances for large single-k runs.
 
@@ -145,9 +202,25 @@ class DeviceDenseStreamEngine:
         pad = (-self.n) % tile
         if pad:
             mat = np.pad(mat, ((0, pad), (0, 0)))
-        self._mat = jax.device_put(mat)
+        self._pallas = _use_pallas_samebits(self.s64, tile)
+        if self._pallas:
+            from .pallas_kernels import chunk_group_major
+
+            cm = chunk_group_major(jax.device_put(mat), self.s64)
+            self._mat_cm = cm
+            self._mat_cm_t = jnp.transpose(cm)
+            self._mat_cm_t.block_until_ready()
+            self._mat = None
+        else:
+            self._mat = jax.device_put(mat)
 
     def _strip(self, r0: int):
+        if self._pallas:
+            a = self._mat_cm[r0 : r0 + self.tile]
+            return _samebits_strip_pallas(
+                a, self._mat_cm_t, self.s64, self.tile, jnp.int32(r0),
+                tri=True,
+            )
         a = self._mat[r0 : r0 + self.tile]
         return _samebits_strip(
             a, self._mat, self.s64, self.tile, jnp.int32(r0), tri=True
@@ -232,7 +305,16 @@ class DeviceDenseStreamEngine:
         pad = (-nq) % self.tile
         if pad:
             qmat = np.pad(qmat, ((0, pad), (0, 0)))
-        q_dev = jax.device_put(qmat)
+        if self._pallas:
+            from .pallas_kernels import chunk_group_major
+
+            q_cm_t = jnp.transpose(
+                chunk_group_major(jax.device_put(qmat), self.s64)
+            )
+            q_cm_t.block_until_ready()
+            q_dev = None
+        else:
+            q_dev = jax.device_put(qmat)
         rcomp = np.asarray(rcomp, dtype=np.float64) if rcomp is not None else None
         qcomp = np.asarray(qcomp, dtype=np.float64) if qcomp is not None else None
         lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
@@ -244,6 +326,12 @@ class DeviceDenseStreamEngine:
         pending: list[tuple] = []
 
         def dispatch(r0: int):
+            if self._pallas:
+                a = self._mat_cm[r0 : r0 + self.tile]
+                pending.append(
+                    (r0, _samebits_strip_pallas(a, q_cm_t, self.s64, self.tile))
+                )
+                return
             a = self._mat[r0 : r0 + self.tile]
             pending.append(
                 (r0, _samebits_strip(a, q_dev, self.s64, self.tile))

@@ -150,6 +150,184 @@ def _knn_scan_block(
     return vals, idxs
 
 
+def _pack_shift(s64: int) -> int:
+    """Bits reserved for the column field of a packed (samebits, col) int32
+    key: 31 minus the bits needed for samebits (<= s64*64)."""
+    return 31 - int(s64 * 64).bit_length()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "s64", "knn", "tc", "exclude_self", "masked", "pallas", "ti", "tj",
+        "interpret",
+    ),
+)
+def _knn_scan_block_packed(
+    a: jnp.ndarray,  # (tr, W2) u32 rows — chunk-group-major when pallas
+    b: jnp.ndarray,  # (nbp, W2) u32 columns — (SW, nbp) transposed when pallas
+    row0: jnp.ndarray,
+    nb_real: jnp.ndarray,
+    s64: int,
+    knn: int,
+    tc: int,
+    exclude_self: bool,
+    pallas: bool,
+    a_sig: jnp.ndarray | None = None,  # (tr, S) i32 row signs (masked mode)
+    b_sig: jnp.ndarray | None = None,  # (nbp, S) i32 column signs
+    masked: bool = False,
+    ti: int = 256,
+    tj: int = 1024,
+    interpret: bool = False,
+):
+    """Fast unmasked kNN scan: same contract as _knn_scan_block(masked=False)
+    but ~2x the throughput from two changes that leave selection semantics
+    IDENTICAL (asserted by parity tests):
+
+    - validity masking is branch-gated per column tile: only tiles crossing
+      this row block's diagonal (self exclusion) or the padded tail pay for
+      the (tr, tc) iota/compare/where chain — interior tiles skip it;
+    - samebits and column index pack into one int32 key
+      (sb << shift | (mask - col)), so the running top-k merge is a single
+      `lax.top_k` with no index gathers, and ordering ties break exactly
+      like the reference heap (samebits desc, column asc).
+
+    Callers must guarantee nbp <= 2^shift - 1 (engine checks via
+    _pack_shift; at the default s=1000 that is 1M columns)."""
+    if pallas:
+        from .pallas_kernels import samebits_pallas_chunked
+
+        sw, nbp = b.shape
+    else:
+        nbp, w2 = b.shape
+    tr = a.shape[0]
+    n_tiles = nbp // tc
+    shift = _pack_shift(s64)
+    colmask = (1 << shift) - 1
+    init = jnp.full((tr, knn), -1, jnp.int32) + row0 * 0
+
+    def body(carry, t):
+        c0 = t * tc
+        if pallas:
+            bt = jax.lax.dynamic_slice(b, (0, c0), (sw, tc))
+            sb = samebits_pallas_chunked(
+                a, bt, s64, ti=ti, tj=tj, interpret=interpret
+            )
+        else:
+            bt = jax.lax.dynamic_slice(b, (c0, 0), (tc, w2))
+            sb = _samebits_tile(a, bt, s64)
+
+        def apply_mask(sb):
+            cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+            valid = cols < nb_real
+            if exclude_self:
+                rows = row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (tr, tc), 0
+                )
+                valid = valid & (cols != rows)
+            return jnp.where(valid, sb, _NEG)
+
+        if masked:
+            # sign-equality prefilter: every tile pays for the mask, so no
+            # branch gating — fold pad/diag validity into the same where
+            st = jax.lax.dynamic_slice(
+                b_sig, (c0, 0), (tc, b_sig.shape[1])
+            )
+            shared = (a_sig[:, None, :] == st[None, :, :]).any(axis=2)
+            cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+            valid = shared & (cols < nb_real)
+            if exclude_self:
+                rows = row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (tr, tc), 0
+                )
+                valid = valid & (cols != rows)
+            sb = jnp.where(valid, sb, _NEG)
+        else:
+            needs_mask = c0 + tc > nb_real
+            if exclude_self:
+                needs_mask = needs_mask | (
+                    (c0 + tc > row0) & (c0 < row0 + tr)
+                )
+            sb = jax.lax.cond(needs_mask, apply_mask, lambda x: x, sb)
+        sb_s, loc = _tile_topk_reduce(sb, knn)
+        if loc is None:
+            loc = jax.lax.broadcasted_iota(jnp.int32, sb_s.shape, 1)
+        packed = (sb_s << shift) | (colmask - (c0 + loc))
+        packed = jnp.where(sb_s < 0, -1, packed)
+        cat = jnp.concatenate([carry, packed], axis=1)
+        merged, _ = jax.lax.top_k(cat, knn)
+        return merged, None
+
+    carry, _ = jax.lax.scan(
+        body, init, jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    vals = jnp.where(carry < 0, _NEG, carry >> shift)
+    idxs = jnp.where(carry < 0, 0x7FFFFFFF, colmask - (carry & colmask))
+    return vals, idxs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "s64", "knn", "tc", "exclude_self", "masked", "ti", "tj", "interpret"
+    ),
+)
+def _knn_scan_block_pallas(
+    a_cm: jnp.ndarray,  # (tr, SW) u32 chunk-group-major rows (tr % ti == 0)
+    bt_cm: jnp.ndarray,  # (SW, nbp) u32 chunk-group-major transposed columns
+    row0: jnp.ndarray,
+    nb_real: jnp.ndarray,
+    a_sig: jnp.ndarray,
+    b_sig: jnp.ndarray,
+    s64: int,
+    knn: int,
+    tc: int,
+    exclude_self: bool,
+    masked: bool,
+    ti: int = 256,
+    tj: int = 1024,
+    interpret: bool = False,
+):
+    """Same contract as _knn_scan_block but with the VMEM-blocked Pallas
+    outer-product samebits tile (pallas_kernels.samebits_pallas_chunked)
+    instead of the XLA fusion tile: each A block / B^T tile is read from
+    HBM once per (ti, tj) output block, so the scan stays VPU-bound. The
+    validity mask / group shrink / running top-k merge are unchanged XLA
+    around the kernel, so selection semantics are identical."""
+    from .pallas_kernels import samebits_pallas_chunked
+
+    sw, nbp = bt_cm.shape
+    tr = a_cm.shape[0]
+    n_tiles = nbp // tc
+    init_v = jnp.full((tr, knn), _NEG, jnp.int32) + row0 * 0
+    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32) + row0 * 0
+
+    def body(carry, t):
+        vals, idxs = carry
+        c0 = t * tc
+        bt = jax.lax.dynamic_slice(bt_cm, (0, c0), (sw, tc))
+        sb = samebits_pallas_chunked(
+            a_cm, bt, s64, ti=ti, tj=tj, interpret=interpret
+        )
+        cols, valid = _tile_valid(
+            c0, tr, tc, row0, nb_real, exclude_self, masked, a_sig, b_sig
+        )
+        sb = jnp.where(valid, sb, _NEG)
+        sb, loc = _tile_topk_reduce(sb, knn)
+        if loc is not None:
+            cols = jnp.take_along_axis(cols, loc, axis=1)
+        cat_v = jnp.concatenate([vals, sb], axis=1)
+        cat_i = jnp.concatenate([idxs, cols], axis=1)
+        v2, sel = jax.lax.top_k(cat_v, knn)
+        i2 = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (v2, i2), None
+
+    (vals, idxs), _ = jax.lax.scan(
+        body, (init_v, init_i), jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return vals, idxs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("s64", "knn", "tc", "exclude_self", "masked", "cutoff"),
@@ -192,6 +370,85 @@ def _knn_scan_block_comp(
         c0 = t * tc
         bt = jax.lax.dynamic_slice(b, (c0, 0), (tc, w2))
         sb = _samebits_tile(a, bt, s64)
+        cols, valid = _tile_valid(
+            c0, tr, tc, row0, nb_real, exclude_self, masked, a_sig, b_sig
+        )
+        diff = jnp.maximum(sb.astype(jnp.float32) - expected, 0.0)
+        j = (diff * maxnbits / (maxnbits - expected)) / maxnbits
+        c2t = jax.lax.dynamic_slice(c2, (c0,), (tc,))
+        prod = c1[:, None] * c2t[None, :]
+        factor = prod / (c1[:, None] + c2t[None, :] - prod)
+        j = jnp.where(
+            prod >= jnp.float32(cutoff), jnp.minimum(j / factor, 1.0), j
+        )
+        key = jnp.where(valid, j, -jnp.inf)
+        sb = jnp.where(valid, sb, _NEG)
+        key, loc = _tile_topk_reduce(key, knn)
+        if loc is not None:
+            sb = jnp.take_along_axis(sb, loc, axis=1)
+            cols = jnp.take_along_axis(cols, loc, axis=1)
+        cat_k = jnp.concatenate([keys, key], axis=1)
+        cat_v = jnp.concatenate([vals, sb], axis=1)
+        cat_i = jnp.concatenate([idxs, cols], axis=1)
+        k2, sel = jax.lax.top_k(cat_k, knn)
+        return (
+            k2,
+            jnp.take_along_axis(cat_v, sel, axis=1),
+            jnp.take_along_axis(cat_i, sel, axis=1),
+        ), None
+
+    (keys, vals, idxs), _ = jax.lax.scan(
+        body, (init_k, init_v, init_i), jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return vals, idxs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "s64", "knn", "tc", "exclude_self", "masked", "cutoff", "ti", "tj",
+        "interpret",
+    ),
+)
+def _knn_scan_block_comp_pallas(
+    a_cm: jnp.ndarray,  # (tr, SW) u32 chunk-group-major rows
+    bt_cm: jnp.ndarray,  # (SW, nbp) u32 chunk-group-major transposed columns
+    row0: jnp.ndarray,
+    nb_real: jnp.ndarray,
+    a_sig: jnp.ndarray,
+    b_sig: jnp.ndarray,
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    s64: int,
+    knn: int,
+    tc: int,
+    exclude_self: bool,
+    masked: bool,
+    cutoff: float,
+    ti: int = 256,
+    tj: int = 1024,
+    interpret: bool = False,
+):
+    """_knn_scan_block_comp with the Pallas samebits tile; the corrected-
+    Jaccard selection key and top-k merge stay in XLA around it."""
+    from .pallas_kernels import samebits_pallas_chunked
+
+    sw, nbp = bt_cm.shape
+    tr = a_cm.shape[0]
+    n_tiles = nbp // tc
+    maxnbits = float(s64 * 64)
+    expected = float(int(s64 * 64) >> BBITS)
+    init_k = jnp.full((tr, knn), -jnp.inf, jnp.float32) + row0 * 0
+    init_v = jnp.full((tr, knn), _NEG, jnp.int32) + row0 * 0
+    init_i = jnp.full((tr, knn), 0x7FFFFFFF, jnp.int32) + row0 * 0
+
+    def body(carry, t):
+        keys, vals, idxs = carry
+        c0 = t * tc
+        bt = jax.lax.dynamic_slice(bt_cm, (0, c0), (sw, tc))
+        sb = samebits_pallas_chunked(
+            a_cm, bt, s64, ti=ti, tj=tj, interpret=interpret
+        )
         cols, valid = _tile_valid(
             c0, tr, tc, row0, nb_real, exclude_self, masked, a_sig, b_sig
         )
@@ -578,6 +835,38 @@ class DeviceKnnEngine:
         self._use_pallas_ca = kern == "pallas" or (
             kern != "xla" and jax.default_backend() not in ("cpu",)
         )
+        # single-k samebits tile kernel: the VMEM-blocked Pallas tile reads
+        # each operand block from HBM once per (ti, tj) output block
+        # (measured ~2x over the XLA fusion tile on the scan shape); the
+        # chunk-group layout needs s64 % 4 == 0 and tj | col_tile
+        kern_sb = os.environ.get("SKETCHTPU_SAMEBITS_KERNEL", "auto")
+        self._use_pallas_sb = (
+            kern_sb == "pallas"
+            or (kern_sb != "xla" and jax.default_backend() not in ("cpu",))
+        ) and self.s64 % 4 == 0 and self.col_tile % 1024 == 0
+        self._planes_cm: dict[int, jax.Array] = {}
+        self._planes_cm_t: dict[int, jax.Array] = {}
+
+    def _plane_cm(self, k_idx: int) -> jax.Array:
+        """Chunk-group-major device plane (row side of the Pallas tile)."""
+        if k_idx not in self._planes_cm:
+            from .pallas_kernels import chunk_group_major
+
+            p = jax.device_put(
+                _pad_rows(self._plane_host(k_idx), self.col_tile)
+            )
+            cm = chunk_group_major(p, self.s64)
+            cm.block_until_ready()
+            self._planes_cm[k_idx] = cm
+        return self._planes_cm[k_idx]
+
+    def _plane_cm_t(self, k_idx: int) -> jax.Array:
+        """Transposed chunk-group-major plane (column side)."""
+        if k_idx not in self._planes_cm_t:
+            t = jnp.transpose(self._plane_cm(k_idx))
+            t.block_until_ready()
+            self._planes_cm_t[k_idx] = t
+        return self._planes_cm_t[k_idx]
 
     def _plane_host(self, k_idx: int) -> np.ndarray:
         if k_idx not in self._planes_host:
@@ -626,6 +915,7 @@ class DeviceKnnEngine:
         c2_dev: jax.Array | None = None,
         cutoff: float = 0.64,
         a_dev: jax.Array | None = None,
+        cm: tuple[jax.Array, jax.Array] | None = None,
     ):
         """Generic row-block scan; a_mat is host u32 (na, W2). row_base is
         the global index of a_mat's first row (self-exclusion offset when
@@ -634,8 +924,12 @@ class DeviceKnnEngine:
         device-resident matrix holding the same rows at global indices
         (the self case passes the column matrix): row blocks then slice
         on device instead of re-uploading planes that already live in
-        HBM."""
-        na = a_mat.shape[0]
+        HBM. cm, when given, is (a_cm_dev, bt_cm_dev) — chunk-group-major
+        device matrices (a_cm_dev indexed like a_dev) — and switches the
+        samebits tile to the Pallas kernel; b_dev may then be None."""
+        na = a_mat.shape[0] if a_mat is not None else (
+            cm[0].shape[0] - row_base
+        )
         masked = a_sig is not None
         tc = self.col_tile
         comp = c1_rows is not None
@@ -645,14 +939,88 @@ class DeviceKnnEngine:
         # dispatch every row block before collecting any (async): only the
         # (rows x knn) results cross the link, so nothing bounds the window
         pending = []
+        # packed fast path: unmasked, uncorrected scans whose column count
+        # fits the int32 key's column field (1M at the default s=1000)
+        n_cols = cm[1].shape[1] if cm is not None else (
+            b_dev.shape[0] if b_dev is not None else 0
+        )
+        packed_ok = (
+            not comp
+            and 0 < n_cols <= (1 << _pack_shift(self.s64)) - 1
+        )
         for r0 in range(0, na, self.row_tile):
             r1 = min(r0 + self.row_tile, na)
+            sig_blk = a_sig[r0:r1].astype(np.int32) if masked else dummy
+            if cm is not None:
+                a_cm_dev, bt_cm_dev = cm
+                ti = 256
+                a_blk = a_cm_dev[row_base + r0 : row_base + r1]
+                pad = (-(r1 - r0)) % ti
+                c1_blk = (
+                    c1_rows[r0:r1].astype(np.float32) if comp else None
+                )
+                if pad:
+                    a_blk = jnp.pad(a_blk, ((0, pad), (0, 0)))
+                    if masked:
+                        sig_blk = np.pad(sig_blk, ((0, pad), (0, 0)))
+                    if comp:
+                        c1_blk = np.pad(c1_blk, (0, pad), constant_values=1.0)
+                if packed_ok:
+                    v, i = _knn_scan_block_packed(
+                        a_blk,
+                        bt_cm_dev,
+                        np.int32(row_base + r0),
+                        np.int32(self.n),
+                        s64=self.s64,
+                        knn=knn,
+                        tc=tc,
+                        exclude_self=exclude_self,
+                        pallas=True,
+                        a_sig=sig_blk if masked else None,
+                        b_sig=b_sig_dev if masked else None,
+                        masked=masked,
+                        ti=ti,
+                    )
+                elif comp:
+                    v, i = _knn_scan_block_comp_pallas(
+                        a_blk,
+                        bt_cm_dev,
+                        np.int32(row_base + r0),
+                        np.int32(self.n),
+                        sig_blk,
+                        b_sig_dev if masked else dummy,
+                        jnp.asarray(c1_blk),
+                        c2_dev,
+                        s64=self.s64,
+                        knn=knn,
+                        tc=tc,
+                        exclude_self=exclude_self,
+                        masked=masked,
+                        cutoff=cutoff,
+                        ti=ti,
+                    )
+                else:
+                    v, i = _knn_scan_block_pallas(
+                        a_blk,
+                        bt_cm_dev,
+                        np.int32(row_base + r0),
+                        np.int32(self.n),
+                        sig_blk,
+                        b_sig_dev if masked else dummy,
+                        s64=self.s64,
+                        knn=knn,
+                        tc=tc,
+                        exclude_self=exclude_self,
+                        masked=masked,
+                        ti=ti,
+                    )
+                pending.append((r0, r1, v, i))
+                continue
             a_blk = (
                 a_dev[row_base + r0 : row_base + r1]
                 if a_dev is not None
                 else a_mat[r0:r1]
             )
-            sig_blk = a_sig[r0:r1].astype(np.int32) if masked else dummy
             if comp:
                 v, i = _knn_scan_block_comp(
                     a_blk,
@@ -670,6 +1038,21 @@ class DeviceKnnEngine:
                     masked=masked,
                     cutoff=cutoff,
                 )
+            elif packed_ok:
+                v, i = _knn_scan_block_packed(
+                    a_blk,
+                    b_dev,
+                    np.int32(row_base + r0),
+                    np.int32(self.n),
+                    s64=self.s64,
+                    knn=knn,
+                    tc=tc,
+                    exclude_self=exclude_self,
+                    pallas=False,
+                    a_sig=sig_blk if masked else None,
+                    b_sig=b_sig_dev if masked else None,
+                    masked=masked,
+                )
             else:
                 v, i = _knn_scan_block(
                     a_blk,
@@ -686,8 +1069,8 @@ class DeviceKnnEngine:
                 )
             pending.append((r0, r1, v, i))
         for r0, r1, v, i in pending:
-            out_v[r0:r1] = np.asarray(v)
-            out_i[r0:r1] = np.asarray(i)
+            out_v[r0:r1] = np.asarray(v)[: r1 - r0]
+            out_i[r0:r1] = np.asarray(i)[: r1 - r0]
         return out_v, out_i
 
     def _rows_from_samebits(
@@ -706,7 +1089,15 @@ class DeviceKnnEngine:
         rows (multi-process sharding), neighbours always range over all
         samples. With completeness the device selects by the corrected
         f32 Jaccard and the host recomputes exact f64 values."""
-        b_dev = self._plane(dist_type.k_idx)
+        if self._use_pallas_sb:
+            cm = (
+                self._plane_cm(dist_type.k_idx),
+                self._plane_cm_t(dist_type.k_idx),
+            )
+            b_dev = None
+        else:
+            cm = None
+            b_dev = self._plane(dist_type.k_idx)
         a_mat = self._plane_host(dist_type.k_idx)
         base = 0
         comp = (
@@ -726,6 +1117,7 @@ class DeviceKnnEngine:
             c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
             cutoff=completeness_cutoff,
             a_dev=b_dev,
+            cm=cm,
         )
         return self._rows_from_samebits(
             sb, idx, dist_type,
@@ -740,7 +1132,17 @@ class DeviceKnnEngine:
         q = np.ascontiguousarray(query_ms.bins_matrix(dist_type.k_idx)).view(
             np.uint32
         )
-        b_dev = self._plane(dist_type.k_idx)
+        if self._use_pallas_sb:
+            from .pallas_kernels import chunk_group_major
+
+            cm = (
+                chunk_group_major(jnp.asarray(q), self.s64),
+                self._plane_cm_t(dist_type.k_idx),
+            )
+            b_dev = None
+        else:
+            cm = None
+            b_dev = self._plane(dist_type.k_idx)
         c1 = c2 = None
         if (
             ref_completeness_vec is not None
@@ -753,6 +1155,7 @@ class DeviceKnnEngine:
             c1_rows=c1,
             c2_dev=self._comp_cols_dev(c2) if c2 is not None else None,
             cutoff=completeness_cutoff,
+            cm=cm,
         )
         return self._rows_from_samebits(
             sb, idx, dist_type,
@@ -1102,7 +1505,15 @@ class DeviceKnnEngine:
         comp_cols = (
             self._comp_cols_dev(comp_sk) if comp_sk is not None else None
         )
-        b_dev = self._plane(dist_type.k_idx)
+        if self._use_pallas_sb:
+            cm = (
+                self._plane_cm(dist_type.k_idx),
+                self._plane_cm_t(dist_type.k_idx),
+            )
+            b_dev = None
+        else:
+            cm = None
+            b_dev = self._plane(dist_type.k_idx)
         a_mat = self._plane_host(dist_type.k_idx)
         sb, idx = self._scan_rows(
             a_mat[lo:hi],
@@ -1116,6 +1527,7 @@ class DeviceKnnEngine:
             c2_dev=comp_cols,
             cutoff=completeness_cutoff,
             a_dev=b_dev,
+            cm=cm,
         )
         rows_out = self._rows_from_samebits(
             sb, idx, dist_type, as_lists=True,
@@ -1126,6 +1538,16 @@ class DeviceKnnEngine:
         # rows with zero candidates: retain_unmatched handling
         empty = np.flatnonzero(sb[:, 0] == _NEG)  # local (row - lo) indices
         if empty.size and retain_unmatched == "bruteforce":
+            cm2 = None
+            if cm is not None:
+                from .pallas_kernels import chunk_group_major
+
+                cm2 = (
+                    chunk_group_major(
+                        jnp.asarray(a_mat[lo:hi][empty]), self.s64
+                    ),
+                    cm[1],
+                )
             sb2, idx2 = self._scan_rows(
                 a_mat[lo:hi][empty], b_dev, min(knn + 1, self.n),
                 exclude_self=False,
@@ -1134,6 +1556,7 @@ class DeviceKnnEngine:
                 ),
                 c2_dev=comp_cols,
                 cutoff=completeness_cutoff,
+                cm=cm2,
             )
             # exclude self manually (scan's exclude_self keys on block row
             # offset, which is wrong for a gathered row subset)

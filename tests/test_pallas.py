@@ -57,6 +57,172 @@ def test_samebits_pallas_chunked_interpret():
     assert np.array_equal(got, want)
 
 
+def test_knn_scan_block_pallas_matches_xla_interpret():
+    """The Pallas-tile kNN scan must select identically to the XLA scan
+    (same valid-mask / group-shrink / top-k merge around the tile)."""
+    from sketchtpu.dist.knn_jax import (
+        _knn_scan_block,
+        _knn_scan_block_pallas,
+    )
+    from sketchtpu.dist.pallas_kernels import chunk_group_major
+
+    s64 = 4
+    w2 = s64 * 14 * 2
+    rng = np.random.default_rng(2)
+    nb = 512
+    tr = 256
+    knn = 5
+    a_np = rng.integers(0, 2**32, (tr, w2), dtype=np.uint32)
+    b_np = rng.integers(0, 2**32, (nb, w2), dtype=np.uint32)
+    b_np[:tr] = a_np  # rows are a slice of columns: self-exclusion matters
+    sig = np.zeros((tr, 1), np.int32)
+    bsig = np.zeros((nb, 1), np.int32)
+    want_v, want_i = _knn_scan_block(
+        jnp.asarray(a_np), jnp.asarray(b_np), np.int32(0), np.int32(nb - 3),
+        sig, bsig, s64=s64, knn=knn, tc=256, exclude_self=True, masked=False,
+    )
+    got_v, got_i = _knn_scan_block_pallas(
+        chunk_group_major(jnp.asarray(a_np), s64),
+        jnp.transpose(chunk_group_major(jnp.asarray(b_np), s64)),
+        np.int32(0), np.int32(nb - 3),
+        sig, bsig, s64=s64, knn=knn, tc=256, exclude_self=True, masked=False,
+        ti=256, tj=256, interpret=True,
+    )
+    assert np.array_equal(np.asarray(got_v), np.asarray(want_v))
+    assert np.array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_knn_scan_block_packed_matches_reference_scan():
+    """The packed-key fast scan (branch-gated masks, single-top_k merge)
+    must select identically — values, indices, tie order — to the original
+    scan, in both its XLA and Pallas tile flavours."""
+    from sketchtpu.dist.knn_jax import (
+        _knn_scan_block,
+        _knn_scan_block_packed,
+    )
+    from sketchtpu.dist.pallas_kernels import chunk_group_major
+
+    s64 = 4
+    w2 = s64 * 14 * 2
+    rng = np.random.default_rng(4)
+    nb = 512
+    tr = 256
+    knn = 5
+    a_np = rng.integers(0, 2**32, (tr, w2), dtype=np.uint32)
+    b_np = rng.integers(0, 2**32, (nb, w2), dtype=np.uint32)
+    b_np[:tr] = a_np  # diagonal overlap: exercises the self-exclusion branch
+    # duplicate columns: exercises tie-breaking (must prefer lowest column)
+    b_np[300] = b_np[10]
+    b_np[301] = b_np[10]
+    sig = np.zeros((tr, 1), np.int32)
+    bsig = np.zeros((nb, 1), np.int32)
+    for nb_real in (nb, nb - 3):  # with and without padded tail columns
+        want_v, want_i = _knn_scan_block(
+            jnp.asarray(a_np), jnp.asarray(b_np), np.int32(0),
+            np.int32(nb_real), sig, bsig,
+            s64=s64, knn=knn, tc=256, exclude_self=True, masked=False,
+        )
+        got_v, got_i = _knn_scan_block_packed(
+            jnp.asarray(a_np), jnp.asarray(b_np), np.int32(0),
+            np.int32(nb_real),
+            s64=s64, knn=knn, tc=256, exclude_self=True, pallas=False,
+        )
+        assert np.array_equal(np.asarray(got_v), np.asarray(want_v))
+        assert np.array_equal(np.asarray(got_i), np.asarray(want_i))
+        got_v, got_i = _knn_scan_block_packed(
+            chunk_group_major(jnp.asarray(a_np), s64),
+            jnp.transpose(chunk_group_major(jnp.asarray(b_np), s64)),
+            np.int32(0), np.int32(nb_real),
+            s64=s64, knn=knn, tc=256, exclude_self=True, pallas=True,
+            ti=256, tj=256, interpret=True,
+        )
+        assert np.array_equal(np.asarray(got_v), np.asarray(want_v))
+        assert np.array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_knn_scan_block_packed_masked_matches_reference_scan():
+    """Packed scan in masked (precluster sign-equality prefilter) mode."""
+    from sketchtpu.dist.knn_jax import (
+        _knn_scan_block,
+        _knn_scan_block_packed,
+    )
+    from sketchtpu.dist.pallas_kernels import chunk_group_major
+
+    s64 = 4
+    w2 = s64 * 14 * 2
+    rng = np.random.default_rng(5)
+    nb = 512
+    tr = 256
+    knn = 5
+    S = 16
+    a_np = rng.integers(0, 2**32, (tr, w2), dtype=np.uint32)
+    b_np = rng.integers(0, 2**32, (nb, w2), dtype=np.uint32)
+    b_np[:tr] = a_np
+    b_sig = rng.integers(0, 8, (nb, S)).astype(np.int32)  # dense collisions
+    a_sig = b_sig[:tr]
+    want_v, want_i = _knn_scan_block(
+        jnp.asarray(a_np), jnp.asarray(b_np), np.int32(0), np.int32(nb - 3),
+        a_sig, b_sig,
+        s64=s64, knn=knn, tc=256, exclude_self=True, masked=True,
+    )
+    got_v, got_i = _knn_scan_block_packed(
+        jnp.asarray(a_np), jnp.asarray(b_np), np.int32(0), np.int32(nb - 3),
+        s64=s64, knn=knn, tc=256, exclude_self=True, pallas=False,
+        a_sig=a_sig, b_sig=b_sig, masked=True,
+    )
+    assert np.array_equal(np.asarray(got_v), np.asarray(want_v))
+    assert np.array_equal(np.asarray(got_i), np.asarray(want_i))
+    got_v, got_i = _knn_scan_block_packed(
+        chunk_group_major(jnp.asarray(a_np), s64),
+        jnp.transpose(chunk_group_major(jnp.asarray(b_np), s64)),
+        np.int32(0), np.int32(nb - 3),
+        s64=s64, knn=knn, tc=256, exclude_self=True, pallas=True,
+        a_sig=a_sig, b_sig=b_sig, masked=True,
+        ti=256, tj=256, interpret=True,
+    )
+    assert np.array_equal(np.asarray(got_v), np.asarray(want_v))
+    assert np.array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_knn_scan_block_comp_pallas_matches_xla_interpret():
+    from sketchtpu.dist.knn_jax import (
+        _knn_scan_block_comp,
+        _knn_scan_block_comp_pallas,
+    )
+    from sketchtpu.dist.pallas_kernels import chunk_group_major
+
+    s64 = 4
+    w2 = s64 * 14 * 2
+    rng = np.random.default_rng(3)
+    nb = 512
+    tr = 256
+    knn = 5
+    a_np = rng.integers(0, 2**32, (tr, w2), dtype=np.uint32)
+    b_np = rng.integers(0, 2**32, (nb, w2), dtype=np.uint32)
+    b_np[:tr] = a_np
+    sig = np.zeros((tr, 1), np.int32)
+    bsig = np.zeros((nb, 1), np.int32)
+    c1 = rng.uniform(0.5, 1.0, tr).astype(np.float32)
+    c2 = rng.uniform(0.5, 1.0, nb).astype(np.float32)
+    args = dict(
+        s64=s64, knn=knn, tc=256, exclude_self=True, masked=False,
+        cutoff=0.64,
+    )
+    want_v, want_i = _knn_scan_block_comp(
+        jnp.asarray(a_np), jnp.asarray(b_np), np.int32(0), np.int32(nb),
+        sig, bsig, jnp.asarray(c1), jnp.asarray(c2), **args,
+    )
+    got_v, got_i = _knn_scan_block_comp_pallas(
+        chunk_group_major(jnp.asarray(a_np), s64),
+        jnp.transpose(chunk_group_major(jnp.asarray(b_np), s64)),
+        np.int32(0), np.int32(nb),
+        sig, bsig, jnp.asarray(c1), jnp.asarray(c2),
+        ti=256, tj=256, interpret=True, **args,
+    )
+    assert np.array_equal(np.asarray(got_v), np.asarray(want_v))
+    assert np.array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
 def test_samebits_pallas_chunked_rejects_ragged_tiles():
     s64 = 16
     a = jnp.zeros((100, (s64 // 4) * 128), jnp.uint32)
