@@ -342,14 +342,24 @@ class DeviceCoreAccEngine:
             pending.append((r0, r1, blk))
 
         dispatch(starts[0])
-        for nxt in starts[1:] + [None]:
-            r0, r1, block_dev = pending.pop(0)
-            if nxt is not None:
-                dispatch(nxt)
-            block = np.asarray(block_dev)[: r1 - r0]
-            emit_coreacc_cross_block(
-                out, ref_names, query_names, tab_r, tab_q, block, r0, r1, nq
-            )
+        pipe = None
+        if tab_r is not None:
+            from .opipe import OutputPipeline
+
+            pipe = OutputPipeline(out)
+        try:
+            for nxt in starts[1:] + [None]:
+                r0, r1, block_dev = pending.pop(0)
+                if nxt is not None:
+                    dispatch(nxt)
+                block = np.asarray(block_dev)[: r1 - r0]
+                emit_coreacc_cross_block(
+                    out, ref_names, query_names, tab_r, tab_q, block,
+                    r0, r1, nq, pipe=pipe,
+                )
+        finally:
+            if pipe is not None:
+                pipe.close()
 
     def stream_self_dense(
         self, out, names: list[str], row_range: slice | None = None
@@ -375,9 +385,20 @@ class DeviceCoreAccEngine:
             pending.append((r0, r1, self._tile_dists_async(r0, r1, n)))
 
         dispatch(starts[0])
-        for nxt in starts[1:] + [None]:
-            r0, r1, block_dev = pending.pop(0)
-            if nxt is not None:
-                dispatch(nxt)
-            block = np.asarray(block_dev)[: r1 - r0]
-            emit_coreacc_self_block(out, names, tab, block, r0, r1, n)
+        pipe = None
+        if tab is not None:
+            from .opipe import OutputPipeline
+
+            pipe = OutputPipeline(out)
+        try:
+            for nxt in starts[1:] + [None]:
+                r0, r1, block_dev = pending.pop(0)
+                if nxt is not None:
+                    dispatch(nxt)
+                block = np.asarray(block_dev)[: r1 - r0]
+                emit_coreacc_self_block(
+                    out, names, tab, block, r0, r1, n, pipe=pipe
+                )
+        finally:
+            if pipe is not None:
+                pipe.close()

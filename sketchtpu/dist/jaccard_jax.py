@@ -231,7 +231,13 @@ class DeviceDenseStreamEngine:
         row_range: slice | None = None,
     ) -> None:
         from .jaccard_np import ani_pois, jaccard_from_samebits
-        from .output import _name_table, _native_lines, fmt_f32
+        from .output import (
+            _name_table,
+            fmt_f32,
+            format_lines_bytes,
+            row_spans,
+            self_pair_indices,
+        )
         from .._native import get_lib
 
         n = self.n
@@ -247,36 +253,62 @@ class DeviceDenseStreamEngine:
             pending.append((r0, self._strip(r0)))
 
         dispatch(starts[0])
-        for nxt in starts[1:] + [None]:
-            r0, strip_dev = pending.pop(0)
-            if nxt is not None:
-                dispatch(nxt)
-            r1 = min(r0 + self.tile, hi)
-            strip = np.asarray(strip_dev)
+        s64 = self.s64
+
+        def chunk_task(strip, sbase: int, i0: int, i1: int) -> bytes:
+            """Index-gen + exact f64 chain + native format for rows
+            [i0, i1) of the strip based at sbase — runs in a pipeline
+            worker, so strips format in parallel across all cores while
+            the writer preserves order."""
+            rows, cols = self_pair_indices(i0, i1, n)
             npad = strip.shape[1]
-            counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
-            rows = np.repeat(np.arange(r0, r1, dtype=np.int32), counts)
-            cols = np.concatenate(
-                [np.arange(i + 1, n, dtype=np.int32) for i in range(r0, r1)]
-            )
-            flat_idx = (rows - r0).astype(np.int64) * npad + cols
+            flat_idx = (rows - sbase).astype(np.int64) * npad + cols
             sb = strip.reshape(-1)[flat_idx]
             c1 = comp[rows] if comp is not None else None
             c2 = comp[cols] if comp is not None else None
-            j = jaccard_from_samebits(sb, self.s64, c1, c2, cutoff)
+            j = jaccard_from_samebits(sb, s64, c1, c2, cutoff)
             if dist_type.ani:
                 d = ani_pois(j, dist_type.k).astype(np.float32)
             else:
                 d = (1.0 - j).astype(np.float32)
-            if tab is not None:
-                _native_lines(out, tab, tab, rows, cols, d, None)
-            else:
+            return format_lines_bytes(tab, tab, rows, cols, d, None)
+
+        pipe = None
+        if tab is not None:
+            from .opipe import OutputPipeline
+
+            pipe = OutputPipeline(out)
+        try:
+            for nxt in starts[1:] + [None]:
+                r0, strip_dev = pending.pop(0)
+                if nxt is not None:
+                    dispatch(nxt)
+                r1 = min(r0 + self.tile, hi)
+                strip = np.asarray(strip_dev)
+                if pipe is not None:
+                    for i0, i1 in row_spans(r0, r1, max(1, n - r0)):
+                        pipe.submit(chunk_task, strip, r0, i0, i1)
+                    continue
+                npad = strip.shape[1]
+                rows, cols = self_pair_indices(r0, r1, n)
+                flat_idx = (rows - r0).astype(np.int64) * npad + cols
+                sb = strip.reshape(-1)[flat_idx]
+                c1 = comp[rows] if comp is not None else None
+                c2 = comp[cols] if comp is not None else None
+                j = jaccard_from_samebits(sb, self.s64, c1, c2, cutoff)
+                if dist_type.ani:
+                    d = ani_pois(j, dist_type.k).astype(np.float32)
+                else:
+                    d = (1.0 - j).astype(np.float32)
                 out.write(
                     "".join(
                         f"{names[i]}\t{names[jx]}\t{fmt_f32(v)}\n"
                         for i, jx, v in zip(rows, cols, d)
                     )
                 )
+        finally:
+            if pipe is not None:
+                pipe.close()
 
     def stream_cross_dense(
         self,
@@ -294,7 +326,12 @@ class DeviceDenseStreamEngine:
         row blocks stream against the device-resident query matrix.
         row_range restricts to a block of reference rows."""
         from .jaccard_np import ani_pois, jaccard_from_samebits
-        from .output import _name_table, _native_lines, fmt_f32
+        from .output import (
+            _name_table,
+            fmt_f32,
+            format_lines_bytes,
+            row_spans,
+        )
         from .._native import get_lib
 
         n = self.n
@@ -338,33 +375,60 @@ class DeviceDenseStreamEngine:
             )
 
         dispatch(starts[0])
-        for nxt in starts[1:] + [None]:
-            r0, strip_dev = pending.pop(0)
-            if nxt is not None:
-                dispatch(nxt)
-            r1 = min(r0 + self.tile, hi)
-            strip = np.asarray(strip_dev)
+        s64 = self.s64
+
+        def chunk_task(strip, sbase: int, i0: int, i1: int) -> bytes:
+            rows = np.repeat(np.arange(i0, i1, dtype=np.int32), nq)
+            cols = np.tile(np.arange(nq, dtype=np.int32), i1 - i0)
             npad = strip.shape[1]
-            rows = np.repeat(np.arange(r0, r1, dtype=np.int32), nq)
-            cols = np.tile(np.arange(nq, dtype=np.int32), r1 - r0)
-            flat_idx = (rows - r0).astype(np.int64) * npad + cols
+            flat_idx = (rows - sbase).astype(np.int64) * npad + cols
             sb = strip.reshape(-1)[flat_idx]
             c1 = rcomp[rows] if rcomp is not None else None
             c2 = qcomp[cols] if qcomp is not None else None
-            j = jaccard_from_samebits(sb, self.s64, c1, c2, cutoff)
+            j = jaccard_from_samebits(sb, s64, c1, c2, cutoff)
             if dist_type.ani:
                 d = ani_pois(j, dist_type.k).astype(np.float32)
             else:
                 d = (1.0 - j).astype(np.float32)
-            if tab_r is not None:
-                _native_lines(out, tab_r, tab_q, rows, cols, d, None)
-            else:
+            return format_lines_bytes(tab_r, tab_q, rows, cols, d, None)
+
+        pipe = None
+        if tab_r is not None:
+            from .opipe import OutputPipeline
+
+            pipe = OutputPipeline(out)
+        try:
+            for nxt in starts[1:] + [None]:
+                r0, strip_dev = pending.pop(0)
+                if nxt is not None:
+                    dispatch(nxt)
+                r1 = min(r0 + self.tile, hi)
+                strip = np.asarray(strip_dev)
+                if pipe is not None:
+                    for i0, i1 in row_spans(r0, r1, nq):
+                        pipe.submit(chunk_task, strip, r0, i0, i1)
+                    continue
+                npad = strip.shape[1]
+                rows = np.repeat(np.arange(r0, r1, dtype=np.int32), nq)
+                cols = np.tile(np.arange(nq, dtype=np.int32), r1 - r0)
+                flat_idx = (rows - r0).astype(np.int64) * npad + cols
+                sb = strip.reshape(-1)[flat_idx]
+                c1 = rcomp[rows] if rcomp is not None else None
+                c2 = qcomp[cols] if qcomp is not None else None
+                j = jaccard_from_samebits(sb, self.s64, c1, c2, cutoff)
+                if dist_type.ani:
+                    d = ani_pois(j, dist_type.k).astype(np.float32)
+                else:
+                    d = (1.0 - j).astype(np.float32)
                 out.write(
                     "".join(
                         f"{ref_names[i]}\t{query_names[jx]}\t{fmt_f32(v)}\n"
                         for i, jx, v in zip(rows, cols, d)
                     )
                 )
+        finally:
+            if pipe is not None:
+                pipe.close()
 
 
 @functools.partial(jax.jit, static_argnames=("s64", "ani", "k"))

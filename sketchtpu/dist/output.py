@@ -72,6 +72,50 @@ def _name_table(names) -> tuple[bytes, np.ndarray]:
     return b"".join(enc), off
 
 
+def format_lines_bytes(
+    tab_r: tuple[bytes, np.ndarray],
+    tab_c: tuple[bytes, np.ndarray],
+    rows: np.ndarray,
+    cols: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray | None,
+) -> bytes:
+    """Assemble "row\\tcol\\tv1[\\tv2]\\n" lines natively and return the
+    bytes (the ctypes call releases the GIL, so concurrent calls from an
+    OutputPipeline's workers format in parallel). Caller must have checked
+    get_lib() is not None."""
+    lib = get_lib()
+    r = np.ascontiguousarray(rows, dtype=np.int32)
+    c = np.ascontiguousarray(cols, dtype=np.int32)
+    v1 = np.ascontiguousarray(v1, dtype=np.float32)
+    if v2 is not None:
+        v2 = np.ascontiguousarray(v2, dtype=np.float32)
+    names_r, off_r = tab_r
+    names_c, off_c = tab_c
+    cap = int(
+        (off_r[r + 1] - off_r[r]).sum()
+        + (off_c[c + 1] - off_c[c]).sum()
+        + (2 * 64 + 4) * r.size
+    )
+    buf = ctypes.create_string_buffer(cap)
+    written = lib.stpu_format_dist_lines(
+        names_r,
+        off_r.ctypes.data_as(ctypes.c_void_p),
+        names_c,
+        off_c.ctypes.data_as(ctypes.c_void_p),
+        r.ctypes.data_as(ctypes.c_void_p),
+        c.ctypes.data_as(ctypes.c_void_p),
+        v1.ctypes.data_as(ctypes.c_void_p),
+        v2.ctypes.data_as(ctypes.c_void_p) if v2 is not None else None,
+        r.size,
+        buf,
+        cap,
+    )
+    if written < 0:  # cap is sufficient by construction (64B/value)
+        raise RuntimeError("native line formatting overflowed its buffer")
+    return ctypes.string_at(buf, written)
+
+
 def _native_lines(
     out,
     tab_r: tuple[bytes, np.ndarray],
@@ -86,8 +130,6 @@ def _native_lines(
     lib = get_lib()
     if lib is None:
         return False
-    names_r, off_r = tab_r
-    names_c, off_c = tab_c
     rows = np.ascontiguousarray(rows, dtype=np.int32)
     cols = np.ascontiguousarray(cols, dtype=np.int32)
     v1 = np.ascontiguousarray(v1, dtype=np.float32)
@@ -96,30 +138,14 @@ def _native_lines(
     write = out.buffer.write if hasattr(out, "buffer") else None
 
     def fmt(s: int, e: int) -> bytes:
-        r = rows[s:e]
-        c = cols[s:e]
-        cap = int(
-            (off_r[r + 1] - off_r[r]).sum()
-            + (off_c[c + 1] - off_c[c]).sum()
-            + (2 * 64 + 4) * (e - s)
+        return format_lines_bytes(
+            tab_r,
+            tab_c,
+            rows[s:e],
+            cols[s:e],
+            v1[s:e],
+            v2[s:e] if v2 is not None else None,
         )
-        buf = ctypes.create_string_buffer(cap)
-        written = lib.stpu_format_dist_lines(
-            names_r,
-            off_r.ctypes.data_as(ctypes.c_void_p),
-            names_c,
-            off_c.ctypes.data_as(ctypes.c_void_p),
-            r.ctypes.data_as(ctypes.c_void_p),
-            c.ctypes.data_as(ctypes.c_void_p),
-            v1[s:e].ctypes.data_as(ctypes.c_void_p),
-            v2[s:e].ctypes.data_as(ctypes.c_void_p) if v2 is not None else None,
-            e - s,
-            buf,
-            cap,
-        )
-        if written < 0:  # cap is sufficient by construction (64B/value)
-            raise RuntimeError("native line formatting overflowed its buffer")
-        return ctypes.string_at(buf, written)
 
     def emit(chunk: bytes) -> None:
         if write is not None:
@@ -163,29 +189,27 @@ def write_dense_self(out, names, dists, coreacc: bool,
     lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
     dists = np.asarray(dists)
     if get_lib() is not None:
+        from .opipe import OutputPipeline
+
         tab = _name_table(names)
-        idx = 0
-        # row-blocked i/j generation keeps the index arrays bounded
-        blk = max(1, _CHUNK // max(n, 1))
-        for i0 in range(lo, hi, blk):
-            i1 = min(i0 + blk, hi)
-            counts = np.arange(n - i0 - 1, n - i1 - 1, -1)
-            rows = np.repeat(np.arange(i0, i1, dtype=np.int32), counts)
-            cols = (
-                np.concatenate(
-                    [np.arange(i + 1, n, dtype=np.int32) for i in range(i0, i1)]
-                )
-                if i1 > i0
-                else np.zeros(0, np.int32)
-            )
-            m = rows.size
-            d = dists[idx : idx + m]
-            _native_lines(
-                out, tab, tab, rows, cols,
+
+        def pairs_before(i: int) -> int:
+            """Long-form offset of row i's first pair within rows [lo, hi)."""
+            m = i - lo
+            return m * (n - 1) - (lo + i - 1) * m // 2
+
+        def task(i0: int, i1: int) -> bytes:
+            rows, cols = self_pair_indices(i0, i1, n)
+            d = dists[pairs_before(i0) : pairs_before(i0) + rows.size]
+            return format_lines_bytes(
+                tab, tab, rows, cols,
                 d[:, 0] if coreacc else d,
                 d[:, 1] if coreacc else None,
             )
-            idx += m
+
+        with OutputPipeline(out) as pipe:
+            for i0, i1 in row_spans(lo, hi, max(1, n - lo)):
+                pipe.submit(task, i0, i1)
         return
     _write_dense_self_py(out, names, dists, coreacc, lo, hi)
 
@@ -214,17 +238,25 @@ def write_dense_cross(out, ref_names, query_names, dists, coreacc: bool):
     """Rectangular long form, ref-major."""
     nr, nq = len(ref_names), len(query_names)
     dists = np.asarray(dists)
-    rows = np.repeat(np.arange(nr, dtype=np.int32), nq)
-    cols = np.tile(np.arange(nq, dtype=np.int32), nr)
-    if _native_lines(
-        out,
-        _name_table(ref_names),
-        _name_table(query_names),
-        rows,
-        cols,
-        dists[:, 0] if coreacc else dists,
-        dists[:, 1] if coreacc else None,
-    ):
+    if get_lib() is not None:
+        from .opipe import OutputPipeline
+
+        tab_r = _name_table(ref_names)
+        tab_q = _name_table(query_names)
+
+        def task(i0: int, i1: int) -> bytes:
+            rows = np.repeat(np.arange(i0, i1, dtype=np.int32), nq)
+            cols = np.tile(np.arange(nq, dtype=np.int32), i1 - i0)
+            d = dists[i0 * nq : i1 * nq]
+            return format_lines_bytes(
+                tab_r, tab_q, rows, cols,
+                d[:, 0] if coreacc else d,
+                d[:, 1] if coreacc else None,
+            )
+
+        with OutputPipeline(out) as pipe:
+            for i0, i1 in row_spans(0, nr, max(1, nq)):
+                pipe.submit(task, i0, i1)
         return
     idx = 0
     if coreacc:
@@ -302,11 +334,57 @@ def write_sparse(out, row_names, ref_names, rows, coreacc: bool):
                     out.write(f"{row_name}\t{col_name}\t{fmt_f32(dist)}\n")
 
 
+# pairs per parallel-format task: bounds each task's working set
+# (~16B/pair inputs + ~30B/pair text) while keeping tasks big enough to
+# amortise dispatch
+TASK_PAIRS = 1 << 21
+
+
+def self_pair_indices(i0: int, i1: int, n: int):
+    """(rows, cols) int32 arrays for upper-triangle rows [i0, i1) of n."""
+    counts = np.arange(n - i0 - 1, n - i1 - 1, -1)
+    rows = np.repeat(np.arange(i0, i1, dtype=np.int32), counts)
+    cols = (
+        np.concatenate(
+            [np.arange(i + 1, n, dtype=np.int32) for i in range(i0, i1)]
+        )
+        if i1 > i0
+        else np.zeros(0, np.int32)
+    )
+    return rows, cols
+
+
+def row_spans(r0: int, r1: int, pairs_per_row: int, target: int = TASK_PAIRS):
+    """Split rows [r0, r1) into spans of ~target total pairs."""
+    spans = []
+    i0 = r0
+    while i0 < r1:
+        step = max(1, target // max(1, pairs_per_row))
+        i1 = min(i0 + step, r1)
+        spans.append((i0, i1))
+        i0 = i1
+    return spans
+
+
 def emit_coreacc_cross_block(
-    out, ref_names, query_names, tab_r, tab_q, block, r0, r1, nq
+    out, ref_names, query_names, tab_r, tab_q, block, r0, r1, nq, pipe=None
 ):
     """Write one (r1-r0, nq, 2) core/acc block of ref-major rectangular
-    output (shared by the single-device and sharded cross engines)."""
+    output (shared by the single-device and sharded cross engines). With
+    an OutputPipeline, gather+format run as ordered parallel tasks."""
+    if tab_r is not None and pipe is not None:
+
+        def task(i0: int, i1: int) -> bytes:
+            rows = np.repeat(np.arange(i0, i1, dtype=np.int32), nq)
+            cols = np.tile(np.arange(nq, dtype=np.int32), i1 - i0)
+            flat = block[i0 - r0 : i1 - r0].reshape(-1, 2)
+            return format_lines_bytes(
+                tab_r, tab_q, rows, cols, flat[:, 0], flat[:, 1]
+            )
+
+        for i0, i1 in row_spans(r0, r1, nq):
+            pipe.submit(task, i0, i1)
+        return
     if tab_r is not None:
         rows = np.repeat(np.arange(r0, r1, dtype=np.int32), nq)
         cols = np.tile(np.arange(nq, dtype=np.int32), r1 - r0)
@@ -325,16 +403,27 @@ def emit_coreacc_cross_block(
         )
 
 
-def emit_coreacc_self_block(out, names, tab, block, r0, r1, n):
+def emit_coreacc_self_block(out, names, tab, block, r0, r1, n, pipe=None):
     """Write one (r1-r0, n, 2) core/acc block's upper-triangle rows of the
     long-form self output (shared by the single-device and sharded
-    engines)."""
+    engines). With an OutputPipeline, gather+format run as ordered
+    parallel tasks."""
+    if tab is not None and pipe is not None:
+
+        def task(i0: int, i1: int) -> bytes:
+            rows, cols = self_pair_indices(i0, i1, n)
+            flat = block.reshape(-1, 2)[
+                (rows - r0).astype(np.int64) * n + cols
+            ]
+            return format_lines_bytes(
+                tab, tab, rows, cols, flat[:, 0], flat[:, 1]
+            )
+
+        for i0, i1 in row_spans(r0, r1, max(1, n - r0)):
+            pipe.submit(task, i0, i1)
+        return
     if tab is not None:
-        counts = np.arange(n - r0 - 1, n - r1 - 1, -1)
-        rows = np.repeat(np.arange(r0, r1, dtype=np.int32), counts)
-        cols = np.concatenate(
-            [np.arange(i + 1, n, dtype=np.int32) for i in range(r0, r1)]
-        )
+        rows, cols = self_pair_indices(r0, r1, n)
         flat = block.reshape(-1, 2)[(rows - r0).astype(np.int64) * n + cols]
         _native_lines(out, tab, tab, rows, cols, flat[:, 0], flat[:, 1])
         return
