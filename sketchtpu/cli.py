@@ -1103,15 +1103,10 @@ def _inverted_main(args) -> None:
             )
             from .runtime import select_knn_engine
 
+            # both the single-device and mesh-sharded engines implement
+            # the fused-prefilter scan (PreclusterKnnMixin), so a
+            # multi-chip host engages every chip on this path
             knn_engine = select_knn_engine(references, dist_type)
-            if knn_engine is not None and not hasattr(
-                knn_engine, "precluster_knn"
-            ):
-                # multi-device selection returns the sharded engine, which
-                # has no fused-prefilter mode; use the single-device one
-                from .dist.knn_jax import DeviceKnnEngine
-
-                knn_engine = DeviceKnnEngine(references)
             pc_rows = None
             if multiproc:
                 from .shard.distributed import process_slice

@@ -792,7 +792,172 @@ def exact_ca_values(ms, s64, idx, core_f32, acc_f32, a_stack_dev,
     )
 
 
-class DeviceKnnEngine:
+class PreclusterKnnMixin:
+    """Fused inverted-prefilter + kNN driver (distances/mod.rs:399-553),
+    shared by the single-device and mesh-sharded engines.
+
+    The engine supplies four scan primitives (plus .ms/.n/.s64):
+
+    - _pc_scan(dist_type, lo, hi, signs, knn, comp, cutoff) -> (sb, idx):
+      masked single-k scan over rows [lo, hi); `signs` is the full
+      skd-ordered (n, S) u16 sign matrix, comp an optional (n,) f64
+      completeness vector;
+    - _pc_scan_subset(dist_type, rows, knn, comp, cutoff) -> (sb, idx):
+      UNMASKED scan over a gathered global-row subset (bruteforce rescue;
+      self-exclusion is done by the caller);
+    - _pc_ca(lo, hi, signs, knn, comp, cutoff) -> SparseKnnRows: masked
+      multi-k core/accessory scan (comp is (n,) f32 here);
+    - _pc_ca_subset(rows, knn, comp, cutoff) -> SparseKnnRows.
+
+    Candidate semantics, retain-unmatched handling and knn padding live
+    here once. skq_bins is the flat u16 sign stream in .ski order; rows
+    follow the .skd order. row_range restricts to a block of rows
+    (multi-process sharding); candidate columns always range over all
+    samples.
+
+    Core/accessory mode is an extension (the reference leaves it
+    `unimplemented!`, distances/mod.rs:548-550): the same sign-equality
+    prefilter mask gates the fused multi-k core/accessory tile, with
+    neighbours ranked by core distance (see api.py host driver)."""
+
+    def precluster_knn(
+        self,
+        inverted,
+        skq_bins: np.ndarray,
+        knn: int,
+        dist_type,
+        retain_unmatched: str | None = None,
+        row_range: slice | None = None,
+        completeness_vec=None,
+        completeness_cutoff: float = 0.64,
+    ):
+        from .api import ski_skd_maps
+
+        n = self.n
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
+        stride = inverted.sketch_size
+        # name-based ski<->skd mapping, shared with the host driver
+        ski_of_skd = np.asarray(ski_skd_maps(self.ms, inverted)[0])
+        signs = skq_bins.reshape(-1, stride)[ski_of_skd]  # skd-ordered (n, S)
+
+        if dist_type.coreacc:
+            return self._pc_coreacc(
+                signs, knn, lo, hi, retain_unmatched, completeness_vec,
+                completeness_cutoff,
+            )
+
+        comp_sk = (
+            np.asarray(completeness_vec, dtype=np.float64)
+            if completeness_vec is not None
+            else None
+        )
+        sb, idx = self._pc_scan(
+            dist_type, lo, hi, signs, knn, comp_sk, completeness_cutoff
+        )
+        rows_out = rows_from_samebits(
+            sb, idx, dist_type, self.s64, as_lists=True,
+            c1_rows=comp_sk[lo:hi] if comp_sk is not None else None,
+            c2_all=comp_sk, cutoff=completeness_cutoff,
+        )
+
+        # rows with zero candidates: retain_unmatched handling
+        empty = np.flatnonzero(sb[:, 0] == _NEG)  # local (row - lo) indices
+        if empty.size and retain_unmatched == "bruteforce":
+            sb2, idx2 = self._pc_scan_subset(
+                dist_type, lo + empty, min(knn + 1, self.n), comp_sk,
+                completeness_cutoff,
+            )
+            # exclude self manually (the scans' exclude_self keys on block
+            # row offset, which is wrong for a gathered row subset)
+            for bi, r_loc in enumerate(empty):
+                mask = idx2[bi] != lo + r_loc
+                sb_r = sb2[bi][mask][:knn]
+                idx_r = idx2[bi][mask][:knn]
+                rows_out[r_loc] = rows_from_samebits(
+                    sb_r[None, :], idx_r[None, :], dist_type, self.s64,
+                    as_lists=True,
+                    c1_rows=(
+                        comp_sk[lo + r_loc : lo + r_loc + 1]
+                        if comp_sk is not None
+                        else None
+                    ),
+                    c2_all=comp_sk, cutoff=completeness_cutoff,
+                )[0]
+        # singleton + padding entries use raw 0.0/1.0 regardless of ANI mode
+        # (the host driver and distance_matrix.rs:377-380 do the same; the
+        # print filter skips (row, 1.0) self entries); indices are global
+        for r_loc in range(hi - lo):
+            r = lo + r_loc
+            items = rows_out[r_loc]
+            if not items and retain_unmatched == "singleton":
+                rows_out[r_loc] = [(r, np.float32(0.0))] + [
+                    (r, np.float32(1.0))
+                ] * (knn - 1)
+                continue
+            if len(items) < knn:
+                rows_out[r_loc] = items + [(r, np.float32(1.0))] * (
+                    knn - len(items)
+                )
+        return rows_out
+
+    def _pc_coreacc(self, signs, knn, lo, hi, retain_unmatched,
+                    completeness_vec, cutoff):
+        comp = (
+            np.asarray(completeness_vec, dtype=np.float32)
+            if completeness_vec is not None
+            else None
+        )
+        res = self._pc_ca(lo, hi, signs, knn, comp, cutoff)
+        idx_a, vals_a, _ = res.as_arrays()
+        rows_ca: list[list[tuple]] = []
+        for r_loc in range(hi - lo):
+            ok = np.flatnonzero(
+                np.isfinite(vals_a[r_loc, :, 0])
+                & (idx_a[r_loc] != 0x7FFFFFFF)
+            )
+            rows_ca.append(
+                [
+                    (
+                        int(idx_a[r_loc, x]),
+                        np.float32(vals_a[r_loc, x, 0]),
+                        np.float32(vals_a[r_loc, x, 1]),
+                    )
+                    for x in ok
+                ]
+            )
+        empty_ca = [r for r in range(hi - lo) if not rows_ca[r]]
+        if empty_ca and retain_unmatched == "bruteforce":
+            res2 = self._pc_ca_subset(
+                np.asarray([lo + r for r in empty_ca]),
+                min(knn + 1, self.n), comp, cutoff,
+            )
+            idx2, vals2, _ = res2.as_arrays()
+            for bi, r_loc in enumerate(empty_ca):
+                # exclude self manually (the scan's exclude_self keys
+                # on block row offset, wrong for a gathered subset)
+                keep = np.flatnonzero(
+                    (idx2[bi] != lo + r_loc)
+                    & np.isfinite(vals2[bi, :, 0])
+                    & (idx2[bi] != 0x7FFFFFFF)
+                )[:knn]
+                rows_ca[r_loc] = [
+                    (
+                        int(idx2[bi, x]),
+                        np.float32(vals2[bi, x, 0]),
+                        np.float32(vals2[bi, x, 1]),
+                    )
+                    for x in keep
+                ]
+        if retain_unmatched == "singleton":
+            for r_loc in empty_ca:
+                if not rows_ca[r_loc]:
+                    rows_ca[r_loc] = [
+                        (lo + r_loc, np.float32(0.0), np.float32(0.0))
+                    ]
+        return rows_ca
+
+
+class DeviceKnnEngine(PreclusterKnnMixin):
     """On-device kNN over a reference sketch DB.
 
     Holds the b-bit plane matrices device-resident (u32 view of the .skd
@@ -1383,128 +1548,15 @@ class DeviceKnnEngine:
             c1_rows=c1, c2_dev=c2d, c2_host=c2h, cutoff=completeness_cutoff,
         )
 
-    # --- precluster (inverted-index prefiltered) kNN ---
+    # --- precluster scan primitives (see PreclusterKnnMixin) ---
 
-    def precluster_knn(
-        self,
-        inverted,
-        skq_bins: np.ndarray,
-        knn: int,
-        dist_type,
-        retain_unmatched: str | None = None,
-        row_range: slice | None = None,
-        completeness_vec=None,
-        completeness_cutoff: float = 0.64,
-    ):
-        """Fused prefilter + kNN (distances/mod.rs:399-553). skq_bins is the
-        flat u16 sign stream in .ski order; rows follow the .skd order.
-        row_range restricts to a block of rows (multi-process sharding);
-        candidate columns always range over all samples.
-
-        Core/accessory mode is an extension (the reference leaves it
-        `unimplemented!`, distances/mod.rs:548-550): the same sign-equality
-        prefilter mask gates the fused multi-k core/accessory tile, with
-        neighbours ranked by core distance (see api.py host driver)."""
-        n = self.n
-        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
-        stride = inverted.sketch_size
-        # name-based ski<->skd mapping, shared with the host driver
-        from .api import ski_skd_maps
-
-        ski_of_skd = np.asarray(ski_skd_maps(self.ms, inverted)[0])
-        signs = skq_bins.reshape(-1, stride)[ski_of_skd]  # skd-ordered (n, S)
-        sig_dev = jax.device_put(
+    def _pc_sig_dev(self, signs: np.ndarray):
+        return jax.device_put(
             _pad_rows(signs.astype(np.int32), self.col_tile)
         )
 
-        if dist_type.coreacc:
-            comp = (
-                np.asarray(completeness_vec, dtype=np.float32)
-                if completeness_vec is not None
-                else None
-            )
-            c2_dev = self._comp_cols_dev(comp) if comp is not None else None
-            a_host = self._stack_host()[:, : n, :]
-            res = self._knn_coreacc(
-                a_host[:, lo:hi, :],
-                hi - lo,
-                knn,
-                exclude_self=True,
-                row_base=lo,
-                a_sig=signs[lo:hi],
-                b_sig_dev=sig_dev,
-                c1_rows=comp[lo:hi] if comp is not None else None,
-                c2_dev=c2_dev,
-                c2_host=comp,
-                cutoff=completeness_cutoff,
-                self_rows=True,
-            )
-            idx_a, vals_a, _ = res.as_arrays()
-            rows_ca: list[list[tuple]] = []
-            for r_loc in range(hi - lo):
-                ok = np.flatnonzero(
-                    np.isfinite(vals_a[r_loc, :, 0])
-                    & (idx_a[r_loc] != 0x7FFFFFFF)
-                )
-                rows_ca.append(
-                    [
-                        (
-                            int(idx_a[r_loc, x]),
-                            np.float32(vals_a[r_loc, x, 0]),
-                            np.float32(vals_a[r_loc, x, 1]),
-                        )
-                        for x in ok
-                    ]
-                )
-            empty_ca = [r for r in range(hi - lo) if not rows_ca[r]]
-            if empty_ca and retain_unmatched == "bruteforce":
-                res2 = self._knn_coreacc(
-                    a_host[:, [lo + r for r in empty_ca], :],
-                    len(empty_ca),
-                    min(knn + 1, n),
-                    exclude_self=False,
-                    c1_rows=(
-                        comp[[lo + r for r in empty_ca]]
-                        if comp is not None
-                        else None
-                    ),
-                    c2_dev=c2_dev,
-                    c2_host=comp,
-                    cutoff=completeness_cutoff,
-                )
-                idx2, vals2, _ = res2.as_arrays()
-                for bi, r_loc in enumerate(empty_ca):
-                    # exclude self manually (the scan's exclude_self keys
-                    # on block row offset, wrong for a gathered subset)
-                    keep = np.flatnonzero(
-                        (idx2[bi] != lo + r_loc)
-                        & np.isfinite(vals2[bi, :, 0])
-                        & (idx2[bi] != 0x7FFFFFFF)
-                    )[:knn]
-                    rows_ca[r_loc] = [
-                        (
-                            int(idx2[bi, x]),
-                            np.float32(vals2[bi, x, 0]),
-                            np.float32(vals2[bi, x, 1]),
-                        )
-                        for x in keep
-                    ]
-            if retain_unmatched == "singleton":
-                for r_loc in empty_ca:
-                    if not rows_ca[r_loc]:
-                        rows_ca[r_loc] = [
-                            (lo + r_loc, np.float32(0.0), np.float32(0.0))
-                        ]
-            return rows_ca
-
-        comp_sk = (
-            np.asarray(completeness_vec, dtype=np.float64)
-            if completeness_vec is not None
-            else None
-        )
-        comp_cols = (
-            self._comp_cols_dev(comp_sk) if comp_sk is not None else None
-        )
+    def _pc_scan(self, dist_type, lo, hi, signs, knn, comp, cutoff):
+        sig_dev = self._pc_sig_dev(signs)
         if self._use_pallas_sb:
             cm = (
                 self._plane_cm(dist_type.k_idx),
@@ -1515,7 +1567,7 @@ class DeviceKnnEngine:
             cm = None
             b_dev = self._plane(dist_type.k_idx)
         a_mat = self._plane_host(dist_type.k_idx)
-        sb, idx = self._scan_rows(
+        return self._scan_rows(
             a_mat[lo:hi],
             b_dev,
             knn,
@@ -1523,70 +1575,65 @@ class DeviceKnnEngine:
             a_sig=signs[lo:hi],
             b_sig_dev=sig_dev,
             row_base=lo,
-            c1_rows=comp_sk[lo:hi] if comp_sk is not None else None,
-            c2_dev=comp_cols,
-            cutoff=completeness_cutoff,
+            c1_rows=comp[lo:hi] if comp is not None else None,
+            c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
+            cutoff=cutoff,
             a_dev=b_dev,
             cm=cm,
         )
-        rows_out = self._rows_from_samebits(
-            sb, idx, dist_type, as_lists=True,
-            c1_rows=comp_sk[lo:hi] if comp_sk is not None else None,
-            c2_all=comp_sk, cutoff=completeness_cutoff,
+
+    def _pc_scan_subset(self, dist_type, rows, knn, comp, cutoff):
+        a_mat = self._plane_host(dist_type.k_idx)
+        sub = a_mat[rows]
+        if self._use_pallas_sb:
+            from .pallas_kernels import chunk_group_major
+
+            cm = (
+                chunk_group_major(jnp.asarray(sub), self.s64),
+                self._plane_cm_t(dist_type.k_idx),
+            )
+            b_dev = None
+        else:
+            cm = None
+            b_dev = self._plane(dist_type.k_idx)
+        return self._scan_rows(
+            sub,
+            b_dev,
+            knn,
+            exclude_self=False,
+            c1_rows=comp[rows] if comp is not None else None,
+            c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
+            cutoff=cutoff,
+            cm=cm,
         )
 
-        # rows with zero candidates: retain_unmatched handling
-        empty = np.flatnonzero(sb[:, 0] == _NEG)  # local (row - lo) indices
-        if empty.size and retain_unmatched == "bruteforce":
-            cm2 = None
-            if cm is not None:
-                from .pallas_kernels import chunk_group_major
+    def _pc_ca(self, lo, hi, signs, knn, comp, cutoff):
+        sig_dev = self._pc_sig_dev(signs)
+        a_host = self._stack_host()[:, : self.n, :]
+        return self._knn_coreacc(
+            a_host[:, lo:hi, :],
+            hi - lo,
+            knn,
+            exclude_self=True,
+            row_base=lo,
+            a_sig=signs[lo:hi],
+            b_sig_dev=sig_dev,
+            c1_rows=comp[lo:hi] if comp is not None else None,
+            c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
+            c2_host=comp,
+            cutoff=cutoff,
+            self_rows=True,
+        )
 
-                cm2 = (
-                    chunk_group_major(
-                        jnp.asarray(a_mat[lo:hi][empty]), self.s64
-                    ),
-                    cm[1],
-                )
-            sb2, idx2 = self._scan_rows(
-                a_mat[lo:hi][empty], b_dev, min(knn + 1, self.n),
-                exclude_self=False,
-                c1_rows=(
-                    comp_sk[lo:hi][empty] if comp_sk is not None else None
-                ),
-                c2_dev=comp_cols,
-                cutoff=completeness_cutoff,
-                cm=cm2,
-            )
-            # exclude self manually (scan's exclude_self keys on block row
-            # offset, which is wrong for a gathered row subset)
-            for bi, r_loc in enumerate(empty):
-                mask = idx2[bi] != lo + r_loc
-                sb_r = sb2[bi][mask][:knn]
-                idx_r = idx2[bi][mask][:knn]
-                sub = self._rows_from_samebits(
-                    sb_r[None, :], idx_r[None, :], dist_type,
-                    c1_rows=(
-                        comp_sk[lo + r_loc : lo + r_loc + 1]
-                        if comp_sk is not None
-                        else None
-                    ),
-                    c2_all=comp_sk, cutoff=completeness_cutoff,
-                )[0]
-                rows_out[r_loc] = sub
-        # singleton + padding entries use raw 0.0/1.0 regardless of ANI mode
-        # (the host driver and distance_matrix.rs:377-380 do the same; the
-        # print filter skips (row, 1.0) self entries); indices are global
-        for r_loc in range(hi - lo):
-            r = lo + r_loc
-            items = rows_out[r_loc]
-            if not items and retain_unmatched == "singleton":
-                rows_out[r_loc] = [(r, np.float32(0.0))] + [
-                    (r, np.float32(1.0))
-                ] * (knn - 1)
-                continue
-            if len(items) < knn:
-                rows_out[r_loc] = items + [(r, np.float32(1.0))] * (
-                    knn - len(items)
-                )
-        return rows_out
+    def _pc_ca_subset(self, rows, knn, comp, cutoff):
+        a_host = self._stack_host()[:, : self.n, :]
+        return self._knn_coreacc(
+            a_host[:, rows, :],
+            len(rows),
+            knn,
+            exclude_self=False,
+            c1_rows=comp[rows] if comp is not None else None,
+            c2_dev=self._comp_cols_dev(comp) if comp is not None else None,
+            c2_host=comp,
+            cutoff=cutoff,
+        )

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import BBITS
 from ..dist.jaccard_jax import _samebits_tile
+from ..dist.knn_jax import PreclusterKnnMixin
 
 
 def make_mesh(n_rows: int | None = None, n_words: int = 1) -> Mesh:
@@ -121,7 +122,7 @@ def sharded_coreacc_step(a_stack, b_stack, s64: int, mesh: Mesh,
 def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
                      exclude_self: bool, col_tile: int = 2048,
                      row_base: int = 0, c1=None, c2=None,
-                     cutoff: float = 0.64):
+                     cutoff: float = 0.64, a_sig=None, b_sig=None):
     """Sparse kNN selection over a mesh: rows sharded, columns streamed.
 
     a: (na, W2) u32 row-sharded (na % mesh rows == 0); b: (nbp, W2) u32
@@ -130,10 +131,15 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
     samebits + global column indices leave the devices (row-sharded).
     The word axis must be unsharded (selection needs whole samebits).
     c1 (na,) / c2 (nbp,) f32 switch selection to the completeness-
-    corrected f32 Jaccard (c1 shards with the rows)."""
+    corrected f32 Jaccard (c1 shards with the rows). a_sig (na, S) /
+    b_sig (nbp, S) i32 inverted-index signs switch on the precluster
+    prefilter mask (a_sig shards with the rows, b_sig replicates)."""
     from jax import shard_map
 
-    from ..dist.knn_jax import _knn_scan_block, _knn_scan_block_comp
+    from ..dist.knn_jax import (
+        _knn_scan_block, _knn_scan_block_comp, _knn_scan_block_packed,
+        _pack_shift,
+    )
 
     if mesh.shape["words"] != 1:
         raise ValueError("sharded kNN requires an unsharded word axis")
@@ -141,9 +147,12 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
     rows_per = a.shape[0] // rows
     tc = min(col_tile, b.shape[0])
     comp = c1 is not None
+    masked = a_sig is not None
+    # packed-key scan (samebits<<shift | ~col in one int32): ~2x the plain
+    # merge; valid whenever the column count fits the key's column field
+    packed_ok = not comp and b.shape[0] <= (1 << _pack_shift(s64)) - 1
 
-    def shard_fn(a_blk, b_blk, c1_blk, c2_all):
-        dummy = jnp.zeros((1, 1), jnp.int32)
+    def shard_fn(a_blk, b_blk, c1_blk, c2_all, sig_blk, bsig_all):
         row0 = jnp.int32(row_base) + jax.lax.axis_index("rows").astype(
             jnp.int32
         ) * jnp.int32(rows_per)
@@ -153,52 +162,75 @@ def sharded_knn_step(a, b, s64: int, mesh: Mesh, knn: int, n_real: int,
                 b_blk,
                 row0,
                 jnp.int32(n_real),
-                dummy,
-                dummy,
+                sig_blk,
+                bsig_all,
                 c1_blk,
                 c2_all,
                 s64=s64,
                 knn=knn,
                 tc=tc,
                 exclude_self=exclude_self,
-                masked=False,
+                masked=masked,
                 cutoff=cutoff,
+            )
+        if packed_ok:
+            return _knn_scan_block_packed(
+                a_blk,
+                b_blk,
+                row0,
+                jnp.int32(n_real),
+                s64=s64,
+                knn=knn,
+                tc=tc,
+                exclude_self=exclude_self,
+                pallas=False,
+                a_sig=sig_blk if masked else None,
+                b_sig=bsig_all if masked else None,
+                masked=masked,
             )
         return _knn_scan_block(
             a_blk,
             b_blk,
             row0,
             jnp.int32(n_real),
-            dummy,
-            dummy,
+            sig_blk,
+            bsig_all,
             s64=s64,
             knn=knn,
             tc=tc,
             exclude_self=exclude_self,
-            masked=False,
+            masked=masked,
         )
 
     if not comp:
         c1 = jnp.zeros(a.shape[0], jnp.float32)
         c2 = jnp.zeros(b.shape[0], jnp.float32)
+    if not masked:
+        a_sig = np.zeros((a.shape[0], 1), np.int32)
+        b_sig = np.zeros((b.shape[0], 1), np.int32)
     return shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("rows", None), P(None, None), P("rows"), P(None)),
+        in_specs=(P("rows", None), P(None, None), P("rows"), P(None),
+                  P("rows", None), P(None, None)),
         out_specs=(P("rows", None), P("rows", None)),
-    )(a, b, jnp.asarray(c1), jnp.asarray(c2))
+    )(a, b, jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(a_sig),
+      jnp.asarray(b_sig))
 
 
 def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
                         n_real: int, exclude_self: bool,
                         kmers: tuple[int, ...], sketch_size: int,
                         col_tile: int = 2048, row_base: int = 0,
-                        c1=None, c2=None, cutoff: float = 0.64):
+                        c1=None, c2=None, cutoff: float = 0.64,
+                        a_sig=None, b_sig=None):
     """Sharded multi-k core/accessory kNN: rows shard over 'rows', the
     (nk, nbp, W2) column stack replicates; each device keeps a running
     top-k by core distance over streamed column tiles. Returns
     (core, acc, idx) each (na, knn), row-sharded. c1 (na,) / c2 (nbp,)
-    f32 apply the completeness correction (c1 shards with the rows)."""
+    f32 apply the completeness correction (c1 shards with the rows).
+    a_sig (na, S) / b_sig (nbp, S) i32 inverted-index signs switch on the
+    precluster prefilter mask (a_sig shards with the rows)."""
     from jax import shard_map
 
     from ..dist.knn_jax import _knn_scan_block_ca
@@ -209,26 +241,26 @@ def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
     rows_per = a_stack.shape[1] // rows
     tc = min(col_tile, b_stack.shape[1])
     comp = c1 is not None
+    masked = a_sig is not None
 
-    def shard_fn(a_blk, b_blk, c1_blk, c2_all):
+    def shard_fn(a_blk, b_blk, c1_blk, c2_all, sig_blk, bsig_all):
         row0 = jnp.int32(row_base) + jax.lax.axis_index("rows").astype(
             jnp.int32
         ) * jnp.int32(rows_per)
-        dummy = jnp.zeros((1, 1), jnp.int32)
         return _knn_scan_block_ca(
             a_blk,
             b_blk,
             row0,
             jnp.int32(n_real),
-            dummy,
-            dummy,
+            sig_blk,
+            bsig_all,
             s64=s64,
             kmers=kmers,
             sketch_size=sketch_size,
             knn=knn,
             tc=tc,
             exclude_self=exclude_self,
-            masked=False,
+            masked=masked,
             c1=c1_blk if comp else None,
             c2=c2_all if comp else None,
             cutoff=cutoff,
@@ -237,13 +269,17 @@ def sharded_knn_ca_step(a_stack, b_stack, s64: int, mesh: Mesh, knn: int,
     if not comp:
         c1 = jnp.zeros(a_stack.shape[1], jnp.float32)
         c2 = jnp.zeros(b_stack.shape[1], jnp.float32)
+    if not masked:
+        a_sig = np.zeros((a_stack.shape[1], 1), np.int32)
+        b_sig = np.zeros((b_stack.shape[1], 1), np.int32)
     return shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(None, "rows", None), P(None, None, None), P("rows"),
-                  P(None)),
+                  P(None), P("rows", None), P(None, None)),
         out_specs=(P("rows", None), P("rows", None), P("rows", None)),
-    )(a_stack, b_stack, jnp.asarray(c1), jnp.asarray(c2))
+    )(a_stack, b_stack, jnp.asarray(c1), jnp.asarray(c2),
+      jnp.asarray(a_sig), jnp.asarray(b_sig))
 
 
 class ShardedSamebitsEngine:
@@ -444,10 +480,13 @@ class ShardedCoreAccEngine:
             emit_coreacc_self_block(out, names, tab, block, r0, r1, n)
 
 
-class ShardedKnnEngine:
+class ShardedKnnEngine(PreclusterKnnMixin):
     """Sparse single-k kNN over a device mesh: rows shard over 'rows', all
     columns stream on every device; per-shard top-k results come back
-    row-sharded. Same self_knn/cross_knn interface as DeviceKnnEngine."""
+    row-sharded. Same self_knn/cross_knn/precluster_knn interface as
+    DeviceKnnEngine (the preclustered masked scan shards its rows over
+    the mesh too, so the flagship 661k prefiltered workload engages every
+    chip)."""
 
     def __init__(self, ms, mesh: Mesh | None = None, col_tile: int = 8192):
         from ..runtime import enable_compilation_cache
@@ -469,7 +508,8 @@ class ShardedKnnEngine:
 
     def _run(self, a_mat: np.ndarray, b_mat: np.ndarray, knn: int,
              exclude_self: bool, row_base: int = 0,
-             c1_rows=None, c2_cols=None, cutoff: float = 0.64):
+             c1_rows=None, c2_cols=None, cutoff: float = 0.64,
+             a_sig=None, b_sig=None):
         rows_mult = self.mesh.shape["rows"]
         na = a_mat.shape[0]
         if na == 0:  # empty multi-process row slice
@@ -487,12 +527,21 @@ class ShardedKnnEngine:
             padb = b_mat.shape[0] - c2.size
             if padb:
                 c2 = np.pad(c2, (0, padb), constant_values=1.0)
+        if a_sig is not None:
+            # padded sign rows are discarded from the output; padded sign
+            # COLUMNS never pass the cols < n_real validity check
+            a_sig = np.pad(a_sig.astype(np.int32), ((0, pad), (0, 0)))
+            b_sig = np.asarray(b_sig, dtype=np.int32)
+            padb = b_mat.shape[0] - b_sig.shape[0]
+            if padb:
+                b_sig = np.pad(b_sig, ((0, padb), (0, 0)))
         a_dev = jax.device_put(a_mat, NamedSharding(self.mesh, P("rows", None)))
         b_dev = jax.device_put(b_mat, NamedSharding(self.mesh, P(None, None)))
         v, i = sharded_knn_step(
             a_dev, b_dev, self.s64, self.mesh, knn, n_real=self.n,
             exclude_self=exclude_self, col_tile=self.col_tile,
             row_base=row_base, c1=c1, c2=c2, cutoff=cutoff,
+            a_sig=a_sig, b_sig=b_sig,
         )
         return np.asarray(v)[:na], np.asarray(i)[:na]
 
@@ -557,7 +606,7 @@ class ShardedKnnEngine:
 
     def _run_ca(self, a_stack: np.ndarray, knn: int, exclude_self: bool,
                 row_base: int = 0, c1_rows=None, c2_cols=None,
-                cutoff: float = 0.64):
+                cutoff: float = 0.64, a_sig=None, b_sig=None):
         from ..dist.knn_jax import SparseKnnRows
 
         kmers = tuple(self.ms.kmer_lengths)
@@ -586,6 +635,12 @@ class ShardedKnnEngine:
                 np.asarray(c2_cols, dtype=np.float32), (0, padc),
                 constant_values=1.0,
             )
+        if a_sig is not None:
+            a_sig = np.pad(a_sig.astype(np.int32), ((0, pad), (0, 0)))
+            b_sig = np.asarray(b_sig, dtype=np.int32)
+            padb = b_stack.shape[1] - b_sig.shape[0]
+            if padb:
+                b_sig = np.pad(b_sig, ((0, padb), (0, 0)))
         a_dev = jax.device_put(
             a_stack, NamedSharding(self.mesh, P(None, "rows", None))
         )
@@ -597,6 +652,7 @@ class ShardedKnnEngine:
             exclude_self=exclude_self, kmers=kmers,
             sketch_size=self.ms.sketch_size, col_tile=self.col_tile,
             row_base=row_base, c1=c1, c2=c2, cutoff=cutoff,
+            a_sig=a_sig, b_sig=b_sig,
         )
         # exact f64 values for the selected pairs (same pass as the
         # single-device engine; selection stays f32)
@@ -651,6 +707,42 @@ class ShardedKnnEngine:
         return self._run_ca(
             self._stack(query_ms), knn, exclude_self=False,
             c1_rows=c1, c2_cols=c2, cutoff=completeness_cutoff,
+        )
+
+    # --- precluster scan primitives (see PreclusterKnnMixin) ---
+
+    def _pc_scan(self, dist_type, lo, hi, signs, knn, comp, cutoff):
+        a_mat, b_mat = self._mats(dist_type.k_idx)
+        return self._run(
+            a_mat[lo:hi], b_mat, knn, exclude_self=True, row_base=lo,
+            c1_rows=comp[lo:hi] if comp is not None else None,
+            c2_cols=comp, cutoff=cutoff,
+            a_sig=signs[lo:hi], b_sig=signs,
+        )
+
+    def _pc_scan_subset(self, dist_type, rows, knn, comp, cutoff):
+        a_mat, b_mat = self._mats(dist_type.k_idx)
+        return self._run(
+            a_mat[rows], b_mat, knn, exclude_self=False,
+            c1_rows=comp[rows] if comp is not None else None,
+            c2_cols=comp, cutoff=cutoff,
+        )
+
+    def _pc_ca(self, lo, hi, signs, knn, comp, cutoff):
+        stack = self._stack(self.ms)
+        return self._run_ca(
+            stack[:, lo:hi, :], knn, exclude_self=True, row_base=lo,
+            c1_rows=comp[lo:hi] if comp is not None else None,
+            c2_cols=comp, cutoff=cutoff,
+            a_sig=signs[lo:hi], b_sig=signs,
+        )
+
+    def _pc_ca_subset(self, rows, knn, comp, cutoff):
+        stack = self._stack(self.ms)
+        return self._run_ca(
+            stack[:, rows, :], knn, exclude_self=False,
+            c1_rows=comp[rows] if comp is not None else None,
+            c2_cols=comp, cutoff=cutoff,
         )
 
 

@@ -432,3 +432,135 @@ def test_sharded_knn_grouped_merge(eight_devices):
     host = api.self_dists_knn(ms, knn, dist_type)
     dev = ShardedKnnEngine(ms, col_tile=col_tile).self_knn(knn, dist_type)
     _assert_rows_equal(dev, host)
+
+
+@pytest.mark.parametrize("retain", [None, "singleton", "bruteforce"])
+def test_sharded_precluster_knn_matches_device(eight_devices, retain):
+    """The mesh-sharded masked (prefiltered) scan must match the
+    single-device engine item-for-item: exact samebits selection with the
+    same (value desc, column asc) tie rule, same f64 value chain, same
+    retain-unmatched and padding semantics."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.knn_jax import DeviceKnnEngine
+    from sketchtpu.inverted.index import Inverted
+    from sketchtpu.shard.mesh import ShardedKnnEngine, make_mesh
+    from sketchtpu.sketchcore.sketch import HashType
+
+    n = 50
+    ms = _fake_ms(n=n, seed=4)
+    rng = np.random.default_rng(5)
+    stride = 37
+    signs = rng.integers(0, 25, (n, stride), dtype=np.uint16)
+    for iso in (7, 23, 41):  # private alphabets -> zero candidates
+        signs[iso] = rng.integers(1000 + iso * 50, 1000 + iso * 50 + 40, stride)
+    perm = rng.permutation(n)
+    inv = Inverted(
+        sign_matrix=signs[perm],
+        sample_names=[f"g{i}" for i in perm],
+        kmer_size=17,
+        rc=True,
+        hash_type=HashType("dna"),
+    )
+    skq_flat = inv.sign_matrix.reshape(-1)
+    dist_type = api.set_k(ms, 17, False)
+    knn = 6
+    dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).precluster_knn(
+        inv, skq_flat, knn, dist_type, retain_unmatched=retain
+    )
+    sharded_eng = ShardedKnnEngine(
+        ms, mesh=make_mesh(n_rows=8, n_words=1), col_tile=16
+    )
+    sharded = sharded_eng.precluster_knn(
+        inv, skq_flat, knn, dist_type, retain_unmatched=retain
+    )
+    assert len(sharded) == len(dev)
+    for r, (sr, dr) in enumerate(zip(sharded, dev)):
+        assert [(i, np.float32(d)) for i, d in sr] == [
+            (i, np.float32(d)) for i, d in dr
+        ], f"row {r}"
+
+    # row_range slicing matches the corresponding full-run rows
+    sl = sharded_eng.precluster_knn(
+        inv, skq_flat, knn, dist_type, retain_unmatched=retain,
+        row_range=slice(10, 30),
+    )
+    assert len(sl) == 20
+    for sr, fr in zip(sl, sharded[10:30]):
+        assert [(i, np.float32(d)) for i, d in sr] == [
+            (i, np.float32(d)) for i, d in fr
+        ]
+
+
+@pytest.mark.parametrize("retain", [None, "bruteforce"])
+def test_sharded_precluster_coreacc_matches_device(eight_devices, retain):
+    """Core/accessory precluster (extension; the reference panics here,
+    distances/mod.rs:548-550) over the mesh: f32 selection with the same
+    kernels as the single-device engine plus the exact-value pass, so
+    items must match exactly."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _coreacc_precluster_fixture
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.knn_jax import DeviceKnnEngine
+    from sketchtpu.shard.mesh import ShardedKnnEngine, make_mesh
+
+    ms, inv, skq_flat, stride = _coreacc_precluster_fixture()
+    dist_type = api.set_k(ms, None, False)
+    knn = 5
+    dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).precluster_knn(
+        inv, skq_flat, knn, dist_type, retain_unmatched=retain
+    )
+    sharded = ShardedKnnEngine(
+        ms, mesh=make_mesh(n_rows=8, n_words=1), col_tile=16
+    ).precluster_knn(inv, skq_flat, knn, dist_type, retain_unmatched=retain)
+    assert len(sharded) == len(dev)
+    for r, (sr, dr) in enumerate(zip(sharded, dev)):
+        assert [
+            (i, np.float32(c), np.float32(a)) for i, c, a in sr
+        ] == [(i, np.float32(c), np.float32(a)) for i, c, a in dr], f"row {r}"
+
+
+def test_sharded_precluster_knn_completeness(eight_devices):
+    """Masked scan + MAG completeness correction on the mesh: selection
+    keys on the corrected f32 Jaccard, printed values recomputed exactly
+    — must match the single-device engine."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api
+    from sketchtpu.dist.knn_jax import DeviceKnnEngine
+    from sketchtpu.inverted.index import Inverted
+    from sketchtpu.shard.mesh import ShardedKnnEngine, make_mesh
+    from sketchtpu.sketchcore.sketch import HashType
+
+    n = 40
+    ms = _fake_ms(n=n, seed=11)
+    rng = np.random.default_rng(12)
+    stride = 23
+    signs = rng.integers(0, 15, (n, stride), dtype=np.uint16)
+    inv = Inverted(
+        sign_matrix=signs,
+        sample_names=[f"g{i}" for i in range(n)],
+        kmer_size=17,
+        rc=True,
+        hash_type=HashType("dna"),
+    )
+    skq_flat = inv.sign_matrix.reshape(-1)
+    dist_type = api.set_k(ms, 17, False)
+    comp = rng.uniform(0.75, 1.0, n)
+    dev = DeviceKnnEngine(ms, row_tile=16, col_tile=32).precluster_knn(
+        inv, skq_flat, 5, dist_type, completeness_vec=comp
+    )
+    sharded = ShardedKnnEngine(
+        ms, mesh=make_mesh(n_rows=8, n_words=1), col_tile=16
+    ).precluster_knn(inv, skq_flat, 5, dist_type, completeness_vec=comp)
+    for r, (sr, dr) in enumerate(zip(sharded, dev)):
+        assert [(i, np.float32(d)) for i, d in sr] == [
+            (i, np.float32(d)) for i, d in dr
+        ], f"row {r}"
