@@ -87,121 +87,178 @@ static size_t write_varint(uint8_t* out, uint64_t v) {
 // Maximum compressed size for `n` input bytes (worst case all literals).
 size_t stpu_snappy_max_compressed(size_t n) { return 32 + n + n / 6; }
 
-// Greedy LZ77 compressor emitting the snappy raw element stream.
+// LZ77 compressor emitting the snappy raw element stream. This is a
+// faithful re-implementation of the classic snappy block algorithm
+// (64 KiB blocks, 2^8..2^14-entry hash table sized to the block,
+// multiplicative hash 0x1e35a7bd, the skip/32 miss accelerator, and the
+// 68/64-split copy emission) so that the emitted bytes are identical to
+// what the reference's `snap` crate writes — .skm/.ski containers built
+// here byte-match reference-written fixtures, not just decode-compat.
 // Returns compressed size, or 0 on error (out buffer too small).
+
+static inline uint32_t snappy_load32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;  // little-endian hosts only (x86-64/aarch64)
+}
+
+static inline uint32_t snappy_hash(uint32_t bytes, int shift) {
+    return (bytes * 0x1E35A7BDu) >> shift;
+}
+
+// Emit a literal run [start, start+len) into out. len <= 2^32.
+static bool snappy_emit_literal(const uint8_t* in, size_t start, size_t len,
+                                uint8_t* out, size_t out_cap, size_t& op) {
+    if (len == 0) return true;
+    size_t l = len - 1;
+    if (l < 60) {
+        if (op + 1 + len > out_cap) return false;
+        out[op++] = (uint8_t)(l << 2);
+    } else if (l < (1u << 8)) {
+        if (op + 2 + len > out_cap) return false;
+        out[op++] = (uint8_t)(60 << 2);
+        out[op++] = (uint8_t)l;
+    } else if (l < (1u << 16)) {
+        if (op + 3 + len > out_cap) return false;
+        out[op++] = (uint8_t)(61 << 2);
+        out[op++] = (uint8_t)l;
+        out[op++] = (uint8_t)(l >> 8);
+    } else if (l < (1ull << 24)) {
+        if (op + 4 + len > out_cap) return false;
+        out[op++] = (uint8_t)(62 << 2);
+        out[op++] = (uint8_t)l;
+        out[op++] = (uint8_t)(l >> 8);
+        out[op++] = (uint8_t)(l >> 16);
+    } else {
+        if (op + 5 + len > out_cap) return false;
+        out[op++] = (uint8_t)(63 << 2);
+        out[op++] = (uint8_t)l;
+        out[op++] = (uint8_t)(l >> 8);
+        out[op++] = (uint8_t)(l >> 16);
+        out[op++] = (uint8_t)(l >> 24);
+    }
+    memcpy(out + op, in + start, len);
+    op += len;
+    return true;
+}
+
+// One copy element of length 4..64 (type-1 two-byte form when it fits).
+static bool snappy_emit_copy_upto64(size_t offset, size_t len, uint8_t* out,
+                                    size_t out_cap, size_t& op) {
+    if (len < 12 && offset < 2048) {
+        if (op + 2 > out_cap) return false;
+        out[op++] =
+            (uint8_t)(1 | (((len - 4) & 7) << 2) | ((offset >> 8) << 5));
+        out[op++] = (uint8_t)(offset & 0xFF);
+    } else {
+        if (op + 3 > out_cap) return false;
+        out[op++] = (uint8_t)(2 | ((len - 1) << 2));
+        out[op++] = (uint8_t)(offset & 0xFF);
+        out[op++] = (uint8_t)(offset >> 8);
+    }
+    return true;
+}
+
+// Copy emission with the reference algorithm's exact chunking: 64s while
+// len >= 68, then a 60 if len > 64, then the remainder.
+static bool snappy_emit_copy(size_t offset, size_t len, uint8_t* out,
+                             size_t out_cap, size_t& op) {
+    while (len >= 68) {
+        if (!snappy_emit_copy_upto64(offset, 64, out, out_cap, op))
+            return false;
+        len -= 64;
+    }
+    if (len > 64) {
+        if (!snappy_emit_copy_upto64(offset, 60, out, out_cap, op))
+            return false;
+        len -= 60;
+    }
+    return snappy_emit_copy_upto64(offset, len, out, out_cap, op);
+}
+
+// Compress one block (<= 64 KiB) appending elements to out at op.
+static bool snappy_compress_block(const uint8_t* in, size_t n, uint8_t* out,
+                                  size_t out_cap, size_t& op,
+                                  uint16_t* table) {
+    size_t table_size = 256;
+    const size_t kMaxTableSize = 1u << 14;
+    while (table_size < kMaxTableSize && table_size < n) table_size <<= 1;
+    memset(table, 0, table_size * sizeof(uint16_t));
+    const int shift = 32 - __builtin_ctzll(table_size);
+
+    const size_t kInputMarginBytes = 15;
+    size_t next_emit = 0;
+    size_t ip = 0;
+    if (n >= kInputMarginBytes) {
+        const size_t ip_limit = n - kInputMarginBytes;
+        ip = 1;
+        uint32_t next_hash = snappy_hash(snappy_load32(in + ip), shift);
+        for (;;) {
+            uint32_t skip = 32;
+            size_t next_ip = ip;
+            size_t candidate;
+            do {
+                ip = next_ip;
+                uint32_t hash = next_hash;
+                uint32_t bytes_between = skip++ >> 5;
+                next_ip = ip + bytes_between;
+                if (next_ip > ip_limit) goto emit_remainder;
+                next_hash = snappy_hash(snappy_load32(in + next_ip), shift);
+                candidate = table[hash];
+                table[hash] = (uint16_t)ip;
+            } while (snappy_load32(in + ip) != snappy_load32(in + candidate));
+
+            if (!snappy_emit_literal(in, next_emit, ip - next_emit, out,
+                                     out_cap, op))
+                return false;
+
+            uint64_t input_bytes = 0;
+            for (;;) {
+                size_t base = ip;
+                size_t matched = 4;
+                while (ip + matched < n &&
+                       in[candidate + matched] == in[ip + matched])
+                    matched++;
+                ip += matched;
+                if (!snappy_emit_copy(base - candidate, matched, out,
+                                      out_cap, op))
+                    return false;
+                next_emit = ip;
+                if (ip >= ip_limit) goto emit_remainder;
+                memcpy(&input_bytes, in + ip - 1, 8);
+                uint32_t prev_hash =
+                    snappy_hash((uint32_t)input_bytes, shift);
+                table[prev_hash] = (uint16_t)(ip - 1);
+                uint32_t cur_hash =
+                    snappy_hash((uint32_t)(input_bytes >> 8), shift);
+                candidate = table[cur_hash];
+                table[cur_hash] = (uint16_t)ip;
+                if ((uint32_t)(input_bytes >> 8) !=
+                    snappy_load32(in + candidate))
+                    break;
+            }
+            ip++;
+            next_hash = snappy_hash(snappy_load32(in + ip), shift);
+        }
+    }
+emit_remainder:
+    return snappy_emit_literal(in, next_emit, n - next_emit, out, out_cap,
+                               op);
+}
+
 size_t stpu_snappy_compress(const uint8_t* in, size_t n, uint8_t* out,
                             size_t out_cap) {
     if (out_cap < 16) return 0;
     size_t op = write_varint(out, n);
     if (n == 0) return op;
-
-    const size_t HASH_BITS = 14;
-    const size_t HASH_SIZE = 1u << HASH_BITS;
-    std::vector<int64_t> table(HASH_SIZE, -1);
-
-    auto hash4 = [&](size_t i) -> uint32_t {
-        uint32_t v;
-        memcpy(&v, in + i, 4);
-        return (v * 0x1E35A7BDu) >> (32 - HASH_BITS);
-    };
-
-    auto emit_literal = [&](size_t start, size_t len) -> bool {
-        while (len > 0) {
-            // the 4-extra-byte tag caps a single literal run at 2^32 bytes;
-            // longer runs (>=4 GiB inputs) split into maximal runs
-            size_t chunk = len < (1ull << 32) ? len : ((1ull << 32) - 1);
-            size_t l = chunk - 1;
-            if (l < 60) {
-                if (op + 1 + chunk > out_cap) return false;
-                out[op++] = (uint8_t)(l << 2);
-            } else if (l < (1u << 8)) {
-                if (op + 2 + chunk > out_cap) return false;
-                out[op++] = (uint8_t)(60 << 2);
-                out[op++] = (uint8_t)l;
-            } else if (l < (1u << 16)) {
-                if (op + 3 + chunk > out_cap) return false;
-                out[op++] = (uint8_t)(61 << 2);
-                out[op++] = (uint8_t)l;
-                out[op++] = (uint8_t)(l >> 8);
-            } else if (l < (1ull << 24)) {
-                if (op + 4 + chunk > out_cap) return false;
-                out[op++] = (uint8_t)(62 << 2);
-                out[op++] = (uint8_t)l;
-                out[op++] = (uint8_t)(l >> 8);
-                out[op++] = (uint8_t)(l >> 16);
-            } else {
-                if (op + 5 + chunk > out_cap) return false;
-                out[op++] = (uint8_t)(63 << 2);
-                out[op++] = (uint8_t)l;
-                out[op++] = (uint8_t)(l >> 8);
-                out[op++] = (uint8_t)(l >> 16);
-                out[op++] = (uint8_t)(l >> 24);
-            }
-            memcpy(out + op, in + start, chunk);
-            op += chunk;
-            start += chunk;
-            len -= chunk;
-        }
-        return true;
-    };
-
-    auto emit_copy = [&](size_t offset, size_t len) -> bool {
-        // Emit copies; len >= 4 guaranteed by caller. Type-2 copies support
-        // lengths 1..64, so any chunking is valid; type-1 (2-byte) copies are
-        // a size optimisation for short near copies.
-        while (len > 0) {
-            if (len >= 4 && len < 12 && offset < 2048) {
-                if (op + 2 > out_cap) return false;
-                out[op++] =
-                    (uint8_t)(1 | (((len - 4) & 7) << 2) | ((offset >> 8) << 5));
-                out[op++] = (uint8_t)(offset & 0xFF);
-                return true;
-            }
-            size_t l = len > 64 ? 64 : len;
-            if (offset < (1u << 16)) {
-                if (op + 3 > out_cap) return false;
-                out[op++] = (uint8_t)(2 | ((l - 1) << 2));
-                out[op++] = (uint8_t)(offset & 0xFF);
-                out[op++] = (uint8_t)(offset >> 8);
-            } else {
-                if (op + 5 > out_cap) return false;
-                out[op++] = (uint8_t)(3 | ((l - 1) << 2));
-                out[op++] = (uint8_t)(offset & 0xFF);
-                out[op++] = (uint8_t)((offset >> 8) & 0xFF);
-                out[op++] = (uint8_t)((offset >> 16) & 0xFF);
-                out[op++] = (uint8_t)((offset >> 24) & 0xFF);
-            }
-            len -= l;
-        }
-        return true;
-    };
-
-    size_t ip = 0, lit_start = 0;
-    if (n >= 15) {
-        size_t limit = n - 15;
-        while (ip < limit) {
-            uint32_t h = hash4(ip);
-            int64_t cand = table[h];
-            table[h] = (int64_t)ip;
-            uint32_t cur, prev;
-            memcpy(&cur, in + ip, 4);
-            if (cand >= 0 && (size_t)(ip - cand) < (1u << 16)) {
-                memcpy(&prev, in + cand, 4);
-                if (cur == prev) {
-                    // extend match
-                    size_t m = 4;
-                    while (ip + m < n && in[cand + m] == in[ip + m]) m++;
-                    if (!emit_literal(lit_start, ip - lit_start)) return 0;
-                    if (!emit_copy(ip - cand, m)) return 0;
-                    ip += m;
-                    lit_start = ip;
-                    continue;
-                }
-            }
-            ip++;
-        }
+    const size_t kBlockSize = 1u << 16;
+    std::vector<uint16_t> table(1u << 14);
+    for (size_t pos = 0; pos < n; pos += kBlockSize) {
+        size_t blk = n - pos < kBlockSize ? n - pos : kBlockSize;
+        if (!snappy_compress_block(in + pos, blk, out, out_cap, op,
+                                   table.data()))
+            return 0;
     }
-    if (!emit_literal(lit_start, n - lit_start)) return 0;
     return op;
 }
 

@@ -132,3 +132,29 @@ def test_snappy_checksum_verified(tmp_path):
     framed[-1] ^= 0xFF  # flip a payload byte, CRC now mismatches
     with pytest.raises(ValueError, match="checksum"):
         snappy.frame_decompress(bytes(framed))
+
+
+def test_snappy_recompress_byte_parity(ref_in):
+    """Our snappy compressor re-implements the classic block algorithm the
+    reference's `snap` crate uses (64 KiB blocks, sized hash table, skip/32
+    accelerator, 68/64 copy split), so recompressing a reference-written
+    container must reproduce its bytes exactly — the strongest executable
+    load-compat proof available without a Rust toolchain."""
+    from sketchtpu._native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native snappy unavailable (pure-Python is all-literal)")
+    for name in ["sketches1.skm", "sketches2.skm", "sketches3.skm",
+                 "legacy_db.skm"]:
+        raw = (ref_in / name).read_bytes()
+        payload = snappy.frame_decompress(raw)
+        assert snappy.frame_compress(payload) == raw, name
+
+
+def test_cbor_reencode_identity(ref_in):
+    """Decoding a ciborium-written payload and re-encoding it with our CBOR
+    writer must reproduce the payload byte-for-byte (field order, minimal
+    integer widths, string/array/map headers)."""
+    for name in ["sketches1.skm", "legacy_db.skm"]:
+        payload = snappy.frame_decompress((ref_in / name).read_bytes())
+        assert cbor.dumps(cbor.loads(payload)) == payload, name

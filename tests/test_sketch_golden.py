@@ -89,3 +89,35 @@ def test_chunked_pipeline_bit_exact(ref_in_module, tmp_path, monkeypatch):
     assert [s.name for s in one] == [s.name for s in many]
     assert [s.index for s in one] == [s.index for s in many]
     assert [s.seq_length for s in one] == [s.seq_length for s in many]
+
+
+def test_skm_writer_byte_parity(streams, ref_in_module, tmp_path):
+    """A repo-WRITTEN .skm must byte-match the reference-written fixture
+    (multisketch.rs:80-103): same CBOR field order and encodings, same
+    snappy frames. The only nondeterminism in the reference's output is
+    `name_map` iteration order (a Rust HashMap randomizes per process), so
+    the test pins our map to the fixture's observed order and the version
+    field to the fixture's "0.2.0" — every other byte is produced by our
+    own sketcher + codecs."""
+    from sketchtpu._native import get_lib
+    from sketchtpu.formats import cbor, snappy
+    from sketchtpu.formats.skm import MultiSketch
+    from sketchtpu.sketchcore.sketch import HashType
+
+    if get_lib() is None:
+        pytest.skip("native snappy unavailable (pure-Python is all-literal)")
+    fixture = (ref_in_module / "sketches1.skm").read_bytes()
+    fix_map_order = list(
+        cbor.loads(snappy.frame_decompress(fixture))["name_map"]
+    )
+    sketches = []
+    for i, g in enumerate(GENOMES):
+        sk = sketch_dna_sample(streams[g], g, [31], 1024, rc=True, min_count=0)
+        sk.index = i
+        sketches.append(sk)
+    ms = MultiSketch(
+        sketches, 1024, [31], HashType("dna"), sketch_version="0.2.0"
+    )
+    ms.name_map = {name: ms.name_map[name] for name in fix_map_order}
+    ms.save_metadata(str(tmp_path / "mine"))
+    assert (tmp_path / "mine.skm").read_bytes() == fixture
