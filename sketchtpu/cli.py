@@ -966,6 +966,8 @@ def _inverted_main(args) -> None:
                 batch_counts = engine.match_counts(queries)
             elif args.query_type == "any-bins":
                 batch_any = engine.any_shared_rows(queries)
+            elif args.query_type == "all-bins":
+                batch_any = engine.all_shared_rows(queries)
         if not multiproc or proc_id == 0:
             out.write("Query")
             if args.query_type == "match-count":
@@ -985,10 +987,10 @@ def _inverted_main(args) -> None:
                 )
                 out.write("\t" + "\t".join(str(int(c)) for c in counts))
             else:
-                if args.query_type == "all-bins":
-                    hits = inv.all_shared_bins(q)
-                elif batch_any is not None:
+                if batch_any is not None:
                     hits = np.flatnonzero(batch_any[qi])
+                elif args.query_type == "all-bins":
+                    hits = inv.all_shared_bins(q)
                 else:
                     hits = inv.any_shared_bins(q)
                 if hits.size:

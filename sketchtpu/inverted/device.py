@@ -71,13 +71,14 @@ def _match_count_strip(
     return counts
 
 
-@functools.partial(jax.jit, static_argnames=("tc", "count"))
-def _match_matrix_scan(q: jnp.ndarray, m: jnp.ndarray, tc: int, count: bool):
-    """(nq, S) x (n, S) -> (nq, n) counts (count=True) or bool any-shared
-    mask, with the column dimension scanned ON DEVICE so the whole result
-    crosses the link in one transfer (per-tile dispatches each paid a
-    fixed round-trip that dwarfed the compute). Counts are bounded by S,
-    so they return as uint16 when that provably fits, int32 otherwise."""
+@functools.partial(jax.jit, static_argnames=("tc", "mode"))
+def _match_matrix_scan(q: jnp.ndarray, m: jnp.ndarray, tc: int, mode: str):
+    """(nq, S) x (n, S) -> (nq, n) counts (mode="count") or bool
+    any-/all-shared mask (mode="any"/"all", inverted.rs:243-268), with the
+    column dimension scanned ON DEVICE so the whole result crosses the link
+    in one transfer (per-tile dispatches each paid a fixed round-trip that
+    dwarfed the compute). Counts are bounded by S, so they return as uint16
+    when that provably fits, int32 otherwise."""
     n, s = m.shape
     nq = q.shape[0]
     cdtype = jnp.uint16 if s < 65536 else jnp.int32
@@ -85,8 +86,10 @@ def _match_matrix_scan(q: jnp.ndarray, m: jnp.ndarray, tc: int, count: bool):
     def body(_, t):
         b = jax.lax.dynamic_slice(m, (t * tc, 0), (tc, s))
         eq = q[:, None, :] == b[None, :, :]
-        if count:
+        if mode == "count":
             out = jnp.sum(eq.astype(jnp.int32), axis=2).astype(cdtype)
+        elif mode == "all":
+            out = eq.all(axis=2)
         else:
             out = eq.any(axis=2)
         return None, out
@@ -150,11 +153,19 @@ class DeviceInvertedEngine:
     def match_counts(self, queries: np.ndarray) -> np.ndarray:
         """(nq, S) u16 query signs -> (nq, n) int64 shared-bin counts."""
         q = jax.device_put(np.asarray(queries, dtype=np.int32))
-        out = _match_matrix_scan(q, self._padded_mat(), self.tile, True)
+        out = _match_matrix_scan(q, self._padded_mat(), self.tile, "count")
         return np.asarray(out)[:, : self.n].astype(np.int64)
 
     def any_shared_rows(self, queries: np.ndarray) -> np.ndarray:
         """(nq, S) u16 query signs -> (nq, n) bool any-shared-bin mask."""
         q = jax.device_put(np.asarray(queries, dtype=np.int32))
-        out = _match_matrix_scan(q, self._padded_mat(), self.tile, False)
+        out = _match_matrix_scan(q, self._padded_mat(), self.tile, "any")
+        return np.asarray(out)[:, : self.n]
+
+    def all_shared_rows(self, queries: np.ndarray) -> np.ndarray:
+        """(nq, S) u16 query signs -> (nq, n) bool all-bins-shared mask
+        (inverted.rs:243-256). Pad rows are sliced off on host, so a
+        zero-padded row can never masquerade as an all-match."""
+        q = jax.device_put(np.asarray(queries, dtype=np.int32))
+        out = _match_matrix_scan(q, self._padded_mat(), self.tile, "all")
         return np.asarray(out)[:, : self.n]

@@ -208,13 +208,18 @@ def test_multiprocess_precluster_concat(wd, seed, retain, monkeypatch):
 @pytest.mark.parametrize("qtype", ["match-count", "any-bins", "all-bins"])
 def test_multiprocess_inverted_query_concat(wd, qtype, monkeypatch):
     """inverted query with --n-processes: header only on rank 0, query rows
-    sharded; concatenation equals the single-process output."""
+    sharded; concatenation equals the single-process output. Also an A/B:
+    the single-process run goes through the device equality-tile engine
+    (match_counts/any_shared_rows/all_shared_rows) while the sharded runs
+    use the host loop, so the concat equality doubles as engine parity."""
     rng = np.random.default_rng(6000)
     genomes = _related_fastas(wd, rng, 8)
     run("inverted", "build", "-o", "inv", "-k", "17", "-s", "12",
         *genomes, "--quiet")
+    monkeypatch.setenv("SKETCHTPU_BACKEND", "tpu")
     run("inverted", "query", "inv.ski", *genomes, "--query-type", qtype,
         "-o", "single.txt", "--quiet")
+    monkeypatch.setenv("SKETCHTPU_BACKEND", "host")
     for r in range(3):
         run("inverted", "query", "inv.ski", *genomes, "--query-type", qtype,
             "-o", "multi.txt", "--quiet",

@@ -43,20 +43,30 @@ def test_any_shared_bin_count_tiny_tile_and_sparse_matches():
     assert engine.any_shared_bin_count() == inv.any_shared_bin_count()
 
 
-def test_match_counts_and_any_rows_match_host():
+def test_match_counts_and_any_all_rows_match_host():
     inv = _random_index(n=300, s=65, seed=1)
     rng = np.random.default_rng(2)
     queries = rng.integers(0, 40, (9, 65), dtype=np.uint16)
+    # rows 7/8 duplicate index rows so all-bins has real hits (row 77 twice
+    # in the matrix catches the multi-hit path)
+    queries[7] = inv.sign_matrix[77]
+    queries[8] = inv.sign_matrix[3]
+    inv.sign_matrix[212] = inv.sign_matrix[77]
     engine = DeviceInvertedEngine(inv.sign_matrix, tile=128)
 
     counts = engine.match_counts(queries)
     anyrows = engine.any_shared_rows(queries)
+    allrows = engine.all_shared_rows(queries)
+    assert allrows[7].sum() >= 2 and allrows[8].sum() >= 1
     for qi in range(queries.shape[0]):
         np.testing.assert_array_equal(
             counts[qi], inv.query_match_count(queries[qi])
         )
         np.testing.assert_array_equal(
             np.flatnonzero(anyrows[qi]), inv.any_shared_bins(queries[qi])
+        )
+        np.testing.assert_array_equal(
+            np.flatnonzero(allrows[qi]), inv.all_shared_bins(queries[qi])
         )
 
 
