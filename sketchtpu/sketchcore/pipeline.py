@@ -110,6 +110,7 @@ def sketch_files(
                             sketch_bins,
                             rc,
                             min_count,
+                            threads=threads,
                         )
                         for sketch in batch:
                             sketch.index = writer.write_sketch(sketch.usigs)

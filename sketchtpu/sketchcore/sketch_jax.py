@@ -606,6 +606,7 @@ class DeviceSketchBackend:
         sketch_size: int,
         rc: bool,
         min_count: int,
+        threads: int = 1,
     ) -> list[Sketch]:
         _s64, nbins, _u = num_bins_fn(sketch_size)
 
@@ -621,55 +622,79 @@ class DeviceSketchBackend:
                 for bi, i in enumerate(assembly_idx):
                     bins_per_k[kk][i] = multi[kk][bi]
         if read_idx:
-            # The count filter itself is order-dependent *within* one
-            # (stream, k) sign sequence but independent across pairs, so
-            # hash kernels dispatch ahead (round-robin over chips) while
-            # the host filters collected ones.
+            # The count filter is order-dependent *within* one (stream, k)
+            # sign sequence but independent across pairs (the reference
+            # rayon-parallelises whole samples, sketch/mod.rs:318-391), so
+            # hash kernels dispatch ahead (round-robin over chips), the
+            # main thread collects sign streams, and the sequential filter
+            # loops run in a host pool (the native filter is a ctypes call
+            # and releases the GIL, so --threads scales this stage).
+            from concurrent.futures import ThreadPoolExecutor
+
             import jax
 
             devices = jax.local_devices()
-            window = max(4, 2 * len(devices))
+            n_workers = max(1, threads)
+            window = max(4, 2 * len(devices), n_workers)
             pending: list[tuple] = []
+            filt_futs: list[tuple[int, int, object]] = []
 
-            def collect_one():
-                kk0, i0, h = pending.pop(0)
-                signs = self._collect_signs(h, streams[i0], kk0)
-                bins_per_k[kk0][i0] = bin_minima_filtered(
-                    signs, nbins, min_count
-                )
+            with ThreadPoolExecutor(max_workers=n_workers) as filt_pool:
 
-            # oversized read streams go through the segmented in-order
-            # path (itself pipelined across its segments)
-            for i in [j for j in read_idx if streams[j].seq_len > _SEG_BASES + MAX_K]:
-                for kk in kmers:
-                    bins_per_k[kk][i] = bin_minima_filtered(
-                        self.signs_in_order(streams[i], kk, rc),
-                        nbins,
-                        min_count,
+                def collect_one():
+                    kk0, i0, h = pending.pop(0)
+                    signs = self._collect_signs(h, streams[i0], kk0)
+                    filt_futs.append(
+                        (kk0, i0,
+                         filt_pool.submit(
+                             bin_minima_filtered, signs, nbins, min_count
+                         ))
                     )
-            read_idx = [
-                j for j in read_idx if streams[j].seq_len <= _SEG_BASES + MAX_K
-            ]
 
-            order = [(kk, i) for kk in kmers for i in read_idx]
-            for j, (kk, i) in enumerate(order):
-                if kk > MAX_K:  # past the device tap-table width
-                    bins_per_k[kk][i] = bin_minima_filtered(
-                        self.signs_in_order(streams[i], kk, rc),
-                        nbins,
-                        min_count,
+                # oversized read streams go through the segmented in-order
+                # path (itself pipelined across its segments)
+                big = [
+                    j for j in read_idx
+                    if streams[j].seq_len > _SEG_BASES + MAX_K
+                ]
+                for i in big:
+                    for kk in kmers:
+                        filt_futs.append(
+                            (kk, i,
+                             filt_pool.submit(
+                                 bin_minima_filtered,
+                                 self.signs_in_order(streams[i], kk, rc),
+                                 nbins,
+                                 min_count,
+                             ))
+                        )
+                read_idx = [j for j in read_idx if j not in big]
+
+                order = [(kk, i) for kk in kmers for i in read_idx]
+                for j, (kk, i) in enumerate(order):
+                    if kk > MAX_K:  # past the device tap-table width
+                        filt_futs.append(
+                            (kk, i,
+                             filt_pool.submit(
+                                 bin_minima_filtered,
+                                 self.signs_in_order(streams[i], kk, rc),
+                                 nbins,
+                                 min_count,
+                             ))
+                        )
+                        continue
+                    if len(pending) >= window:
+                        collect_one()
+                    pending.append(
+                        (kk, i,
+                         self._dispatch_signs(
+                             streams[i], kk, rc, devices[j % len(devices)]
+                         ))
                     )
-                    continue
-                if len(pending) >= window:
+                while pending:
                     collect_one()
-                pending.append(
-                    (kk, i,
-                     self._dispatch_signs(
-                         streams[i], kk, rc, devices[j % len(devices)]
-                     ))
-                )
-            while pending:
-                collect_one()
+                for kk, i, fut in filt_futs:
+                    bins_per_k[kk][i] = fut.result()
 
         out = []
         for i, (stream, name) in enumerate(zip(streams, names)):

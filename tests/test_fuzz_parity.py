@@ -108,6 +108,13 @@ def test_random_reads_config_bit_exact(seed):
         assert np.array_equal(h.usigs, d.usigs), (seed, h.name)
         assert h.seq_length == d.seq_length
         assert h.reads == d.reads
+    # the count-filter stage runs in a host pool; each (stream, k) filter
+    # loop is self-contained so worker count must not change any bit
+    dev4 = DeviceSketchBackend().sketch_dna_streams(
+        streams, names, kmers, sketch_size, rc, min_count, threads=4
+    )
+    for h, d in zip(host, dev4):
+        assert np.array_equal(h.usigs, d.usigs), (seed, h.name, "threads=4")
 
 
 @pytest.mark.parametrize("seed", range(3))
