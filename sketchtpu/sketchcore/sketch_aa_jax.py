@@ -23,8 +23,10 @@ from .sketch import Sketch
 from .sketch_jax import (
     _MAX_GROUP,
     _MAX_GROUP_FAST,
+    _MAX_GROUP_WIDE,
     _SEG_BASES,
     _bucket_size,
+    _exact_rows,
     DeviceSketchBackend,
     segmented_min_combine,
 )
@@ -146,7 +148,8 @@ class DeviceAaSketchBackend:
             return np.packbits(vflags, bitorder="little")
 
         def dispatch_exact(group, codes_d, starts, total, n_pad):
-            starts_pad = np.full(_MAX_GROUP, total, dtype=np.int32)
+            rows = _exact_rows(len(group))
+            starts_pad = np.full(rows, total, dtype=np.int32)
             starts_pad[: starts.shape[0]] = starts
             results = {}
             for kk in kmers:
@@ -158,7 +161,7 @@ class DeviceAaSketchBackend:
                     aa_tap_tables_u32(kk, level),
                     num_bins=nbins,
                     magic=self._magic(nbins),
-                    out_rows=_MAX_GROUP,
+                    out_rows=rows,
                 )
             return results
 
@@ -207,16 +210,16 @@ class DeviceAaSketchBackend:
             fast = exact = None
             if is_fast:
                 fast = dispatch_fast(group, codes_d, starts, total, n_pad)
-            if fast is None and len(group) <= _MAX_GROUP:
+            if fast is None and len(group) <= _MAX_GROUP_WIDE:
                 exact = dispatch_exact(group, codes_d, starts, total, n_pad)
             return start, end, codes_d, starts, total, n_pad, fast, exact
 
         def collect_exact(results, start, end):
             g = end - start
             for kk, (min_hi, min_lo, found) in results.items():
-                mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:g]
-                ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:g]
-                fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:g]
+                mh = np.asarray(min_hi).reshape(-1, nbins)[:g]
+                ml = np.asarray(min_lo).reshape(-1, nbins)[:g]
+                fd = np.asarray(found).reshape(-1, nbins)[:g]
                 out[kk][start:end] = combine_bin_minima(mh, ml, fd)
 
         # prefilter-missed rows, redone in one batched exact pass at the
@@ -250,16 +253,16 @@ class DeviceAaSketchBackend:
                     return
                 # block overflow dropped candidates: nothing in the group
                 # is trustworthy
-                if g <= _MAX_GROUP:
+                if g <= _MAX_GROUP_WIDE:
                     group = streams[start:end]
                     exact = dispatch_exact(group, codes_d, starts, total, n_pad)
             if exact is not None:
                 collect_exact(exact, start, end)
                 return
-            # fast refusal on a large group: exact kernels in _MAX_GROUP
+            # fast refusal on a large group: exact kernels in wide
             # chunks (blocking; rare)
-            for s0 in range(start, end, _MAX_GROUP):
-                e0 = min(s0 + _MAX_GROUP, end)
+            for s0 in range(start, end, _MAX_GROUP_WIDE):
+                e0 = min(s0 + _MAX_GROUP_WIDE, end)
                 group = streams[s0:e0]
                 codes, starts2, total2, n_pad2 = prepare(group)
                 collect_exact(
@@ -287,9 +290,9 @@ class DeviceAaSketchBackend:
         def redo_collect(item):
             i, res = item
             for kk, (min_hi, min_lo, found2) in res.items():
-                mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:1]
-                ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:1]
-                fd = np.asarray(found2).reshape(_MAX_GROUP, nbins)[:1]
+                mh = np.asarray(min_hi).reshape(-1, nbins)[:1]
+                ml = np.asarray(min_lo).reshape(-1, nbins)[:1]
+                fd = np.asarray(found2).reshape(-1, nbins)[:1]
                 out[kk][i] = combine_bin_minima(mh, ml, fd)[0]
 
         handles = []

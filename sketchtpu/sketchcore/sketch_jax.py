@@ -43,6 +43,14 @@ _MAX_GROUP = 7
 # candidate key (nthash_multik.py), so prefilter-eligible genomes batch in
 # much larger groups — fewer dispatch round-trips per sketched base.
 _MAX_GROUP_FAST = 96
+# Small samples that miss the fast prefilter (density > 1/8, e.g. 100k-aa
+# proteomes at s=1000) batch in WIDE exact groups: the genome index rides
+# a third sort key (bin_min_sorted) instead of 3 spare hi bits, lifting
+# the 7-row cap. Growth past 7 rows stops once the group holds _WIDE_BASES
+# (large genomes keep the cheaper 2-key program and were dispatch-bound
+# never anyway).
+_MAX_GROUP_WIDE = 64
+_WIDE_BASES = 1 << 23
 # Same byte budget as the exact path: larger buckets measured slower (the
 # 64M-element program compiled minutes and ran at ~1/4 the 16M efficiency),
 # so big groups only help workloads of many sub-2M genomes.
@@ -57,6 +65,12 @@ _SEG_BASES = _BATCH_BASES - 2 * MAX_K
 # Single-k requests route to the fast kernel only below this stream length
 # (the benefit is purely the bigger genome groups; see _fast_eligible)
 _SINGLEK_FAST_MAX_LEN = 1 << 20
+
+
+def _exact_rows(g: int) -> int:
+    """out_rows bucket for an exact dispatch of g genomes (two cached
+    program shapes: the 2-key <=7-row one and the 3-key wide one)."""
+    return _MAX_GROUP if g <= _MAX_GROUP else _MAX_GROUP_WIDE
 
 
 def _bucket_size(n: int) -> int:
@@ -144,9 +158,13 @@ class DeviceSketchBackend:
             total = 0
             while (
                 end < len(streams)
-                and end - start < _MAX_GROUP
+                and end - start < _MAX_GROUP_WIDE
                 and (
                     end == start or total + streams[end].seq_len <= _BATCH_BASES
+                )
+                and (
+                    end - start < _MAX_GROUP
+                    or total + streams[end].seq_len <= _WIDE_BASES
                 )
             ):
                 total += streams[end].seq_len
@@ -177,7 +195,7 @@ class DeviceSketchBackend:
         n = len(streams)
         while start < n:
             is_fast = self._fast_eligible(streams[start], kmers, nbins)
-            cap = _MAX_GROUP_FAST if is_fast else _MAX_GROUP
+            cap = _MAX_GROUP_FAST if is_fast else _MAX_GROUP_WIDE
             bases = _BATCH_BASES_FAST if is_fast else _BATCH_BASES
             end = start
             total = 0
@@ -185,6 +203,11 @@ class DeviceSketchBackend:
                 end < n
                 and end - start < cap
                 and (end == start or total + streams[end].seq_len <= bases)
+                and (
+                    is_fast
+                    or end - start < _MAX_GROUP
+                    or total + streams[end].seq_len <= _WIDE_BASES
+                )
                 and (
                     end == start
                     or self._fast_eligible(streams[end], kmers, nbins)
@@ -269,7 +292,7 @@ class DeviceSketchBackend:
         def dispatch(start: int, end: int, is_fast: bool, dev):
             group = streams[start:end]
             g = len(group)
-            rows = _MAX_GROUP_FAST if is_fast else _MAX_GROUP
+            rows = _MAX_GROUP_FAST if is_fast else _exact_rows(g)
             # breaks are k-independent; prepare with the smallest k
             packed, breakbits, starts, total = self._prepare_group(
                 group, min(kmers)
@@ -285,9 +308,10 @@ class DeviceSketchBackend:
                     rc, nbins, rows,
                 )
             if fast is None:
-                if g <= _MAX_GROUP:
+                if g <= _MAX_GROUP_WIDE:
                     exact = self._dispatch_exact(
-                        packed_d, breakbits_d, self._pad_starts(starts, total),
+                        packed_d, breakbits_d,
+                        self._pad_starts(starts, total, _exact_rows(g)),
                         total, kmers, rc, nbins,
                     )
                 # else: handled at collect time by re-running in exact-size
@@ -314,9 +338,10 @@ class DeviceSketchBackend:
                     bad_global.extend(start + int(i) for i in bad_rows)
                     return
                 # compaction overflow: nothing in the group is trustworthy
-                if g <= _MAX_GROUP:
+                if g <= _MAX_GROUP_WIDE:
                     exact = self._dispatch_exact(
-                        packed_d, breakbits_d, self._pad_starts(starts, total),
+                        packed_d, breakbits_d,
+                        self._pad_starts(starts, total, _exact_rows(g)),
                         total, kmers, rc, nbins,
                     )
             if exact is None:
@@ -327,9 +352,9 @@ class DeviceSketchBackend:
                     out[kk][start:end] = redo[kk]
                 return
             for kk, (min_hi, min_lo, found) in exact.items():
-                mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:g]
-                ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:g]
-                fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:g]
+                mh = np.asarray(min_hi).reshape(-1, nbins)[:g]
+                ml = np.asarray(min_lo).reshape(-1, nbins)[:g]
+                fd = np.asarray(found).reshape(-1, nbins)[:g]
                 out[kk][start:end] = combine_bin_minima(mh, ml, fd)
 
         for gi, (start, end, is_fast) in enumerate(
@@ -351,9 +376,9 @@ class DeviceSketchBackend:
             def redo_collect(item):
                 i, exact = item
                 for kk, (min_hi, min_lo, found) in exact.items():
-                    mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:1]
-                    ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:1]
-                    fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:1]
+                    mh = np.asarray(min_hi).reshape(-1, nbins)[:1]
+                    ml = np.asarray(min_lo).reshape(-1, nbins)[:1]
+                    fd = np.asarray(found).reshape(-1, nbins)[:1]
                     out[kk][i] = combine_bin_minima(mh, ml, fd)[0]
 
             handles = []
@@ -374,8 +399,10 @@ class DeviceSketchBackend:
         return out
 
     @staticmethod
-    def _pad_starts(starts: np.ndarray, total: int) -> np.ndarray:
-        pad = np.full(_MAX_GROUP, total, dtype=np.int32)
+    def _pad_starts(
+        starts: np.ndarray, total: int, rows: int = _MAX_GROUP
+    ) -> np.ndarray:
+        pad = np.full(rows, total, dtype=np.int32)
         pad[: starts.shape[0]] = starts
         return pad
 
@@ -396,23 +423,24 @@ class DeviceSketchBackend:
             exact = self._dispatch_exact(
                 jax.device_put(packed),
                 jax.device_put(breakbits),
-                self._pad_starts(starts, total),
+                self._pad_starts(starts, total, _exact_rows(g)),
                 total,
                 kmers,
                 rc,
                 nbins,
             )
             for kk, (min_hi, min_lo, found) in exact.items():
-                mh = np.asarray(min_hi).reshape(_MAX_GROUP, nbins)[:g]
-                ml = np.asarray(min_lo).reshape(_MAX_GROUP, nbins)[:g]
-                fd = np.asarray(found).reshape(_MAX_GROUP, nbins)[:g]
+                mh = np.asarray(min_hi).reshape(-1, nbins)[:g]
+                ml = np.asarray(min_lo).reshape(-1, nbins)[:g]
+                fd = np.asarray(found).reshape(-1, nbins)[:g]
                 out[kk][start:end] = combine_bin_minima(mh, ml, fd)
         return out
 
     def _dispatch_exact(
         self, packed_d, breakbits_d, starts_pad, total, kmers, rc, nbins
     ):
-        """Issue the exact per-k kernels (async); returns {k: device tuple}."""
+        """Issue the exact per-k kernels (async); returns {k: device tuple}.
+        out_rows follows starts_pad's length (the _exact_rows bucket)."""
         results = {}
         for kk in kmers:
             taps_fwd, taps_rev = tap_tables_u32(kk, rc)
@@ -427,7 +455,7 @@ class DeviceSketchBackend:
                 rc=rc,
                 num_bins=nbins,
                 magic=self._magic(nbins),
-                out_rows=_MAX_GROUP,
+                out_rows=int(starts_pad.shape[0]),
             )
         return results
 

@@ -117,6 +117,29 @@ def test_random_reads_config_bit_exact(seed):
         assert np.array_equal(h.usigs, d.usigs), (seed, h.name, "threads=4")
 
 
+def test_wide_exact_group_bit_exact():
+    """>7 small genomes in one exact dispatch take the WIDE path (genome
+    index on a third sort key, bin_min_sorted out_rows > 7); results must
+    equal the host oracle bit-for-bit. Single-k + >1MB disables the fast
+    kernel, so with 20 small streams the group builder emits one wide
+    group (g=20 -> out_rows=64)."""
+    rng = np.random.default_rng(77)
+    # lengths < 16*128/0.125 = 16384 keep every stream too dense for the
+    # fast prefilter -> all-exact wide group
+    streams = [_stream(rng, int(n)) for n in rng.integers(2_000, 15_000, 20)]
+    names = [f"g{i}" for i in range(20)]
+    kmers = [21, 27]
+    host = [
+        sketch_dna_sample(s, n, kmers, 100, True, 0)
+        for s, n in zip(streams, names)
+    ]
+    dev = DeviceSketchBackend().sketch_dna_streams(
+        streams, names, kmers, 100, True, 0
+    )
+    for h, d in zip(host, dev):
+        assert np.array_equal(h.usigs, d.usigs), h.name
+
+
 @pytest.mark.parametrize("seed", range(3))
 def test_random_aa_config_bit_exact(seed):
     from sketchtpu.constants import SEQSEP
