@@ -710,8 +710,12 @@ def main(argv=None) -> int:
         db2 = strip_sketch_extension(args.db2)
         sketches1 = MultiSketch.load_metadata(db1)
         sketches2 = MultiSketch.load_metadata(db2)
-        if not sketches1.is_compatible_with(sketches2):
-            raise SystemExit("Databases are not compatible for merging.")
+        diffs = sketches1.incompatibilities(sketches2)
+        if diffs:
+            raise SystemExit(
+                "Databases are not compatible for merging: "
+                + "; ".join(diffs)
+            )
         merged = sketches1.merge_sketches(sketches2)
         merged.save_metadata(args.output)
         with open(f"{args.output}.skd", "wb") as out_f:

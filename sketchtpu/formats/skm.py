@@ -173,11 +173,23 @@ class MultiSketch:
     # --- compat / lifecycle (multisketch.rs:222-348) ---
 
     def is_compatible_with(self, other: "MultiSketch") -> bool:
-        return (
-            self.kmer_lengths == other.kmer_lengths
-            and self.sketch_size == other.sketch_size
-            and self.hash_type == other.hash_type
-        )
+        return not self.incompatibilities(other)
+
+    def incompatibilities(self, other: "MultiSketch") -> list[str]:
+        """Human-readable list of the properties that differ (the checks of
+        multisketch.rs:222-226), empty when the DBs can merge."""
+        diffs = []
+        if self.kmer_lengths != other.kmer_lengths:
+            diffs.append(
+                f"k-mer lengths: {self.kmer_lengths} vs {other.kmer_lengths}"
+            )
+        if self.sketch_size != other.sketch_size:
+            diffs.append(
+                f"sketch size: {self.sketch_size} vs {other.sketch_size}"
+            )
+        if self.hash_type != other.hash_type:
+            diffs.append(f"hash type: {self.hash_type} vs {other.hash_type}")
+        return diffs
 
     def append_compatibility(self, name_vec) -> bool:
         duplicates = [name for name, _files in name_vec if name in self.name_map]

@@ -81,6 +81,11 @@ def test_merge_append_delete_equivalences(wd):
     )
     with pytest.raises((SystemExit, ValueError)):
         run("merge", "part1", "part1", "-o", "bad", "--quiet")
+    # incompatible DBs: the error must NAME the mismatched property
+    # (the reference points at the failing check, multisketch.rs:222-226)
+    run("sketch", "--k-vals", "21", GENOMES[2], "-o", "otherk", "--quiet")
+    with pytest.raises(SystemExit, match=r"k-mer lengths: \[17\] vs \[21\]"):
+        run("merge", "part1", "otherk", "-o", "bad2", "--quiet")
 
     # append: new samples first, then the old db (lib.rs:860-869)
     run("append", "part1", GENOMES[2], GENOMES[3], "-o", "appended", "--quiet")
