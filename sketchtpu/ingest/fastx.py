@@ -115,27 +115,12 @@ class DnaStream:
 _ENC_NATIVE = np.where(_VALID_DNA, _ENCODE_DNA, np.uint8(255))
 
 
-def _parse_dna_native(path: str, min_qual: int) -> tuple | None:
-    """Single-file parse via the C++ state machine (the per-line Python loop
-    is the host bottleneck at scale). Returns (codes, breaks, acgt,
-    non_acgt) or None to fall back (no native lib / malformed input, whose
-    error messages come from the Python parser)."""
+def _parse_dna_native_bytes(lib, raw: bytes, fmt: int, min_qual: int):
+    """One C++ state-machine call over a byte buffer. The call releases the
+    GIL and writes only to caller-owned buffers, so ranges of one file can
+    parse concurrently."""
     import ctypes
 
-    from .._native import get_lib
-
-    lib = get_lib()
-    if lib is None:
-        return None
-    with open_maybe_gzip(path) as f:
-        raw = f.read()
-    first = raw[:1]
-    if first == b">":
-        fmt = 0
-    elif first == b"@":
-        fmt = 1
-    else:
-        raise ValueError(f"Invalid FASTA/Q record in {path}")
     n = len(raw)
     codes = np.empty(n + 1, dtype=np.uint8)
     breaks = np.empty(n + 2, dtype=np.int64)
@@ -166,14 +151,109 @@ def _parse_dna_native(path: str, min_qual: int) -> tuple | None:
     )
 
 
-def read_dna_sample(files: list[str], min_qual: int = 0) -> DnaStream:
+# a FASTA file below this parses in one native call (the split's chunk
+# copies + merge cost more than they save)
+_PAR_MIN_BYTES = 4 << 20
+
+
+def _fasta_ranges(raw: bytes, parts: int) -> list[tuple[int, int]]:
+    """Record-aligned byte ranges covering the whole buffer: every range
+    after the first starts at a '>' that follows a newline, so each parses
+    independently (the parser emits an end-of-record break per record, so
+    range results concatenate exactly — the same property the multi-file
+    merge already relies on)."""
+    n = len(raw)
+    target = n // parts
+    starts = [0]
+    for i in range(1, parts):
+        guess = max(i * target, starts[-1] + 1)
+        pos = raw.find(b"\n>", guess - 1)
+        if pos == -1:
+            break
+        if pos + 1 > starts[-1]:
+            starts.append(pos + 1)
+    return [
+        (s, starts[i + 1] if i + 1 < len(starts) else n)
+        for i, s in enumerate(starts)
+    ]
+
+
+def _merge_parsed(parts: list[tuple]) -> tuple:
+    """Concatenate per-range (codes, breaks, acgt, non_acgt) results,
+    offsetting break positions — identical to the multi-file merge in
+    read_dna_sample."""
+    code_parts, break_parts = [], []
+    acgt = np.zeros(4, dtype=np.int64)
+    non_acgt = 0
+    base = 0
+    for codes_f, breaks_f, acgt_f, na_f in parts:
+        code_parts.append(codes_f)
+        break_parts.append(breaks_f + base)
+        acgt += acgt_f
+        non_acgt += na_f
+        base += codes_f.shape[0]
+    return (
+        np.concatenate(code_parts) if code_parts else np.zeros(0, np.uint8),
+        np.concatenate(break_parts) if break_parts else np.zeros(0, np.int64),
+        acgt,
+        non_acgt,
+    )
+
+
+def _parse_dna_native(path: str, min_qual: int, threads: int = 1) -> tuple | None:
+    """Single-file parse via the C++ state machine (the per-line Python loop
+    is the host bottleneck at scale). Large plain FASTA files split into
+    record-aligned byte ranges parsed concurrently when threads > 1 (the
+    reference's rayon parallelism is over samples only,
+    nthash_iterator.rs:94-145 — one big file is single-core there).
+    Returns (codes, breaks, acgt, non_acgt) or None to fall back (no
+    native lib / malformed input, whose error messages come from the
+    Python parser)."""
+    from .._native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open_maybe_gzip(path) as f:
+        raw = f.read()
+    first = raw[:1]
+    if first == b">":
+        fmt = 0
+    elif first == b"@":
+        fmt = 1
+    else:
+        raise ValueError(f"Invalid FASTA/Q record in {path}")
+    if fmt == 0 and threads > 1 and len(raw) > _PAR_MIN_BYTES:
+        ranges = _fasta_ranges(raw, min(threads, len(raw) // _PAR_MIN_BYTES + 1))
+        if len(ranges) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(ranges)) as pool:
+                parts = list(
+                    pool.map(
+                        lambda se: _parse_dna_native_bytes(
+                            lib, raw[se[0] : se[1]], 0, 0
+                        ),
+                        ranges,
+                    )
+                )
+            if all(p is not None for p in parts):
+                return _merge_parsed(parts)
+            return None  # malformed mid-file: Python parser owns the error
+    return _parse_dna_native_bytes(lib, raw, fmt, min_qual)
+
+
+def read_dna_sample(
+    files: list[str], min_qual: int = 0, threads: int = 1
+) -> DnaStream:
     """Read one sample's file set into a DnaStream.
 
     Matches NtHashIterator::new (nthash_iterator.rs:94-145): the reads flag is
     sniffed from the first record of the first file; reads with more than two
     input files are an error; low-quality bases count as invalid (the quality
     comparison is against the raw PHRED+33 byte, as in the reference,
-    nthash_iterator.rs:225).
+    nthash_iterator.rs:225). threads > 1 parallelises within large FASTA
+    files (record-aligned ranges); results are identical either way.
     """
     reads = _sniff_format(files[0]) == "fastq"
     if reads and len(files) > 2:
@@ -183,7 +263,7 @@ def read_dna_sample(files: list[str], min_qual: int = 0) -> DnaStream:
 
     native_parts = []
     for path in files:
-        parsed = _parse_dna_native(path, min_qual)
+        parsed = _parse_dna_native(path, min_qual, threads=threads)
         if parsed is None:
             native_parts = None
             break

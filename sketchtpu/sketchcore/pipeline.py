@@ -86,9 +86,15 @@ def sketch_files(
                 with ThreadPoolExecutor(max_workers=1) as ahead:
 
                     def parse_chunk(chunk):
+                        # threads split across samples first; leftover
+                        # workers parallelise WITHIN each large FASTA
+                        per_file = max(1, threads // max(1, len(chunk)))
                         return list(
                             io_pool.map(
-                                lambda nf: read_dna_sample(nf[1], min_qual), chunk
+                                lambda nf: read_dna_sample(
+                                    nf[1], min_qual, threads=per_file
+                                ),
+                                chunk,
                             )
                         )
 

@@ -113,3 +113,39 @@ def test_native_aa_parse_edge_cases(tmp_path, concat):
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g.seq, w.seq)
         assert g.invalid_count == w.invalid_count
+
+
+@needs_native
+def test_parallel_single_file_parse_identical(tmp_path):
+    """threads>1 splits a large FASTA into record-aligned ranges parsed
+    concurrently; codes/breaks/acgt/non_acgt must equal the whole-file
+    parse exactly (incl. N-break positions and end-of-record breaks)."""
+    rng = np.random.default_rng(11)
+    al = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    parts = [b">r0"]
+    for i in range(37):
+        # ragged record and line lengths; ~1% N
+        seq = al[rng.choice(5, int(rng.integers(50_000, 400_000)),
+                            p=[0.2475] * 4 + [0.01])]
+        w = int(rng.integers(40, 120))
+        lines = [seq[j:j + w].tobytes() for j in range(0, seq.size, w)]
+        parts.append(b"\n".join(lines))
+        parts.append(f">r{i + 1}".encode())
+    fa = tmp_path / "big.fa"
+    fa.write_bytes(b"\n".join(parts[:-1]) + b"\n")
+    assert fa.stat().st_size > fx._PAR_MIN_BYTES
+
+    one = fx._parse_dna_native(str(fa), 0, threads=1)
+    par = fx._parse_dna_native(str(fa), 0, threads=5)
+    assert one is not None and par is not None
+    np.testing.assert_array_equal(one[0], par[0])
+    np.testing.assert_array_equal(one[1], par[1])
+    np.testing.assert_array_equal(one[2], par[2])
+    assert one[3] == par[3]
+
+    # range invariants: full cover, every later range starts at '>'
+    raw = fa.read_bytes()
+    ranges = fx._fasta_ranges(raw, 5)
+    assert ranges[0][0] == 0 and ranges[-1][1] == len(raw)
+    for (s0, e0), (s1, _) in zip(ranges, ranges[1:]):
+        assert e0 == s1 and raw[s1:s1 + 1] == b">"
