@@ -38,9 +38,11 @@ _I32 = jnp.int32
 
 AA_LETTERS = b"ACDEFGHIKLMNPQRSTVWY"
 
-# 256-entry byte -> compact code (0..19); invalid bytes -> 0 (windows
-# containing them are masked out by the host-computed emission bits)
-AA_COMPACT = np.zeros(256, dtype=np.uint8)
+# 256-entry byte -> compact code (0..19); invalid bytes (incl. SEQSEP)
+# -> 20, so device code makes validity decisions directly from the code
+# stream (valid <=> code < 20; tap-table rows 20..31 are zero, and every
+# window containing an invalid residue is masked out of emission)
+AA_COMPACT = np.full(256, 20, dtype=np.uint8)
 for _i, _c in enumerate(AA_LETTERS):
     AA_COMPACT[_c] = _i
     AA_COMPACT[_c + 32] = _i  # lowercase
@@ -91,6 +93,93 @@ def _windowed_hash_aa(codes: jnp.ndarray, k, taps: jnp.ndarray):
         return f_lo ^ tl, f_hi ^ th
 
     return jax.lax.fori_loop(0, k, body, (zeros, zeros))
+
+
+def _aa_window_mask_device(valid, starts, total, k, m, out_rows):
+    """Device recomputation of the per-sample emission mask — the exact
+    semantics of aahash_np.aa_window_valid applied to each sample of the
+    concatenated stream, without any host work or mask upload:
+
+    - a window is emitted iff its k residues are all valid (cumsum test
+      over the whole stream) AND it does not cross a sample boundary
+      (window starts in (end_i - k, end_i) are zeroed via an interval
+      delta + cumsum; scatters touch only the `out_rows` boundaries),
+    - the final window of a sample (start end_i - k) additionally
+      requires residue end_i - k - 1 valid and sample length > k — the
+      reference's final-window quirk (aahash_iterator.rs:138-210).
+
+    valid: (N,) i32 0/1 per position; starts: (out_rows,) i32 sample
+    starts with padding rows set to `total`; total/k traced i32 scalars.
+    Returns (ok (m,) bool, counts (out_rows,) i32) where counts[i] is the
+    number of emitted NON-final windows — the reference's reachability
+    condition (aa_window_valid raises iff window_valid[:m-1].any() is
+    false, i.e. counts == 0 -> the caller must raise the set_k panic)."""
+    iota = jnp.arange(m, dtype=_I32)
+    vc = jnp.concatenate(
+        [jnp.zeros(1, dtype=_I32), jnp.cumsum(valid, dtype=_I32)]
+    )
+    wav = (jax.lax.dynamic_slice(vc, (k,), (m,)) - vc[:m]) == k
+
+    ends = jnp.concatenate([starts[1:], total[None]])
+    lens = ends - starts
+    real = lens > 0  # padding rows have start == end == total
+
+    # no window may start in (end_i - k, end_i); padding rows contribute
+    # duplicate deltas on the same final interval, which is harmless
+    # (cumsum goes more negative, `allowed` is already False there)
+    delta = jnp.zeros(m + 1, dtype=_I32)
+    delta = delta.at[jnp.clip(ends - k + 1, 0, m)].add(-1)
+    delta = delta.at[jnp.clip(ends, 0, m)].add(1)
+    allowed = (jnp.cumsum(delta, dtype=_I32)[:m] == 0) & (iota < total)
+
+    fin = ends - k  # final-window start per sample
+    quirk_ok = real & (lens > k) & (valid[jnp.clip(fin - 1, 0)] == 1)
+    fidx = jnp.where(real, fin, jnp.int32(m))  # padding rows -> dropped
+    qmask = jnp.ones(m, dtype=jnp.bool_).at[fidx].set(quirk_ok, mode="drop")
+    isfinal = jnp.zeros(m, dtype=jnp.bool_).at[fidx].set(True, mode="drop")
+
+    ok = wav & allowed & qmask
+    nonfinal = wav & allowed & ~isfinal
+
+    sflags = jnp.zeros(m, dtype=_I32).at[starts].add(1, mode="drop")
+    gidx = jnp.cumsum(sflags, dtype=_I32) - 1
+    counts = jax.ops.segment_sum(
+        nonfinal.astype(_I32),
+        jnp.minimum(gidx, out_rows - 1),
+        num_segments=out_rows,
+    )
+    return ok, counts
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "magic", "out_rows"))
+def aa_hash_bin_kernel_devmask(
+    codes: jnp.ndarray,  # (N,) uint8 compact codes, invalid bytes == 20
+    starts: jnp.ndarray,  # (out_rows,) int32 sample start offsets
+    k: jnp.ndarray,  # () int32 k-mer length (traced: no recompile per k)
+    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated seed taps
+    total: jnp.ndarray,  # () int32 valid prefix length of the stream
+    num_bins: int,
+    magic: tuple[int, int],
+    out_rows: int,
+):
+    """aa_hash_bin_kernel with the emission mask computed ON DEVICE from
+    the code stream — no host oracle pass and no mask upload. Only valid
+    for whole samples (segments of an oversized stream must ship their
+    pre-sliced global mask, because the final-window quirk is a property
+    of the whole sequence). Returns (min_hi, min_lo, found, counts);
+    counts[i] == 0 means sample i has no reachable window at this k and
+    the caller must raise the reference's set_k panic."""
+    c = codes.astype(_I32)
+    n0 = c.shape[0]
+    m = n0 - MAX_K
+    k = k.astype(_I32)
+    lo, hi = _windowed_hash_aa(c, k, taps)
+    lo, hi = _mod_mersenne61(lo, hi)
+    ok, counts = _aa_window_mask_device(
+        (c < 20).astype(_I32), starts, total.astype(_I32), k, m, out_rows
+    )
+    mh, ml, fd = bin_min_sorted(lo, hi, ok, starts, n0, num_bins, magic, out_rows)
+    return mh, ml, fd, counts
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "magic", "out_rows"))

@@ -11,10 +11,12 @@ stream across every requested k-mer length:
    identical in structure to multik_hash_bin_kernel (see nthash_multik.py
    for the derivation and why each step is exact).
 
-Window validity is decided on the host with the exact oracle
-(aahash_np.aa_window_valid, including the reference's final-window
-quirk) and shipped as one bit per (k, position) — nk masks of n/8 bytes,
-negligible next to the code stream.
+Window validity for whole-sample groups is recomputed ON DEVICE from the
+code stream (aahash_jax._aa_window_mask_device — invalid residues carry
+compact code 20), per k; pass device_mask=True and a dummy validbits_all.
+Segments of an oversized stream must instead ship their host-computed
+pre-sliced global masks (one bit per (k, position)) because the
+reference's final-window quirk is a whole-sequence property.
 
 Bit-identical to the per-k aa_hash_bin_kernel whenever no fallback is
 reported — asserted by tests/test_aa_device.py.
@@ -29,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .aahash_jax import _tap_select32_dyn
+from .aahash_jax import _aa_window_mask_device, _tap_select32_dyn
 from .nthash_jax import MAX_K, _mod_mersenne61, _mul_shift, _unpack_bits
 from .nthash_multik import (
     _compact_candidates,
@@ -44,7 +46,15 @@ _I32 = jnp.int32
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kmers", "num_bins", "magic", "out_rows", "blk", "w"),
+    static_argnames=(
+        "kmers",
+        "num_bins",
+        "magic",
+        "out_rows",
+        "blk",
+        "w",
+        "device_mask",
+    ),
 )
 def multik_aa_hash_bin_kernel(
     codes: jnp.ndarray,  # (N,) uint8 compact 5-bit aa codes, padded
@@ -59,10 +69,16 @@ def multik_aa_hash_bin_kernel(
     out_rows: int,
     blk: int,
     w: int,
+    total: jnp.ndarray | None = None,  # () int32; required if device_mask
+    device_mask: bool = False,
 ):
     """Returns (min_hi, min_lo, found) each (nk, out_rows * num_bins) plus
     `overflow` () int32, with the same fallback contract as the DNA
-    multik kernel (overflow > w or missing bin -> exact re-run)."""
+    multik kernel (overflow > w or missing bin -> exact re-run). With
+    device_mask=True, emission masks are computed on device (validbits_all
+    is ignored — pass a dummy) and a fifth output `counts`
+    (nk, out_rows) i32 is appended: counts[ki, i] == 0 means sample i has
+    no reachable window at kmers[ki] (caller raises the set_k panic)."""
     kmax = kmers[-1]
     c = codes.astype(_I32)
     n0 = c.shape[0]
@@ -90,9 +106,14 @@ def multik_aa_hash_bin_kernel(
     f_lo = jnp.zeros(m, dtype=_U32)
     f_hi = jnp.zeros(m, dtype=_U32)
 
+    if device_mask:
+        valid_i32 = (c < 20).astype(_I32)
+        total_i32 = total.astype(_I32)
+
     cand_k0 = []
     cand_hi = []
     cand_lo = []
+    counts_all = []
     overflow = jnp.int32(0)
 
     for step in range(1, kmax + 1):
@@ -107,7 +128,13 @@ def multik_aa_hash_bin_kernel(
         k_idx = kmers.index(step)
         h_lo, h_hi = _mod_mersenne61(f_lo, f_hi)
 
-        ok = _unpack_bits(validbits_all[k_idx])[:m] == 1
+        if device_mask:
+            ok, cnt = _aa_window_mask_device(
+                valid_i32, starts, total_i32, jnp.int32(step), m, out_rows
+            )
+            counts_all.append(cnt)
+        else:
+            ok = _unpack_bits(validbits_all[k_idx])[:m] == 1
 
         # residual prefilter: keep iff sign < T or bin(sign) != bin(sign-T)
         bin_idx = _mul_shift(h_lo, h_hi, mm, ss)
@@ -139,6 +166,8 @@ def multik_aa_hash_bin_kernel(
     out_hi, out_lo, found = _sort_and_extract(
         cand_k0, cand_hi, cand_lo, kmers, out_rows, num_bins, magic
     )
+    if device_mask:
+        return out_hi, out_lo, found, overflow, jnp.stack(counts_all)
     return out_hi, out_lo, found, overflow
 
 

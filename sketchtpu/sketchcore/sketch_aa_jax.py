@@ -3,11 +3,14 @@
 Mirrors the DNA backend (sketch_jax.py): sample streams are concatenated
 into one device program per k (aaHash -> Mersenne mod -> magic-divide
 binning -> sort-based scatter-min), so the whole batch's bin minima come
-back in one transfer. Window emission masks are computed on the host with
-the exact oracle (hash/aahash_np.aa_window_valid — including the
-reference's final-window quirk, aahash_iterator.rs:138-210) and shipped
-as one bit per position, which makes device results bit-identical to the
-host path by construction (asserted by tests/test_aa_device.py).
+back in one transfer. Window emission masks are recomputed ON DEVICE from
+the compact code stream (hash/aahash_jax._aa_window_mask_device — the
+exact semantics of aa_window_valid, including the reference's
+final-window quirk, aahash_iterator.rs:138-210), so whole-sample groups
+pay no host oracle pass and no mask upload; only segments of an
+oversized stream ship a host-computed pre-sliced global mask (the quirk
+is a whole-sequence property). Both paths are bit-identical to the host
+oracle (asserted by tests/test_aa_device.py).
 """
 
 from __future__ import annotations
@@ -15,7 +18,12 @@ from __future__ import annotations
 import numpy as np
 
 from ..constants import num_bins as num_bins_fn
-from ..hash.aahash_jax import AA_COMPACT, aa_hash_bin_kernel, aa_tap_tables_u32
+from ..hash.aahash_jax import (
+    AA_COMPACT,
+    aa_hash_bin_kernel,
+    aa_hash_bin_kernel_devmask,
+    aa_tap_tables_u32,
+)
 from ..hash.aahash_np import aa_window_valid
 from ..hash.nthash_jax import MAX_K, combine_bin_minima
 from ..ingest.fastx import AaStream
@@ -112,6 +120,17 @@ class DeviceAaSketchBackend:
         if seg is not None:
             return seg
 
+        # m = seq_len - k + 1 <= 0: the host oracle's unconditional raise
+        # (aa_window_valid; set_k panic semantics). Checked up front so the
+        # device-mask path needn't handle sub-k samples (whose boundary
+        # interval would bleed into the previous sample).
+        kmax = max(kmers)
+        for s in streams:
+            # segments (_win_valid) may be shorter than kmax: the whole
+            # stream they came from was validated when its mask was built
+            if s.seq_len < kmax and getattr(s, "_win_valid", None) is None:
+                raise ValueError("K-mer larger than smallest valid sequence")
+
         out = {kk: np.empty((len(streams), nbins), dtype=np.uint64) for kk in kmers}
 
         # Same dispatch discipline as the DNA backend: issue a window of
@@ -151,18 +170,35 @@ class DeviceAaSketchBackend:
             rows = _exact_rows(len(group))
             starts_pad = np.full(rows, total, dtype=np.int32)
             starts_pad[: starts.shape[0]] = starts
+            # whole samples: mask recomputed on device (no host pass, no
+            # upload); segments carry a pre-sliced global mask -> host path
+            devmask = all(
+                getattr(s, "_win_valid", None) is None for s in group
+            )
             results = {}
             for kk in kmers:
-                results[kk] = aa_hash_bin_kernel(
-                    codes_d,
-                    masks(group, kk, n_pad),
-                    starts_pad,
-                    np.int32(kk),
-                    aa_tap_tables_u32(kk, level),
-                    num_bins=nbins,
-                    magic=self._magic(nbins),
-                    out_rows=rows,
-                )
+                if devmask:
+                    results[kk] = aa_hash_bin_kernel_devmask(
+                        codes_d,
+                        starts_pad,
+                        np.int32(kk),
+                        aa_tap_tables_u32(kk, level),
+                        np.int32(total),
+                        num_bins=nbins,
+                        magic=self._magic(nbins),
+                        out_rows=rows,
+                    )
+                else:
+                    results[kk] = aa_hash_bin_kernel(
+                        codes_d,
+                        masks(group, kk, n_pad),
+                        starts_pad,
+                        np.int32(kk),
+                        aa_tap_tables_u32(kk, level),
+                        num_bins=nbins,
+                        magic=self._magic(nbins),
+                        out_rows=rows,
+                    )
             return results
 
         def dispatch_fast(group, codes_d, starts, total, n_pad):
@@ -184,10 +220,18 @@ class DeviceAaSketchBackend:
             if not eligible:
                 return None
             blk, w = pick_block_geometry(max_density)
-            validbits_all = np.stack([masks(group, kk, n_pad) for kk in kmers])
+            devmask = all(
+                getattr(s, "_win_valid", None) is None for s in group
+            )
+            if devmask:  # masks computed on device; no host pass, no upload
+                validbits_all = np.zeros((len(kmers), 1), dtype=np.uint8)
+            else:
+                validbits_all = np.stack(
+                    [masks(group, kk, n_pad) for kk in kmers]
+                )
             starts_pad = np.full(_MAX_GROUP_FAST, total, dtype=np.int32)
             starts_pad[: starts.shape[0]] = starts
-            o_hi, o_lo, found, overflow = multik_aa_hash_bin_kernel(
+            res = multik_aa_hash_bin_kernel(
                 codes_d,
                 validbits_all,
                 starts_pad,
@@ -200,8 +244,15 @@ class DeviceAaSketchBackend:
                 out_rows=_MAX_GROUP_FAST,
                 blk=blk,
                 w=w,
+                total=np.int32(total) if devmask else None,
+                device_mask=devmask,
             )
-            return (o_hi, o_lo, found, overflow, w)
+            if devmask:
+                o_hi, o_lo, found, overflow, counts = res
+            else:
+                o_hi, o_lo, found, overflow = res
+                counts = None
+            return (o_hi, o_lo, found, overflow, w, counts)
 
         def dispatch(start: int, end: int, is_fast: bool, dev):
             group = streams[start:end]
@@ -216,7 +267,15 @@ class DeviceAaSketchBackend:
 
         def collect_exact(results, start, end):
             g = end - start
-            for kk, (min_hi, min_lo, found) in results.items():
+            for kk, res in results.items():
+                if len(res) == 4:  # devmask kernel: verify reachability
+                    min_hi, min_lo, found, counts = res
+                    if not np.asarray(counts)[:g].all():
+                        raise ValueError(
+                            "K-mer larger than smallest valid sequence"
+                        )
+                else:
+                    min_hi, min_lo, found = res
                 mh = np.asarray(min_hi).reshape(-1, nbins)[:g]
                 ml = np.asarray(min_lo).reshape(-1, nbins)[:g]
                 fd = np.asarray(found).reshape(-1, nbins)[:g]
@@ -230,7 +289,15 @@ class DeviceAaSketchBackend:
             start, end, codes_d, starts, total, n_pad, fast, exact = item
             g = end - start
             if fast is not None:
-                o_hi, o_lo, found, overflow, w = fast
+                o_hi, o_lo, found, overflow, w, counts = fast
+                if counts is not None and not np.asarray(counts)[:, :g].all():
+                    # a sample with no reachable non-final window at some k:
+                    # the reference's set_k panic (found bins could still be
+                    # nonzero via the final window, so this is not subsumed
+                    # by the missing-bin redo)
+                    raise ValueError(
+                        "K-mer larger than smallest valid sequence"
+                    )
                 fd_all = np.asarray(found).reshape(
                     len(kmers), _MAX_GROUP_FAST, nbins
                 )
@@ -289,7 +356,15 @@ class DeviceAaSketchBackend:
         # compiling a novel batched total length)
         def redo_collect(item):
             i, res = item
-            for kk, (min_hi, min_lo, found2) in res.items():
+            for kk, vals in res.items():
+                if len(vals) == 4:
+                    min_hi, min_lo, found2, counts = vals
+                    if not np.asarray(counts)[:1].all():
+                        raise ValueError(
+                            "K-mer larger than smallest valid sequence"
+                        )
+                else:
+                    min_hi, min_lo, found2 = vals
                 mh = np.asarray(min_hi).reshape(-1, nbins)[:1]
                 ml = np.asarray(min_lo).reshape(-1, nbins)[:1]
                 fd = np.asarray(found2).reshape(-1, nbins)[:1]

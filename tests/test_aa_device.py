@@ -169,22 +169,28 @@ def test_aa_row_level_fallback_bit_exact(monkeypatch):
     orig_multik = am.multik_aa_hash_bin_kernel
 
     def lose_a_bin(*a, **kw):
-        o_hi, o_lo, found, overflow = orig_multik(*a, **kw)
+        o_hi, o_lo, found, overflow, *rest = orig_multik(*a, **kw)
         f = np.asarray(found).copy()
         shape = f.shape
         f3 = f.reshape(len(kw["kmers"]), kw["out_rows"], kw["num_bins"])
         f3[0, 1, 3] = False
-        return o_hi, o_lo, f3.reshape(shape), overflow
+        return (o_hi, o_lo, f3.reshape(shape), overflow, *rest)
 
     monkeypatch.setattr(am, "multik_aa_hash_bin_kernel", lose_a_bin)
     calls = {"exact": 0}
     orig_exact = sketch_aa_jax.aa_hash_bin_kernel
+    orig_exact_dev = sketch_aa_jax.aa_hash_bin_kernel_devmask
 
     def spy(*a, **kw):
         calls["exact"] += 1
         return orig_exact(*a, **kw)
 
+    def spy_dev(*a, **kw):
+        calls["exact"] += 1
+        return orig_exact_dev(*a, **kw)
+
     monkeypatch.setattr(sketch_aa_jax, "aa_hash_bin_kernel", spy)
+    monkeypatch.setattr(sketch_aa_jax, "aa_hash_bin_kernel_devmask", spy_dev)
 
     rng = np.random.default_rng(77)
     streams = [_rand_stream(rng, int(n)) for n in (60_000, 25_000, 90_000)]
@@ -198,3 +204,63 @@ def test_aa_row_level_fallback_bit_exact(monkeypatch):
     # the redo ran the exact kernel for the single bad row only:
     # one dispatch_exact call = len(kmers) kernel invocations
     assert calls["exact"] == len(kmers), calls
+
+
+def test_device_window_mask_matches_oracle_fuzz():
+    """_aa_window_mask_device == aa_window_valid per sample, including the
+    final-window quirk (with and without a trailing SEQSEP), padding rows,
+    the padded tail, and the reachability condition (counts == 0 exactly
+    when the host oracle raises)."""
+    import jax.numpy as jnp
+
+    from sketchtpu.hash.aahash_jax import AA_COMPACT, _aa_window_mask_device
+    from sketchtpu.hash.aahash_np import aa_window_valid
+    from sketchtpu.hash.nthash_jax import MAX_K
+
+    letters = np.frombuffer(
+        b"ACDEFGHIKLMNPQRSTVWYacdefghiklmnpqrstvwy", dtype=np.uint8
+    )
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        k = int(rng.integers(3, 13))
+        seqs = []
+        for _ in range(int(rng.integers(1, 7))):
+            n = int(rng.integers(k, 50))
+            s = letters[rng.integers(0, letters.size, n)].copy()
+            s[rng.random(n) < 0.15] = SEQSEP
+            if rng.random() < 0.7:  # fastx appends SEQSEP per record;
+                s = np.append(s, np.uint8(SEQSEP))  # concat_fasta does not
+            seqs.append(s)
+        total = sum(len(s) for s in seqs)
+        out_rows = len(seqs) + int(rng.integers(0, 3))
+        n_pad = ((total + MAX_K + 255) // 256) * 256
+        codes = np.zeros(n_pad, dtype=np.uint8)
+        starts = np.full(out_rows, total, dtype=np.int32)
+        pos = 0
+        for i, s in enumerate(seqs):
+            codes[pos : pos + len(s)] = AA_COMPACT[s]
+            starts[i] = pos
+            pos += len(s)
+        m = n_pad - MAX_K
+        ok, counts = _aa_window_mask_device(
+            jnp.asarray((codes < 20).astype(np.int32)),
+            jnp.asarray(starts),
+            jnp.int32(total),
+            jnp.int32(k),
+            m,
+            out_rows,
+        )
+        ok, counts = np.asarray(ok), np.asarray(counts)
+        p = 0
+        for i, s in enumerate(seqs):
+            exp = np.zeros(len(s), dtype=bool)
+            try:
+                wv = aa_window_valid(s, k)
+                exp[: wv.shape[0]] = wv
+                assert counts[i] > 0, (trial, i)
+                np.testing.assert_array_equal(ok[p : p + len(s)], exp)
+            except ValueError:
+                assert counts[i] == 0, (trial, i)
+            p += len(s)
+        assert not ok[max(0, total - k + 1) :].any()
+        assert not counts[len(seqs) :].any()
