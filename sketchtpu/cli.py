@@ -185,6 +185,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_common(p)
 
+    p = inv_sub.add_parser(
+        "serve",
+        help="Serve the index over HTTP (the reference's WASM/browser "
+        "query frontend, hosted server-side: GET /info, POST /query "
+        "= SketchlibData::get_probs JSON, POST /match-count)",
+    )
+    p.add_argument("ski")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    _add_common(p)
+
     p = inv_sub.add_parser("precluster")
     p.add_argument("ski")
     p.add_argument("--skd")
@@ -1002,6 +1013,12 @@ def _inverted_main(args) -> None:
             out.write("\n")
         if out is not sys.stdout:
             out.close()
+
+    elif args.inverted_command == "serve":
+        from .inverted.serve import serve_forever
+
+        inv = Inverted.load(strip_sketch_extension(args.ski))
+        serve_forever(inv, args.host, args.port)
 
     elif args.inverted_command == "precluster":
         from .dist import api, output as dist_output
