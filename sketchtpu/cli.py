@@ -1,8 +1,8 @@
 """Command-line interface, mirroring the reference's subcommands and flags
 (/root/reference/src/cli.rs) on top of the TPU-native runtime.
 
-Subcommands: sketch, dist, inverted {build,query,precluster}, merge, append,
-delete, info.
+Subcommands: sketch, dist, inverted {build,query,precluster,serve},
+merge, append, delete, info.
 """
 
 from __future__ import annotations
