@@ -59,22 +59,24 @@ def main():
 
         return jax.lax.fori_loop(0, inner, body, salt)
 
-    inner = 5
-    # warmup / compile
+    # RTT-cancelled, fetch-forced, best-of-3: the dev rig's tunneled
+    # runtime does NOT honour block_until_ready, so every timing must
+    # force a scalar host fetch — and each fetch pays a tunnel round-trip
+    # a production PCIe host would not. Timing a long salt chain MINUS a
+    # 1-iteration chain cancels the RTT exactly (leaves inner-1 kernel
+    # executions); best-of-3 guards against the tunnel's multi-second
+    # stalls corrupting a figure.
+    inner = 21
+    float(tile_probe(a, b, jnp.uint32(0), s64, 1))  # compile both shapes
     float(tile_probe(a, b, jnp.uint32(0), s64, inner))
-    reps = 4
-    # best-of-3 measurements: the dev rig's tunnel occasionally stalls for
-    # seconds mid-run, which would corrupt a single mean-based figure. Each
-    # measurement chains its reps asynchronously (one sync at the end) so
-    # the dispatch round-trip amortises over all reps*inner iterations.
     best = float("inf")
     for trial in range(3):
-        salt = jnp.uint32(1 + trial)
         t0 = time.time()
-        for _ in range(reps):
-            salt = tile_probe(a, b, salt, s64, inner)
-        float(salt)
-        best = min(best, (time.time() - t0) / (reps * inner))
+        float(tile_probe(a, b, jnp.uint32(1 + trial), s64, 1))
+        t1 = time.time()
+        float(tile_probe(a, b, jnp.uint32(100 + trial), s64, inner))
+        t2 = time.time()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (inner - 1))
     dt = best
     pairs_per_s = na * nb / dt
 
