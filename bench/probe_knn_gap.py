@@ -9,10 +9,11 @@ tiles, knn=50, s64=16), with RTT-cancelled salt-chained loops:
 MEASUREMENT RULE for this rig: `block_until_ready` does NOT actually
 block through the tunneled runtime — every timing must force a scalar
 host fetch, and per-dispatch tunnel RTT is cancelled by timing an
-N-iteration `fori_loop` chain minus a 1-iteration chain. 2026-08 v5e
-readings: raw 3.06 G pair/s, full 3.19 G pair/s — the selection chain
-(group shrink + packed top-k merge; ~1.4 ms/tile in isolation) is fully
-hidden behind the samebits kernel, so the scan is at its roofline.
+N-iteration `fori_loop` chain minus a 1-iteration chain, WITH THE CHIP
+OTHERWISE IDLE (concurrent jobs serialize on the one core and corrupt
+both measurements). 2026-08 v5e clean readings: pallas raw 3.05,
+pallas full 2.41, masked 2.07 G pair/s — the selection chain costs its
+full isolated ~1.45 ms/tile (nothing overlaps on a single tensor core).
 
 Reference hot loop being modelled: the per-row heap scan of
 /root/reference/src/distances/mod.rs:133-224.
@@ -51,19 +52,35 @@ def main():
     @functools.partial(jax.jit, static_argnames=("inner", "mode"))
     def chain(salt, inner, mode):
         def body(_, s):
-            aa = a_cm ^ s
             if mode == "full":
                 v, i = _knn_scan_block_packed(
-                    aa, b_cm_t, jnp.int32(0), jnp.int32(NB),
+                    a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
                     S64, KNN, TC, True, True,
                 )
                 r = v.sum() + i.sum()
-            else:  # samebits-only scan, selection stripped
+            elif mode == "xfull":  # packed scan, XLA samebits tile
+                v, i = _knn_scan_block_packed(
+                    a ^ s, b, jnp.int32(0), jnp.int32(NB),
+                    S64, KNN, TC, True, False,
+                )
+                r = v.sum() + i.sum()
+            elif mode == "xraw":  # XLA samebits-only scan
+                from sketchtpu.dist.jaccard_jax import _samebits_tile
+
+                def tbx(c, t):
+                    bt = jax.lax.dynamic_slice(b, (t * TC, 0), (TC, W2))
+                    sb = _samebits_tile(a ^ s, bt, S64)
+                    return c ^ sb.sum().astype(jnp.int32), None
+
+                r, _ = jax.lax.scan(
+                    tbx, jnp.int32(0), jnp.arange(NB // TC, dtype=jnp.int32)
+                )
+            else:  # pallas samebits-only scan, selection stripped
                 def tb(c, t):
                     bt = jax.lax.dynamic_slice(
                         b_cm_t, (0, t * TC), (W2, TC)
                     )
-                    sb = samebits_pallas_chunked(aa, bt, S64)
+                    sb = samebits_pallas_chunked(a_cm ^ s, bt, S64)
                     return c ^ sb.sum().astype(jnp.int32), None
 
                 r, _ = jax.lax.scan(
@@ -73,8 +90,30 @@ def main():
 
         return jax.lax.fori_loop(0, inner, body, salt)
 
+    S = 100  # precluster sign-prefilter width (inverted sketch_size)
+    a_sig = jax.random.randint(
+        jax.random.PRNGKey(2), (TR, S), 0, 1 << 16, dtype=jnp.int32
+    )
+    b_sig = jax.random.randint(
+        jax.random.PRNGKey(3), (NB, S), 0, 1 << 16, dtype=jnp.int32
+    )
+
+    @functools.partial(jax.jit, static_argnames=("inner",))
+    def chain_masked(salt, inner):
+        def body(_, s):
+            v, i = _knn_scan_block_packed(
+                a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
+                S64, KNN, TC, True, True,
+                a_sig=a_sig, b_sig=b_sig, masked=True,
+            )
+            return (
+                (v.sum() + i.sum()).astype(jnp.uint32) ^ jnp.uint32(1)
+            ) + s * 0
+
+        return jax.lax.fori_loop(0, inner, body, salt)
+
     pairs = TR * NB
-    for mode in ("raw", "full"):
+    for mode in ("raw", "full", "xraw", "xfull"):
         int(chain(jnp.uint32(1), 1, mode))  # compile + drain
         int(chain(jnp.uint32(1), 5, mode))
         t0 = time.perf_counter()
@@ -84,9 +123,23 @@ def main():
         t2 = time.perf_counter()
         dt = ((t2 - t1) - (t1 - t0)) / 4
         print(
-            f"{mode:5s}: {dt*1e3:8.2f} ms/block ({NB//TC} tiles) -> "
+            f"{mode:6s}: {dt*1e3:8.2f} ms/block ({NB//TC} tiles) -> "
             f"{pairs/dt/1e9:5.2f} G pair/s, {dt*1e3/(NB//TC):6.2f} ms/tile"
         )
+
+    int(chain_masked(jnp.uint32(1), 1))
+    int(chain_masked(jnp.uint32(1), 5))
+    t0 = time.perf_counter()
+    int(chain_masked(jnp.uint32(2), 1))
+    t1 = time.perf_counter()
+    int(chain_masked(jnp.uint32(3), 5))
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / 4
+    print(
+        f"masked: {dt*1e3:8.2f} ms/block ({NB//TC} tiles) -> "
+        f"{pairs/dt/1e9:5.2f} G pair/s, {dt*1e3/(NB//TC):6.2f} ms/tile "
+        f"(S={S} sign-equality prefilter fused)"
+    )
 
 
 if __name__ == "__main__":
