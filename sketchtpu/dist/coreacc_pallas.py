@@ -10,13 +10,16 @@ closed-form log-linear regression (jaccard.rs:61-142 in the reference) —
 with nothing but the sketch blocks and the two (na, nb) f32 outputs ever
 touching HBM.
 
-Structure: grid (na/ti, nb/tj, s64) with the 64-bin chunk axis innermost.
-Sketch words are relaid out chunk-major ([chunk][k][plane][lo,hi]) so each
-grid step reads one contiguous (ti, nk*28)/(nk*28, tj) block; per-k
-samebits accumulate in VMEM scratch across chunk steps (re-initialised at
-c==0), and the float chain runs once at the last chunk. This keeps the
-unrolled op count per grid step small (the earlier whole-tile unroll
-spilled 150 MB of vregs).
+Structure: grid (na/ti, nb/tj, s64/G) with a G-chunk group axis innermost.
+Sketch words are relaid out group-major ([group][chunk][k][plane][lo,hi],
+each group zero-padded to a 128-word multiple) so each grid step reads one
+contiguous (ti, wcg)/(wcg, tj) block; per-k samebits accumulate in VMEM
+scratch across group steps (re-initialised at c==0), and the float chain
+runs once at the last group. G is the divisor of s64 that minimises the
+128-lane padding waste under a Mosaic unroll budget (one chunk per step
+padded nk*28=196 -> 256 words at nk=7, wasting 23% of block bandwidth;
+G=8 groups pad 1568 -> 1664, 5.8%). The earlier whole-tile unroll (no
+group axis) spilled 150 MB of vregs.
 
 Math identical to coreacc_jax.coreacc_tile (f32); agreement with the f64
 host oracle is ~1e-5 absolute, far inside the reference's own 0.05
@@ -39,22 +42,48 @@ from ..constants import BBITS
 _WPC = BBITS * 2  # u32 words per (chunk, k): 14 planes x {lo, hi}
 
 
-def _chunk_words_padded(nk: int) -> int:
-    """Per-chunk word-group size padded so Pallas blocks tile as (8, 128)."""
-    return -(-nk * _WPC // 128) * 128
+_UNROLL_BUDGET = 1664  # max u32 words ANDed per grid step (Mosaic unroll)
+
+
+def _pick_group(s64: int, nk: int) -> int:
+    """Chunks per grid step (SKETCHTPU_COREACC_GROUP overrides, must divide
+    s64 and fit the unroll budget).
+
+    Default 1. Grouping chunks cuts the 128-lane zero padding of each block
+    (nk=7: 196 -> 256 words/chunk wastes 23%; G=8 groups pad 1568 -> 1664,
+    5.8%) but MEASURED SLOWER on TPU v5e: RTT-cancelled salt-chained probe
+    at ti=128/tj=512/nk=7 gives G=1 459 M pair/s vs G=4 ~430 / G=8 351 —
+    the kernel is VPU-compute-bound, padded lanes cost only HBM block
+    bandwidth (which has slack), and the larger per-step unroll hurts
+    Mosaic's schedule (G=8 also compiles ~60x slower)."""
+    import os
+
+    env = os.environ.get("SKETCHTPU_COREACC_GROUP")
+    if env:
+        g = int(env)
+        if s64 % g == 0 and g * nk * _WPC <= _UNROLL_BUDGET:
+            return g
+    return 1
+
+
+def _group_words_padded(s64: int, nk: int) -> tuple[int, int]:
+    """(G, padded words per G-chunk group) so Pallas blocks tile as
+    (sublane x 128-lane)."""
+    g = _pick_group(s64, nk)
+    return g, -(-g * nk * _WPC // 128) * 128
 
 
 def chunk_major(stack: jnp.ndarray, s64: int) -> jnp.ndarray:
-    """(nk, n, W2) u32 [k][chunk][plane][w] -> (n, s64*wcp) chunk-major,
-    each chunk's nk*28 word group zero-padded to a 128-word multiple."""
+    """(nk, n, W2) u32 [k][chunk][plane][w] -> (n, (s64/G)*wcg) group-major,
+    each G-chunk [chunk][k] word group zero-padded to a 128-word multiple."""
     nk, n, w2 = stack.shape
-    wcp = _chunk_words_padded(nk)
+    g, wcg = _group_words_padded(s64, nk)
     x = stack.reshape(nk, n, s64, _WPC).transpose(1, 2, 0, 3)
-    x = x.reshape(n, s64, nk * _WPC)
-    pad = wcp - nk * _WPC
+    x = x.reshape(n, s64 // g, g * nk * _WPC)
+    pad = wcg - g * nk * _WPC
     if pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
-    return x.reshape(n, s64 * wcp)
+    return x.reshape(n, (s64 // g) * wcg)
 
 
 def _coreacc_kernel(
@@ -74,20 +103,22 @@ def _coreacc_kernel(
         core_ref, acc_ref, *counts_refs = rest_refs
     c = pl.program_id(2)
     nk = len(kmers)
+    g = s64 // pl.num_programs(2)
     ti = core_ref.shape[0]
     tj = core_ref.shape[1]
     full = jnp.full((ti, tj), 0xFFFFFFFF, dtype=jnp.uint32)
 
     for ki in range(nk):
         sb = jnp.zeros((ti, tj), jnp.int32)
-        for w in range(2):
-            acc = full
-            for p in range(BBITS):
-                widx = ki * _WPC + p * 2 + w
-                a_col = a_ref[:, widx : widx + 1]  # (ti, 1)
-                b_row = bt_ref[widx : widx + 1, :]  # (1, tj)
-                acc = acc & ~(a_col ^ b_row)
-            sb = sb + jax.lax.population_count(acc).astype(jnp.int32)
+        for cg in range(g):
+            for w in range(2):
+                acc = full
+                for p in range(BBITS):
+                    widx = (cg * nk + ki) * _WPC + p * 2 + w
+                    a_col = a_ref[:, widx : widx + 1]  # (ti, 1)
+                    b_row = bt_ref[widx : widx + 1, :]  # (1, tj)
+                    acc = acc & ~(a_col ^ b_row)
+                sb = sb + jax.lax.population_count(acc).astype(jnp.int32)
 
         @pl.when(c == 0)
         def _init():
@@ -97,7 +128,7 @@ def _coreacc_kernel(
         def _accum():
             counts_refs[ki][:, :] = counts_refs[ki][:, :] + sb
 
-    @pl.when(c == s64 - 1)
+    @pl.when(c == s64 // g - 1)
     def _finish():
         shape = (ti, tj)
         zero = jnp.zeros(shape, jnp.float32)
@@ -173,11 +204,11 @@ def coreacc_pallas(
     na = a.shape[0]
     nb = bt.shape[1]
     nk = len(kmers)
-    wc = _chunk_words_padded(nk)
+    g, wc = _group_words_padded(s64, nk)
     maxnbits = float(s64 * 64)
     expected = float(int(s64 * 64) >> BBITS)
     tolerance = float(np.log(2.0 / float(sketch_size * 64)))
-    grid = (na // ti, nb // tj, s64)
+    grid = (na // ti, nb // tj, s64 // g)
     comp = c1 is not None
     kernel = functools.partial(
         _coreacc_kernel,
@@ -223,7 +254,9 @@ def coreacc_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=na * nb * nk * (BBITS * 2 + 2) * s64 * 2,
-            bytes_accessed=(na * s64 * wc + nb * s64 * wc + 2 * na * nb) * 4,
+            bytes_accessed=(
+                (na + nb) * (s64 // g) * wc + 2 * na * nb
+            ) * 4,
             transcendentals=na * nb * nk,
         ),
     )(*operands)
