@@ -45,9 +45,10 @@ _WPC = BBITS * 2  # u32 words per (chunk, k): 14 planes x {lo, hi}
 _UNROLL_BUDGET = 1664  # max u32 words ANDed per grid step (Mosaic unroll)
 
 
+@functools.lru_cache(maxsize=None)
 def _pick_group(s64: int, nk: int) -> int:
-    """Chunks per grid step (SKETCHTPU_COREACC_GROUP overrides, must divide
-    s64 and fit the unroll budget).
+    """Chunks per grid step (SKETCHTPU_COREACC_GROUP overrides, must be >= 1,
+    divide s64 and fit the unroll budget).
 
     Default 1. Grouping chunks cuts the 128-lane zero padding of each block
     (nk=7: 196 -> 256 words/chunk wastes 23%; G=8 groups pad 1568 -> 1664,
@@ -55,14 +56,24 @@ def _pick_group(s64: int, nk: int) -> int:
     at ti=128/tj=512/nk=7 gives G=1 459 M pair/s vs G=4 ~430 / G=8 351 —
     the kernel is VPU-compute-bound, padded lanes cost only HBM block
     bandwidth (which has slack), and the larger per-step unroll hurts
-    Mosaic's schedule (G=8 also compiles ~60x slower)."""
+    Mosaic's schedule (G=8 also compiles ~60x slower).
+
+    Cached per (s64, nk) so the layout pass (chunk_major, possibly cached by
+    callers) and the jit trace always see the same group factor even if the
+    env var changes mid-process."""
+    import logging
     import os
 
     env = os.environ.get("SKETCHTPU_COREACC_GROUP")
     if env:
         g = int(env)
-        if s64 % g == 0 and g * nk * _WPC <= _UNROLL_BUDGET:
+        if g >= 1 and s64 % g == 0 and g * nk * _WPC <= _UNROLL_BUDGET:
             return g
+        logging.getLogger(__name__).warning(
+            "SKETCHTPU_COREACC_GROUP=%s rejected (must be >= 1, divide "
+            "s64=%d, and keep g*nk*%d <= %d); using G=1",
+            env, s64, _WPC, _UNROLL_BUDGET,
+        )
     return 1
 
 
@@ -183,8 +194,9 @@ def _coreacc_kernel(
     ),
 )
 def coreacc_pallas(
-    a: jnp.ndarray,  # (na, s64*nk*28) u32, chunk-major (see chunk_major())
-    bt: jnp.ndarray,  # (s64*nk*28, nb) u32 (transposed)
+    a: jnp.ndarray,  # (na, (s64/G)*wcg) u32 group-major from chunk_major()
+    bt: jnp.ndarray,  # ((s64/G)*wcg, nb) u32 (chunk_major output transposed);
+    #   wcg = g*nk*28 zero-padded to a 128 multiple (_group_words_padded)
     s64: int,
     kmers: tuple[int, ...],
     sketch_size: int,

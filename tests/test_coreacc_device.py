@@ -59,14 +59,46 @@ def test_coreacc_tile_matches_host():
     np.testing.assert_allclose(acc_d, acc_h, atol=2e-4)
 
 
-def test_coreacc_pallas_matches_xla_tile():
+import pytest
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_coreacc_pallas_matches_xla_tile(group, monkeypatch):
     """The fused multi-k Pallas kernel (interpret mode on CPU) must agree
     exactly with the XLA coreacc_tile path on identical inputs, including
-    degenerate pairs (identical sketches) and no-fit pairs (all-random)."""
+    degenerate pairs (identical sketches) and no-fit pairs (all-random).
+    group=2 exercises the G>1 grouped cg-loop / group-major padded relayout
+    path (reachable only via SKETCHTPU_COREACC_GROUP)."""
+    from sketchtpu.dist import coreacc_pallas as cp_mod
     from sketchtpu.dist.coreacc_pallas import chunk_major, coreacc_pallas
 
+    monkeypatch.setenv("SKETCHTPU_COREACC_GROUP", str(group))
+    cp_mod._pick_group.cache_clear()
+    try:
+        _run_pallas_vs_xla_case(chunk_major, coreacc_pallas)
+    finally:
+        cp_mod._pick_group.cache_clear()
+
+
+@pytest.mark.parametrize("bad", ["0", "-1", "3", "999"])
+def test_coreacc_group_override_rejected(bad, monkeypatch):
+    """Invalid SKETCHTPU_COREACC_GROUP values (zero, negative, non-divisor,
+    over-budget) fall back to G=1 with a warning instead of crashing."""
+    from sketchtpu.dist import coreacc_pallas as cp_mod
+
+    monkeypatch.setenv("SKETCHTPU_COREACC_GROUP", bad)
+    cp_mod._pick_group.cache_clear()
+    try:
+        assert cp_mod._pick_group(4, 4) == 1
+    finally:
+        cp_mod._pick_group.cache_clear()
+
+
+def _run_pallas_vs_xla_case(chunk_major, coreacc_pallas):
+    # s64=4 so with G=2 the kernel runs BOTH a grouped cg loop and >1
+    # group grid steps (covering the cross-step scratch accumulation)
     rng = np.random.default_rng(1)
-    s64 = 2
+    s64 = 4
     w2 = s64 * 14 * 2
     kmers = (17, 21, 25, 29)
     nk = len(kmers)
