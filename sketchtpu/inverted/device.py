@@ -59,9 +59,11 @@ def _match_count_strip(
     def body(_, t):
         j0 = t * tc
         # tiles wholly below the strip's diagonal contribute nothing (the
-        # upper triangle is i < j); a real branch skips their compute
+        # upper triangle is i < j); a real branch skips their compute.
+        # + i0 * 0: under shard_map the taken branch varies over 'rows',
+        # so the zero branch must inherit that device-varying type too
         add = jax.lax.cond(
-            j0 + tc > i0, tile_count, lambda _: jnp.int32(0), j0
+            j0 + tc > i0, tile_count, lambda _: jnp.int32(0) + i0 * 0, j0
         )
         return None, add
 

@@ -227,6 +227,12 @@ def select_inverted_engine(inv):
         _device_available() and inv.n_samples >= _MIN_SAMPLES_FOR_DEVICE_INVERTED
     ):
         try:
+            import jax
+
+            if len(jax.local_devices()) > 1:
+                from .shard.mesh import ShardedInvertedEngine
+
+                return ShardedInvertedEngine(inv.sign_matrix)
             from .inverted.device import DeviceInvertedEngine
 
             return DeviceInvertedEngine(inv.sign_matrix)

@@ -564,3 +564,64 @@ def test_sharded_precluster_knn_completeness(eight_devices):
         assert [(i, np.float32(d)) for i, d in sr] == [
             (i, np.float32(d)) for i, d in dr
         ], f"row {r}"
+
+
+def test_sharded_inverted_engine_matches_device(eight_devices):
+    """ShardedInvertedEngine (rows mesh axis) must byte-match the
+    single-device engine on count/match/any/all, including a row_range
+    partial whose strips straddle device boundaries and an n that is not
+    a multiple of tile*rows."""
+    from sketchtpu.inverted.device import DeviceInvertedEngine
+    from sketchtpu.shard.mesh import ShardedInvertedEngine, make_mesh
+
+    rng = np.random.default_rng(21)
+    n, s = 530, 37
+    mat = rng.integers(0, 30, (n, s), dtype=np.uint16)
+    mat[rng.random((n, s)) < 0.01] = np.uint16(0xFFFF)
+    mat[17] = mat[401]  # a guaranteed far pair
+
+    dev = DeviceInvertedEngine(mat, tile=64)
+    mesh = make_mesh(n_rows=8, n_words=1)
+    sh = ShardedInvertedEngine(mat, mesh=mesh, tile=32)
+
+    assert sh.any_shared_bin_count() == dev.any_shared_bin_count()
+    # rank partials sum to the total (multi-process contract)
+    parts = [
+        sh.any_shared_bin_count(row_range=slice(lo, min(lo + 171, n)))
+        for lo in range(0, n, 171)
+    ]
+    assert sum(parts) == dev.any_shared_bin_count()
+
+    queries = rng.integers(0, 30, (11, s), dtype=np.uint16)
+    queries[3] = mat[77]
+    np.testing.assert_array_equal(
+        sh.match_counts(queries), dev.match_counts(queries)
+    )
+    np.testing.assert_array_equal(
+        sh.any_shared_rows(queries), dev.any_shared_rows(queries)
+    )
+    np.testing.assert_array_equal(
+        sh.all_shared_rows(queries), dev.all_shared_rows(queries)
+    )
+
+
+def test_select_inverted_engine_uses_mesh_on_multidevice(
+    eight_devices, monkeypatch
+):
+    from sketchtpu import runtime
+    from sketchtpu.inverted.index import Inverted
+    from sketchtpu.shard.mesh import ShardedInvertedEngine
+    from sketchtpu.sketchcore.sketch import HashType
+
+    monkeypatch.setenv("SKETCHTPU_BACKEND", "tpu")
+    rng = np.random.default_rng(5)
+    inv = Inverted(
+        sign_matrix=rng.integers(0, 99, (24, 16), dtype=np.uint16),
+        sample_names=[f"s{i}" for i in range(24)],
+        kmer_size=17,
+        rc=True,
+        hash_type=HashType("dna"),
+    )
+    eng = runtime.select_inverted_engine(inv)
+    assert isinstance(eng, ShardedInvertedEngine)
+    assert eng.any_shared_bin_count() == inv.any_shared_bin_count()
