@@ -37,7 +37,10 @@ from sketchtpu.dist.pallas_kernels import (  # noqa: E402
     chunk_group_major,
     samebits_pallas_chunked,
 )
-from sketchtpu.dist.knn_jax import _knn_scan_block_packed  # noqa: E402
+from sketchtpu.dist.knn_jax import (  # noqa: E402
+    _knn_scan_block_packed,
+    _knn_scan_block_packed2,
+)
 
 S64, TR, NB, TC, KNN = 16, 2048, 65536, 8192, 50
 W2 = S64 * 14 * 2
@@ -56,6 +59,13 @@ def main():
                 v, i = _knn_scan_block_packed(
                     a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
                     S64, KNN, TC, True, True,
+                )
+                r = v.sum() + i.sum()
+            elif mode == "v2":  # keys-kernel scan: fused mask/pack epilogue,
+                # group-max running merge, deferred group gather
+                v, i = _knn_scan_block_packed2(
+                    a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
+                    S64, KNN, TC, True,
                 )
                 r = v.sum() + i.sum()
             elif mode == "xfull":  # packed scan, XLA samebits tile
@@ -98,14 +108,23 @@ def main():
         jax.random.PRNGKey(3), (NB, S), 0, 1 << 16, dtype=jnp.int32
     )
 
-    @functools.partial(jax.jit, static_argnames=("inner",))
-    def chain_masked(salt, inner):
+    @functools.partial(jax.jit, static_argnames=("inner", "v2"))
+    def chain_masked(salt, inner, v2=False):
+        b_sig_t = jnp.transpose(b_sig)
+
         def body(_, s):
-            v, i = _knn_scan_block_packed(
-                a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
-                S64, KNN, TC, True, True,
-                a_sig=a_sig, b_sig=b_sig, masked=True,
-            )
+            if v2:
+                v, i = _knn_scan_block_packed2(
+                    a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
+                    S64, KNN, TC, True,
+                    a_sig=a_sig, bsig_t=b_sig_t, masked=True,
+                )
+            else:
+                v, i = _knn_scan_block_packed(
+                    a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
+                    S64, KNN, TC, True, True,
+                    a_sig=a_sig, b_sig=b_sig, masked=True,
+                )
             return (
                 (v.sum() + i.sum()).astype(jnp.uint32) ^ jnp.uint32(1)
             ) + s * 0
@@ -113,33 +132,28 @@ def main():
         return jax.lax.fori_loop(0, inner, body, salt)
 
     pairs = TR * NB
-    for mode in ("raw", "full", "xraw", "xfull"):
-        int(chain(jnp.uint32(1), 1, mode))  # compile + drain
-        int(chain(jnp.uint32(1), 5, mode))
+    modes = sys.argv[1:] or ["raw", "full", "v2", "xraw", "xfull",
+                             "masked", "masked2"]
+    for mode in modes:
+        if mode.startswith("masked"):
+            v2 = mode == "masked2"
+            ch = lambda s, n: chain_masked(s, n, v2=v2)  # noqa: E731
+        else:
+            ch = lambda s, n: chain(s, n, mode)  # noqa: E731
+        int(ch(jnp.uint32(1), 1))  # compile + drain
+        int(ch(jnp.uint32(1), 5))
         t0 = time.perf_counter()
-        int(chain(jnp.uint32(2), 1, mode))
+        int(ch(jnp.uint32(2), 1))
         t1 = time.perf_counter()
-        int(chain(jnp.uint32(3), 5, mode))
+        int(ch(jnp.uint32(3), 5))
         t2 = time.perf_counter()
         dt = ((t2 - t1) - (t1 - t0)) / 4
+        note = f" (S={S} sign prefilter)" if mode.startswith("masked") else ""
         print(
-            f"{mode:6s}: {dt*1e3:8.2f} ms/block ({NB//TC} tiles) -> "
+            f"{mode:7s}: {dt*1e3:8.2f} ms/block ({NB//TC} tiles) -> "
             f"{pairs/dt/1e9:5.2f} G pair/s, {dt*1e3/(NB//TC):6.2f} ms/tile"
+            f"{note}"
         )
-
-    int(chain_masked(jnp.uint32(1), 1))
-    int(chain_masked(jnp.uint32(1), 5))
-    t0 = time.perf_counter()
-    int(chain_masked(jnp.uint32(2), 1))
-    t1 = time.perf_counter()
-    int(chain_masked(jnp.uint32(3), 5))
-    t2 = time.perf_counter()
-    dt = ((t2 - t1) - (t1 - t0)) / 4
-    print(
-        f"masked: {dt*1e3:8.2f} ms/block ({NB//TC} tiles) -> "
-        f"{pairs/dt/1e9:5.2f} G pair/s, {dt*1e3/(NB//TC):6.2f} ms/tile "
-        f"(S={S} sign-equality prefilter fused)"
-    )
 
 
 if __name__ == "__main__":

@@ -145,9 +145,7 @@ def _samebits_strip_pallas(
 
     def tile(j0):
         bt = jax.lax.dynamic_slice(mt_cm, (0, j0), (sw, tc))
-        return samebits_pallas_chunked(
-            a_cm, bt, s64, ti=256, tj=1024
-        ).astype(jnp.int16)
+        return samebits_pallas_chunked(a_cm, bt, s64).astype(jnp.int16)
 
     def body(_, t):
         j0 = t * tc
@@ -178,7 +176,7 @@ def _use_pallas_samebits(s64: int, tile: int) -> bool:
     want = kern == "pallas" or (
         kern != "xla" and jax.default_backend() not in ("cpu",)
     )
-    return want and s64 % 4 == 0 and tile % 1024 == 0 and tile % 256 == 0
+    return want and s64 % 4 == 0 and tile % 512 == 0
 
 
 class DeviceDenseStreamEngine:

@@ -176,8 +176,8 @@ def _knn_scan_block_packed(
     a_sig: jnp.ndarray | None = None,  # (tr, S) i32 row signs (masked mode)
     b_sig: jnp.ndarray | None = None,  # (nbp, S) i32 column signs
     masked: bool = False,
-    ti: int = 256,
-    tj: int = 1024,
+    ti: int = 512,
+    tj: int = 512,
     interpret: bool = False,
 ):
     """Fast unmasked kNN scan: same contract as _knn_scan_block(masked=False)
@@ -208,14 +208,15 @@ def _knn_scan_block_packed(
 
     def body(carry, t):
         c0 = t * tc
-        if pallas:
-            bt = jax.lax.dynamic_slice(b, (0, c0), (sw, tc))
-            sb = samebits_pallas_chunked(
-                a, bt, s64, ti=ti, tj=tj, interpret=interpret
-            )
-        else:
+
+        def compute_sb():
+            if pallas:
+                bt = jax.lax.dynamic_slice(b, (0, c0), (sw, tc))
+                return samebits_pallas_chunked(
+                    a, bt, s64, ti=ti, tj=tj, interpret=interpret
+                )
             bt = jax.lax.dynamic_slice(b, (c0, 0), (tc, w2))
-            sb = _samebits_tile(a, bt, s64)
+            return _samebits_tile(a, bt, s64)
 
         def apply_mask(sb):
             cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
@@ -227,9 +228,24 @@ def _knn_scan_block_packed(
                 valid = valid & (cols != rows)
             return jnp.where(valid, sb, _NEG)
 
+        def merge(carry, sb):
+            sb_s, loc = _tile_topk_reduce(sb, knn)
+            if loc is None:
+                loc = jax.lax.broadcasted_iota(jnp.int32, sb_s.shape, 1)
+            packed = (sb_s << shift) | (colmask - (c0 + loc))
+            packed = jnp.where(sb_s < 0, -1, packed)
+            cat = jnp.concatenate([carry, packed], axis=1)
+            merged, _ = jax.lax.top_k(cat, knn)
+            return merged
+
         if masked:
-            # sign-equality prefilter: every tile pays for the mask, so no
-            # branch gating — fold pad/diag validity into the same where
+            # sign-equality prefilter: every tile pays for the mask (the
+            # inherent cost — measured at the XLA op-count floor; the
+            # bit-plane and in-kernel variants both lose, bench/
+            # probe_select2.py), but a tile with NO candidate pairs skips
+            # samebits + selection entirely — real 661k inputs are
+            # species-sorted (io.rs:40-115), so candidates cluster near
+            # the diagonal and most column tiles are skipped
             st = jax.lax.dynamic_slice(
                 b_sig, (c0, 0), (tc, b_sig.shape[1])
             )
@@ -241,28 +257,127 @@ def _knn_scan_block_packed(
                     jnp.int32, (tr, tc), 0
                 )
                 valid = valid & (cols != rows)
-            sb = jnp.where(valid, sb, _NEG)
-        else:
-            needs_mask = c0 + tc > nb_real
-            if exclude_self:
-                needs_mask = needs_mask | (
-                    (c0 + tc > row0) & (c0 < row0 + tr)
-                )
-            sb = jax.lax.cond(needs_mask, apply_mask, lambda x: x, sb)
-        sb_s, loc = _tile_topk_reduce(sb, knn)
-        if loc is None:
-            loc = jax.lax.broadcasted_iota(jnp.int32, sb_s.shape, 1)
-        packed = (sb_s << shift) | (colmask - (c0 + loc))
-        packed = jnp.where(sb_s < 0, -1, packed)
-        cat = jnp.concatenate([carry, packed], axis=1)
-        merged, _ = jax.lax.top_k(cat, knn)
-        return merged, None
+
+            def with_candidates(carry):
+                return merge(carry, jnp.where(valid, compute_sb(), _NEG))
+
+            return (
+                jax.lax.cond(
+                    valid.any(), with_candidates, lambda c: c, carry
+                ),
+                None,
+            )
+
+        sb = compute_sb()
+        needs_mask = c0 + tc > nb_real
+        if exclude_self:
+            needs_mask = needs_mask | (
+                (c0 + tc > row0) & (c0 < row0 + tr)
+            )
+        sb = jax.lax.cond(needs_mask, apply_mask, lambda x: x, sb)
+        return merge(carry, sb), None
 
     carry, _ = jax.lax.scan(
         body, init, jnp.arange(n_tiles, dtype=jnp.int32)
     )
     vals = jnp.where(carry < 0, _NEG, carry >> shift)
     idxs = jnp.where(carry < 0, 0x7FFFFFFF, colmask - (carry & colmask))
+    return vals, idxs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "s64", "knn", "tc", "exclude_self", "masked", "pallas_ti",
+        "pallas_tj", "interpret", "gw",
+    ),
+)
+def _knn_scan_block_packed2(
+    a_cm: jnp.ndarray,  # (tr, SW) u32 chunk-group-major rows
+    bt_cm: jnp.ndarray,  # (SW, nbp) u32 chunk-group-major transposed columns
+    row0: jnp.ndarray,
+    nb_real: jnp.ndarray,
+    s64: int,
+    knn: int,
+    tc: int,
+    exclude_self: bool,
+    a_sig: jnp.ndarray | None = None,  # (tr, S) i32 row signs (masked mode)
+    bsig_t: jnp.ndarray | None = None,  # (S, nbp) i32 TRANSPOSED column signs
+    masked: bool = False,
+    pallas_ti: int = 512,
+    pallas_tj: int = 512,
+    interpret: bool = False,
+    gw: int = 8,
+):
+    """Packed kNN scan v2 — same contract as _knn_scan_block_packed
+    (pallas=True) with the selection chain restructured around the fused
+    keys kernel (pallas_kernels.knn_keys_pallas):
+
+    - masking + key packing run in the kernel epilogue; the raw samebits
+      tile never exists in XLA (in masked mode the sign prefilter also
+      runs in-kernel, with whole-block skips on candidate-free blocks);
+    - the per-tile merge keeps a running top-knn of GROUP-MAX keys only
+      (gw-wide column groups): any true top-knn element's group max is in
+      the global top-knn group maxes — if it weren't, knn groups each
+      contribute one element beating it — so no per-tile gather/shrink;
+    - one deferred gather per row block expands the selected groups'
+      members from the kept key tiles and a final top_k gives the exact
+      result. Packed keys are globally unique (column in the low bits),
+      so ordering is exactly the reference heap order (samebits desc,
+      column asc).
+
+    Costs HBM for the kept key tiles: (tr, nbp) int32. Callers bound tr
+    accordingly (512 MB at tr=2048, nbp=64k).
+    """
+    sw, nbp = bt_cm.shape
+    tr = a_cm.shape[0]
+    n_tiles = nbp // tc
+    shift = _pack_shift(s64)
+    colmask = (1 << shift) - 1
+    init = jnp.full((tr, knn), -1, jnp.int32) + row0 * 0
+
+    from .pallas_kernels import knn_keys_pallas
+
+    def body(carry, t):
+        c0 = t * tc
+        bt = jax.lax.dynamic_slice(bt_cm, (0, c0), (sw, tc))
+        st = (
+            jax.lax.dynamic_slice(bsig_t, (0, c0), (bsig_t.shape[0], tc))
+            if masked
+            else None
+        )
+        keys = knn_keys_pallas(
+            a_cm, bt, c0, row0, nb_real, s64, shift, exclude_self,
+            a_sig=a_sig if masked else None, bsig_t=st, masked=masked,
+            ti=pallas_ti, tj=pallas_tj, interpret=interpret,
+        )
+        gm = keys.reshape(tr, tc // gw, gw).max(axis=2)
+        merged, _ = jax.lax.top_k(jnp.concatenate([carry, gm], axis=1), knn)
+        return merged, keys
+
+    carry, keys_all = jax.lax.scan(
+        body, init, jnp.arange(n_tiles, dtype=jnp.int32)
+    )  # keys_all: (n_tiles, tr, tc)
+
+    # deferred phase 2: gather each selected group's gw members from the
+    # kept tiles (flat 1D gather avoids a (tr, nbp) relayout copy), then
+    # one exact top-k. Dead slots (carry == -1: fewer than knn nonempty
+    # groups) are forced to -1 so a group can never be double-counted.
+    gcol = colmask - (carry & colmask)  # (tr, knn) col of each group max
+    gbase = (gcol // gw) * gw
+    cand_col = (
+        gbase[:, :, None] + jnp.arange(gw, dtype=jnp.int32)[None, None, :]
+    ).reshape(tr, knn * gw)
+    t_idx = cand_col // tc
+    off = cand_col % tc
+    rows = jnp.arange(tr, dtype=jnp.int32)[:, None]
+    flat = (t_idx * tr + rows) * tc + off
+    cand = jnp.take(keys_all.reshape(-1), flat, mode="clip")
+    dead = jnp.repeat(carry < 0, gw, axis=1)
+    cand = jnp.where(dead, -1, cand)
+    final, _ = jax.lax.top_k(cand, knn)
+    vals = jnp.where(final < 0, _NEG, final >> shift)
+    idxs = jnp.where(final < 0, 0x7FFFFFFF, colmask - (final & colmask))
     return vals, idxs
 
 
@@ -284,8 +399,8 @@ def _knn_scan_block_pallas(
     tc: int,
     exclude_self: bool,
     masked: bool,
-    ti: int = 256,
-    tj: int = 1024,
+    ti: int = 512,
+    tj: int = 512,
     interpret: bool = False,
 ):
     """Same contract as _knn_scan_block but with the VMEM-blocked Pallas
@@ -425,8 +540,8 @@ def _knn_scan_block_comp_pallas(
     exclude_self: bool,
     masked: bool,
     cutoff: float,
-    ti: int = 256,
-    tj: int = 1024,
+    ti: int = 512,
+    tj: int = 512,
     interpret: bool = False,
 ):
     """_knn_scan_block_comp with the Pallas samebits tile; the corrected-
@@ -1008,7 +1123,7 @@ class DeviceKnnEngine(PreclusterKnnMixin):
         self._use_pallas_sb = (
             kern_sb == "pallas"
             or (kern_sb != "xla" and jax.default_backend() not in ("cpu",))
-        ) and self.s64 % 4 == 0 and self.col_tile % 1024 == 0
+        ) and self.s64 % 4 == 0 and self.col_tile % 512 == 0
         self._planes_cm: dict[int, jax.Array] = {}
         self._planes_cm_t: dict[int, jax.Array] = {}
 
@@ -1118,7 +1233,7 @@ class DeviceKnnEngine(PreclusterKnnMixin):
             sig_blk = a_sig[r0:r1].astype(np.int32) if masked else dummy
             if cm is not None:
                 a_cm_dev, bt_cm_dev = cm
-                ti = 256
+                ti = 512
                 a_blk = a_cm_dev[row_base + r0 : row_base + r1]
                 pad = (-(r1 - r0)) % ti
                 c1_blk = (
