@@ -77,6 +77,99 @@ def _tap_select32_dyn(codes: jnp.ndarray, row: jnp.ndarray) -> tuple:
     return sel(row[:, 0]), sel(row[:, 1])
 
 
+def _sll33(vl, vh, s):
+    """(v << s) mod 2^33 on a 33-bit value held as (u32 low, 1-bit high);
+    s is a per-lane u32 in [0, 33)."""
+    lo = jnp.where(s < 32, vl << jnp.minimum(s, 31), 0)
+    # bit 32 of the result: bit (32 - s) of vl for s >= 1, else vh
+    hi = jnp.where(
+        s == 0, vh, (vl >> jnp.minimum(32 - s, 31)) & jnp.uint32(1)
+    )
+    hi = jnp.where(s > 32, 0, hi)
+    return lo, hi
+
+
+def _srl33(vl, vh, s):
+    """v >> s on a 33-bit (low, high-bit) pair; s in [0, 33)."""
+    lo = jnp.where(
+        s == 0,
+        vl,
+        jnp.where(
+            s < 33,
+            (jnp.where(s < 32, vl >> jnp.minimum(s, 31), 0))
+            | (vh << jnp.minimum(jnp.maximum(32 - s, 0), 31)),
+            0,
+        ),
+    )
+    hi = jnp.where(s == 0, vh, 0)
+    return lo, hi
+
+
+def _rotl33(vl, vh, r):
+    """Rotate the 33-bit field left by r (per-lane u32 in [0, 33))."""
+    al, ah = _sll33(vl, vh, r)
+    bl, bh = _srl33(vl, vh, jnp.uint32(33) - r)
+    bl = jnp.where(r == 0, 0, bl)
+    bh = jnp.where(r == 0, 0, bh)
+    return al | bl, ah | bh
+
+
+def _rotl31(v, r):
+    """Rotate a 31-bit value left by r (per-lane u32 in [0, 31))."""
+    m31 = jnp.uint32(0x7FFFFFFF)
+    hi = (v << jnp.minimum(r, 30)) & m31
+    hi = jnp.where(r == 0, v, hi)
+    lo = jnp.where(r == 0, 0, v >> jnp.minimum(jnp.uint32(31) - r, 30))
+    return hi | lo
+
+
+def _srol_n(lo, hi, r33, r31):
+    """srol applied with per-lane rotation amounts (r33 in [0,33),
+    r31 in [0,31)) to 64-bit values held as (lo, hi) u32 pairs. The split
+    fields are bits [0,33) and [33,64) (constants.srol1)."""
+    al, ah = lo, hi & jnp.uint32(1)
+    b = hi >> jnp.uint32(1)
+    al, ah = _rotl33(al, ah, r33)
+    b = _rotl31(b, r31)
+    return al, (b << jnp.uint32(1)) | ah
+
+
+def _windowed_hash_aa_prefix(codes: jnp.ndarray, k, seeds: jnp.ndarray):
+    """Prefix-XOR reformulation of the forward aaHash — O(1) work per
+    position regardless of k (the tap formulation pays a 32-way select
+    tree per (position, tap), k of them per window):
+
+      fh(p) = XOR_{q in [p, p+k)} srol^{(k-1+p)-q}( seed[s_q] )
+            = srol^{k-1+p}( S(p+k-1) ^ S(p-1) )
+
+    with G(q) = srol^{-q}(seed[s_q]) and S the prefix-XOR of G — srol is a
+    bit permutation, hence XOR-linear, with independent 33/31-bit field
+    rotations of periods 33 and 31. Bit-exact vs the tap path by
+    construction (fuzz-tested). k is a traced scalar; seeds is the traced
+    UNROTATED (32, 2) table."""
+    n = codes.shape[0] - MAX_K
+    total = codes.shape[0]
+    k = k.astype(jnp.uint32)
+    q = jnp.arange(total, dtype=jnp.uint32)
+    g_lo, g_hi = _tap_select32_dyn(codes, seeds)
+    # srol^{-q} = srol^{(33 - q%33) % 33, (31 - q%31) % 31}
+    r33 = (jnp.uint32(33) - q % 33) % 33
+    r31 = (jnp.uint32(31) - q % 31) % 31
+    g_lo, g_hi = _srol_n(g_lo, g_hi, r33, r31)
+    s_lo = jax.lax.associative_scan(jnp.bitwise_xor, g_lo)
+    s_hi = jax.lax.associative_scan(jnp.bitwise_xor, g_hi)
+    # window p: S(p+k-1) ^ S(p-1); S(-1) = 0 via a zero-prepended shift
+    hi_end_lo = jax.lax.dynamic_slice(s_lo, (k - 1,), (n,))
+    hi_end_hi = jax.lax.dynamic_slice(s_hi, (k - 1,), (n,))
+    lo_end_lo = jnp.concatenate([jnp.zeros(1, _U32), s_lo[: n - 1]])
+    lo_end_hi = jnp.concatenate([jnp.zeros(1, _U32), s_hi[: n - 1]])
+    f_lo = hi_end_lo ^ lo_end_lo
+    f_hi = hi_end_hi ^ lo_end_hi
+    p = jnp.arange(n, dtype=jnp.uint32)
+    e = p + (k - 1)
+    return _srol_n(f_lo, f_hi, e % 33, e % 31)
+
+
 def _windowed_hash_aa(codes: jnp.ndarray, k, taps: jnp.ndarray):
     """Forward-only k-generic windowed hash; k is a traced scalar and the
     per-tap rotated seed tables a traced input. codes must be padded with
@@ -151,16 +244,20 @@ def _aa_window_mask_device(valid, starts, total, k, m, out_rows):
     return ok, counts
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "magic", "out_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("num_bins", "magic", "out_rows", "prefix")
+)
 def aa_hash_bin_kernel_devmask(
     codes: jnp.ndarray,  # (N,) uint8 compact codes, invalid bytes == 20
     starts: jnp.ndarray,  # (out_rows,) int32 sample start offsets
     k: jnp.ndarray,  # () int32 k-mer length (traced: no recompile per k)
-    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated seed taps
+    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated taps, or with
+    #   prefix=True the UNROTATED (32, 2) seed row (aa_seed_row_u32)
     total: jnp.ndarray,  # () int32 valid prefix length of the stream
     num_bins: int,
     magic: tuple[int, int],
     out_rows: int,
+    prefix: bool = False,
 ):
     """aa_hash_bin_kernel with the emission mask computed ON DEVICE from
     the code stream — no host oracle pass and no mask upload. Only valid
@@ -173,7 +270,10 @@ def aa_hash_bin_kernel_devmask(
     n0 = c.shape[0]
     m = n0 - MAX_K
     k = k.astype(_I32)
-    lo, hi = _windowed_hash_aa(c, k, taps)
+    if prefix:
+        lo, hi = _windowed_hash_aa_prefix(c, k, taps)
+    else:
+        lo, hi = _windowed_hash_aa(c, k, taps)
     lo, hi = _mod_mersenne61(lo, hi)
     ok, counts = _aa_window_mask_device(
         (c < 20).astype(_I32), starts, total.astype(_I32), k, m, out_rows
@@ -182,16 +282,20 @@ def aa_hash_bin_kernel_devmask(
     return mh, ml, fd, counts
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "magic", "out_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("num_bins", "magic", "out_rows", "prefix")
+)
 def aa_hash_bin_kernel(
     codes: jnp.ndarray,  # (N,) uint8 compact 5-bit aa codes, padded
     validbits: jnp.ndarray,  # (N/8,) uint8 bit-packed window emission flags
     starts: jnp.ndarray,  # (out_rows,) int32 sample start offsets
     k: jnp.ndarray,  # () int32 k-mer length (traced: no recompile per k)
-    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated seed taps
+    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated taps, or with
+    #   prefix=True the UNROTATED (32, 2) seed row (aa_seed_row_u32)
     num_bins: int,
     magic: tuple[int, int],
     out_rows: int,
+    prefix: bool = False,
 ):
     """Batched aaHash + mod + bin-min over a concatenated sample stream.
 
@@ -201,7 +305,10 @@ def aa_hash_bin_kernel(
     c = codes.astype(_I32)
     n0 = c.shape[0]
     m = n0 - MAX_K
-    lo, hi = _windowed_hash_aa(c, k.astype(_I32), taps)
+    if prefix:
+        lo, hi = _windowed_hash_aa_prefix(c, k.astype(_I32), taps)
+    else:
+        lo, hi = _windowed_hash_aa(c, k.astype(_I32), taps)
     lo, hi = _mod_mersenne61(lo, hi)
     ok = _unpack_bits(validbits)[:m] == 1
     return bin_min_sorted(lo, hi, ok, starts, n0, num_bins, magic, out_rows)

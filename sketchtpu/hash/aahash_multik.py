@@ -54,6 +54,7 @@ _I32 = jnp.int32
         "blk",
         "w",
         "device_mask",
+        "prefix",
     ),
 )
 def multik_aa_hash_bin_kernel(
@@ -71,6 +72,7 @@ def multik_aa_hash_bin_kernel(
     w: int,
     total: jnp.ndarray | None = None,  # () int32; required if device_mask
     device_mask: bool = False,
+    prefix: bool = True,
 ):
     """Returns (min_hi, min_lo, found) each (nk, out_rows * num_bins) plus
     `overflow` () int32, with the same fallback contract as the DNA
@@ -116,15 +118,42 @@ def multik_aa_hash_bin_kernel(
     counts_all = []
     overflow = jnp.int32(0)
 
-    for step in range(1, kmax + 1):
-        # extend every window by one residue: seq[p + step - 1]
-        cj = jax.lax.slice(c, (step - 1,), (step - 1 + m,))
-        f_lo, f_hi = _srol1_pair(f_lo, f_hi)
-        sl, sh = _tap_select32_dyn(cj, seed_row)
-        f_lo = f_lo ^ sl
-        f_hi = f_hi ^ sh
-        if step not in kmers:
-            continue
+    if prefix:
+        # prefix-XOR hashing (aahash_jax._windowed_hash_aa_prefix): one
+        # seed select + inverse srol + XOR-scan over the stream, then each
+        # k costs only two slices + a final per-position rotation — the
+        # incremental step loop pays a 32-way select tree per (position,
+        # step), kmax of them
+        from .aahash_jax import _srol_n
+
+        q = jnp.arange(n0, dtype=jnp.uint32)
+        g_lo, g_hi = _tap_select32_dyn(c, seed_row)
+        r33 = (jnp.uint32(33) - q % 33) % 33
+        r31 = (jnp.uint32(31) - q % 31) % 31
+        g_lo, g_hi = _srol_n(g_lo, g_hi, r33, r31)
+        s_lo = jax.lax.associative_scan(jnp.bitwise_xor, g_lo)
+        s_hi = jax.lax.associative_scan(jnp.bitwise_xor, g_hi)
+        p_arange = jnp.arange(m, dtype=jnp.uint32)
+
+    for step in ((kmers if prefix else range(1, kmax + 1))):
+        if prefix:
+            end_lo = jax.lax.slice(s_lo, (step - 1,), (step - 1 + m,))
+            end_hi = jax.lax.slice(s_hi, (step - 1,), (step - 1 + m,))
+            beg_lo = jnp.concatenate([jnp.zeros(1, _U32), s_lo[: m - 1]])
+            beg_hi = jnp.concatenate([jnp.zeros(1, _U32), s_hi[: m - 1]])
+            e = p_arange + jnp.uint32(step - 1)
+            f_lo, f_hi = _srol_n(
+                end_lo ^ beg_lo, end_hi ^ beg_hi, e % 33, e % 31
+            )
+        else:
+            # extend every window by one residue: seq[p + step - 1]
+            cj = jax.lax.slice(c, (step - 1,), (step - 1 + m,))
+            f_lo, f_hi = _srol1_pair(f_lo, f_hi)
+            sl, sh = _tap_select32_dyn(cj, seed_row)
+            f_lo = f_lo ^ sl
+            f_hi = f_hi ^ sh
+            if step not in kmers:
+                continue
         k_idx = kmers.index(step)
         h_lo, h_hi = _mod_mersenne61(f_lo, f_hi)
 

@@ -552,7 +552,10 @@ def sketch_files_inverted(
                     merge_binned(part[i][0], order[i], bins[bi].copy())
                 for i, s in enumerate(streams):
                     if s.reads:
-                        signs = backend.signs_in_order(s, k, rc)
+                        h = backend.dispatch_signs_maybe_filtered(
+                            s, k, rc, sketch_size, min_count
+                        )
+                        signs = backend.collect_signs_maybe_filtered(h)
                         binned = bin_minima_filtered(
                             signs, sketch_size, min_count
                         )

@@ -26,6 +26,18 @@ from ..hash.aahash_jax import (
 )
 from ..hash.aahash_np import aa_window_valid
 from ..hash.nthash_jax import MAX_K, combine_bin_minima
+
+
+def _aa_prefix_hash() -> bool:
+    """SKETCHTPU_AA_HASH=prefix selects the prefix-XOR aaHash (O(1) work
+    per position regardless of k, bit-exact vs the tap path — fuzz-tested
+    on CPU across levels and k). Default remains the per-tap select-tree
+    kernels: on this rig's tunneled TPU the prefix kernel's first
+    compile/execution stalled indefinitely (remote-compile pathology, not
+    reproduced on CPU) and has not yet been proven on real hardware."""
+    import os
+
+    return os.environ.get("SKETCHTPU_AA_HASH", "taps") == "prefix"
 from ..ingest.fastx import AaStream
 from .sketch import Sketch
 from .sketch_jax import (
@@ -176,17 +188,24 @@ class DeviceAaSketchBackend:
                 getattr(s, "_win_valid", None) is None for s in group
             )
             results = {}
+            prefix = _aa_prefix_hash()
+            if prefix:
+                from ..hash.aahash_multik import aa_seed_row_u32
+
+                seed_row = aa_seed_row_u32(level)
             for kk in kmers:
+                tab = seed_row if prefix else aa_tap_tables_u32(kk, level)
                 if devmask:
                     results[kk] = aa_hash_bin_kernel_devmask(
                         codes_d,
                         starts_pad,
                         np.int32(kk),
-                        aa_tap_tables_u32(kk, level),
+                        tab,
                         np.int32(total),
                         num_bins=nbins,
                         magic=self._magic(nbins),
                         out_rows=rows,
+                        prefix=prefix,
                     )
                 else:
                     results[kk] = aa_hash_bin_kernel(
@@ -194,10 +213,11 @@ class DeviceAaSketchBackend:
                         masks(group, kk, n_pad),
                         starts_pad,
                         np.int32(kk),
-                        aa_tap_tables_u32(kk, level),
+                        tab,
                         num_bins=nbins,
                         magic=self._magic(nbins),
                         out_rows=rows,
+                        prefix=prefix,
                     )
             return results
 
@@ -246,6 +266,7 @@ class DeviceAaSketchBackend:
                 w=w,
                 total=np.int32(total) if devmask else None,
                 device_mask=devmask,
+                prefix=_aa_prefix_hash(),
             )
             if devmask:
                 o_hi, o_lo, found, overflow, counts = res

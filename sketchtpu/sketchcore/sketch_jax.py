@@ -594,6 +594,59 @@ class DeviceSketchBackend:
         mask = valid_window_mask(n, stream.breaks, k)[:take]
         return signs[mask]
 
+    def dispatch_signs_maybe_filtered(
+        self, stream: DnaStream, k: int, rc: bool, nbins: int,
+        min_count: int, dev=None,
+    ):
+        """Async dispatch for the FASTQ count-filter path with the device
+        consult-superset prefilter (sign_prefilter.py) when eligible: only
+        the subsequence the order-dependent filter could ever consult
+        crosses the link (bit-identical replay; >= 4x transfer reduction
+        by construction of the cap, far more on high-coverage streams).
+        Returns an opaque handle for collect_signs_maybe_filtered."""
+        import os
+
+        if k > MAX_K or stream.seq_len > _SEG_BASES + MAX_K:
+            return ("seg", stream, k, rc, None, None, None)
+        h = self._dispatch_signs(stream, k, rc, dev)
+        eligible = min_count >= 2 and os.environ.get(
+            "SKETCHTPU_FASTQ_PREFILTER", "1"
+        ) not in ("0", "off")
+        if not eligible:
+            return ("plain", stream, k, rc, h, None, None)
+        from ..hash.nthash_np import valid_window_mask
+        from .sign_prefilter import prefilter_signs_device
+
+        lo, _hi = h
+        m = int(lo.shape[0])
+        n = stream.seq_len
+        take = max(n - k + 1, 0)
+        mask = np.zeros(m + (-m) % 8, dtype=np.uint8)
+        mask[:take] = valid_window_mask(n, stream.breaks, k)[:take]
+        vbits = np.packbits(mask, bitorder="little")
+        cap = max(4096, m // 4)
+        pf = prefilter_signs_device(
+            lo, _hi, vbits, min_count=min_count, num_bins=nbins,
+            magic=self._magic(nbins), cap=cap,
+        )
+        return ("pf", stream, k, rc, h, pf, cap)
+
+    def collect_signs_maybe_filtered(self, handle) -> np.ndarray:
+        """In-order valid signs for a dispatch_signs_maybe_filtered handle
+        (the prefiltered subsequence when available — same bins after the
+        host filter replay — else the full stream)."""
+        kind, stream, k, rc, h, pf, cap = handle
+        if kind == "seg":
+            return self.signs_in_order(stream, k, rc)
+        if kind == "pf":
+            c_lo, c_hi, count = pf
+            count = int(count)
+            if count <= cap:
+                lo = np.asarray(c_lo)[:count].astype(np.uint64)
+                hi = np.asarray(c_hi)[:count].astype(np.uint64)
+                return (hi << np.uint64(32)) | lo
+        return self._collect_signs(h, stream, k)
+
     def signs_in_order(self, stream: DnaStream, k: int, rc: bool) -> np.ndarray:
         """Valid-window signs in sequence order (for the order-dependent
         FASTQ count-filter, which must run sequentially on the host).
@@ -671,7 +724,7 @@ class DeviceSketchBackend:
 
                 def collect_one():
                     kk0, i0, h = pending.pop(0)
-                    signs = self._collect_signs(h, streams[i0], kk0)
+                    signs = self.collect_signs_maybe_filtered(h)
                     filt_futs.append(
                         (kk0, i0,
                          filt_pool.submit(
@@ -715,8 +768,9 @@ class DeviceSketchBackend:
                         collect_one()
                     pending.append(
                         (kk, i,
-                         self._dispatch_signs(
-                             streams[i], kk, rc, devices[j % len(devices)]
+                         self.dispatch_signs_maybe_filtered(
+                             streams[i], kk, rc, nbins, min_count,
+                             devices[j % len(devices)],
                          ))
                     )
                 while pending:

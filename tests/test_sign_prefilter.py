@@ -1,0 +1,104 @@
+"""Device FASTQ sign prefilter: replaying the exact count filter on the
+kept subsequence must reproduce the full-stream bins bit-for-bit."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sketchtpu.sketchcore.sign_prefilter import prefilter_signs_device
+from sketchtpu.sketchcore.sketch_jax import bin_magic
+from sketchtpu.sketchcore.signs import bin_minima_filtered, bin_size
+
+_SIGN_MOD = (1 << 61) - 1
+
+
+def _run_case(seed, m, nbins, min_count, sign_space, invalid_frac=0.1):
+    rng = np.random.default_rng(seed)
+    # heavy collisions: draw from a small set of sign values concentrated
+    # in low bins (the bin-min region) so the filter state actually matters
+    values = rng.integers(0, sign_space, 400).astype(np.uint64)
+    signs = rng.choice(values, m)
+    valid = rng.random(m) >= invalid_frac
+    vbits = np.packbits(
+        np.pad(valid, (0, (-m) % 8)), bitorder="little"
+    )
+    lo = (signs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (signs >> np.uint64(32)).astype(np.uint32)
+    cap = m  # correctness test: no fallback
+    c_lo, c_hi, count = prefilter_signs_device(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(vbits),
+        min_count=min_count, num_bins=nbins, magic=bin_magic(nbins),
+        cap=cap,
+    )
+    count = int(count)
+    surv = (
+        np.asarray(c_hi)[:count].astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(c_lo)[:count].astype(np.uint64)
+    full = signs[valid]
+    want = bin_minima_filtered(full, nbins, min_count)
+    got = bin_minima_filtered(surv, nbins, min_count)
+    np.testing.assert_array_equal(got, want)
+    return count, full.size
+
+
+@pytest.mark.parametrize("min_count", [2, 3, 5])
+def test_prefilter_replay_bit_exact(min_count):
+    for seed in range(4):
+        _run_case(
+            seed, m=4000, nbins=64, min_count=min_count,
+            sign_space=int(bin_size(64)) * 64,
+        )
+
+
+def test_prefilter_drops_most_of_a_high_coverage_stream():
+    # high coverage: few distinct signs, many occurrences -> most of the
+    # stream is provably unconsultable
+    count, full = _run_case(
+        9, m=20000, nbins=16, min_count=5,
+        sign_space=int(bin_size(16)) * 16,
+    )
+    assert count < full // 3, (count, full)
+
+
+def test_prefilter_keeps_everything_when_counts_never_reach_mc():
+    # every sign unique -> no sign ever reaches min_count occurrences ->
+    # nothing is provably unconsultable, everything ships
+    rng = np.random.default_rng(3)
+    m, nbins = 1000, 16
+    signs = rng.permutation(
+        np.arange(1, m + 1, dtype=np.uint64) * np.uint64(12345701)
+    ) % np.uint64(int(bin_size(nbins)) * nbins)
+    signs = np.unique(signs)
+    m = signs.size
+    vbits = np.packbits(np.ones(m + (-m) % 8, np.uint8), bitorder="little")
+    lo = (signs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (signs >> np.uint64(32)).astype(np.uint32)
+    c_lo, c_hi, count = prefilter_signs_device(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(vbits),
+        min_count=2, num_bins=nbins, magic=bin_magic(nbins), cap=m,
+    )
+    assert int(count) == m
+    got = (
+        np.asarray(c_hi)[:m].astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(c_lo)[:m].astype(np.uint64)
+    np.testing.assert_array_equal(got, signs)  # stream order preserved
+
+
+def test_prefilter_out_of_range_bins_dropped():
+    # signs with bin >= num_bins are never consulted (mod.rs:198-208
+    # `if bin >= nbins continue`) and must not ship
+    nbins = 16
+    top = np.uint64(int(bin_size(nbins)) * nbins)
+    signs = np.array(
+        [5, top + np.uint64(7), 5, top + np.uint64(9), 5], dtype=np.uint64
+    )
+    m = signs.size
+    vbits = np.packbits(np.ones(8, np.uint8), bitorder="little")
+    lo = (signs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (signs >> np.uint64(32)).astype(np.uint32)
+    _, c_hi, count = prefilter_signs_device(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(vbits),
+        min_count=2, num_bins=nbins, magic=bin_magic(nbins), cap=m,
+    )
+    assert int(count) == 3  # only the three in-range occurrences
