@@ -242,10 +242,12 @@ def _knn_scan_block_packed(
             # sign-equality prefilter: every tile pays for the mask (the
             # inherent cost — measured at the XLA op-count floor; the
             # bit-plane and in-kernel variants both lose, bench/
-            # probe_select2.py), but a tile with NO candidate pairs skips
-            # samebits + selection entirely — real 661k inputs are
-            # species-sorted (io.rs:40-115), so candidates cluster near
-            # the diagonal and most column tiles are skipped
+            # probe_select2.py). A tile with NO candidate pairs skips
+            # samebits + selection entirely via the cond below; measured
+            # a no-op even on species-clustered data (u16-truncated signs
+            # give unrelated pairs a ~S/2^16 background shared-bin rate,
+            # so multi-M-pair tiles are never empty) — kept because it
+            # costs nothing and fires on degenerate inputs
             st = jax.lax.dynamic_slice(
                 b_sig, (c0, 0), (tc, b_sig.shape[1])
             )
