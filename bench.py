@@ -38,6 +38,11 @@ def main():
 
     s64 = 16  # sketch size 1024 bins (reference default -s 1000)
     w2 = s64 * 14 * 2
+    # 4096x4096 kept for round-to-round comparability. The round-3 shape
+    # sweep (bench/probe_tile_sweep.py) showed single-trial readings for
+    # the XLA fusion tile vary by shape AND by tunnel window (2048x4096
+    # read 5.24 in the sweep but 4.85 on a re-run vs 4096x4096's 5.12);
+    # differences under ~10% on this rig are noise
     na = nb = 4096
 
     # Generate sketch-plane data on device (host->device bandwidth must not
