@@ -1,0 +1,83 @@
+"""Measured transfer reduction of the FASTQ consult-superset prefilter
+(sketchcore/sign_prefilter.py) at the 25 Mb @ 25x coverage bench shape.
+
+The old reads path ships the full in-order sign stream (8 B/base/k); the
+prefilter ships `cap` words (m/4) of which `count` are real survivors.
+This probe builds one dispatch-window-sized read stream from a 25x-coverage
+simulation (150 bp reads off a random 640 kb genome -> 16M bases, the
+_SEG_BASES window), runs the production dispatch/collect pair, and reports
+the kept fraction + bit-identity of the binned result vs the full path.
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+from sketchtpu.ingest.fastx import DnaStream  # noqa: E402
+from sketchtpu.sketchcore.signs import bin_minima_filtered  # noqa: E402
+from sketchtpu.sketchcore.sketch_jax import (  # noqa: E402
+    _SEG_BASES,
+    DeviceSketchBackend,
+)
+
+
+def make_reads(coverage=25, read_len=150, total=None, seed=0):
+    rng = np.random.default_rng(seed)
+    total = total or (_SEG_BASES - 4096)
+    glen = total // coverage
+    genome = rng.integers(0, 4, glen).astype(np.uint8)
+    n_reads = total // read_len
+    starts = rng.integers(0, glen - read_len, n_reads)
+    codes = np.empty(n_reads * read_len, dtype=np.uint8)
+    breaks = np.arange(1, n_reads, dtype=np.int64) * read_len
+    for i, s in enumerate(starts):
+        seg = genome[s : s + read_len]
+        if i % 2:  # reverse-complement half the reads
+            seg = 3 - seg[::-1]
+        codes[i * read_len : (i + 1) * read_len] = seg
+    # ~0.5% uniform errors (sequencer-like)
+    err = rng.random(codes.size) < 0.005
+    codes[err] = (codes[err] + rng.integers(1, 4, int(err.sum()))) % 4
+    return DnaStream(
+        codes=codes, breaks=breaks,
+        acgt=np.array([1, 1, 1, 1], dtype=np.int64), reads=True,
+    )
+
+
+def main():
+    k, nbins, min_count = 17, 1024, 5
+    be = DeviceSketchBackend()
+    stream = make_reads()
+    m_bases = stream.seq_len / 1e6
+
+    t0 = time.time()
+    h = be.dispatch_signs_maybe_filtered(stream, k, True, nbins, min_count)
+    kind = h[0]
+    assert kind == "pf", kind
+    c_lo, c_hi, count = h[5]
+    cap = h[6]
+    count = int(count)
+    t_pf = time.time() - t0
+    m = int(h[4][0].shape[0])
+    print(
+        f"{m_bases:.1f} Mb reads, k={k}, min_count={min_count}: "
+        f"windows={m/1e6:.1f}M, survivors={count/1e6:.3f}M "
+        f"({100*count/m:.2f}% kept -> {m/max(count,1):.0f}x transfer cut; "
+        f"cap {cap/1e6:.1f}M), prefilter+dispatch {t_pf:.1f} s"
+    )
+
+    surv = be.collect_signs_maybe_filtered(h)
+    bins_pf = bin_minima_filtered(surv, nbins, min_count)
+    full = be.signs_in_order(stream, k, True)
+    bins_full = bin_minima_filtered(full, nbins, min_count)
+    same = np.array_equal(bins_pf, bins_full)
+    print(f"bit-identical bins vs full-stream replay: {same}")
+    assert same
+
+
+if __name__ == "__main__":
+    main()
