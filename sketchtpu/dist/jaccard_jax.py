@@ -126,7 +126,7 @@ def _samebits_strip(
 
 @functools.partial(jax.jit, static_argnames=("s64", "tc", "tri"))
 def _samebits_strip_pallas(
-    a_cm: jnp.ndarray,  # (blk, SW) u32 chunk-group-major rows (blk % 256 == 0)
+    a_cm: jnp.ndarray,  # (blk, SW) u32 chunk-group-major rows (blk % 512 == 0)
     mt_cm: jnp.ndarray,  # (SW, n) u32 chunk-group-major transposed columns
     s64: int,
     tc: int,

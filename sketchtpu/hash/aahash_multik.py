@@ -72,7 +72,7 @@ def multik_aa_hash_bin_kernel(
     w: int,
     total: jnp.ndarray | None = None,  # () int32; required if device_mask
     device_mask: bool = False,
-    prefix: bool = True,
+    prefix: bool = False,
 ):
     """Returns (min_hi, min_lo, found) each (nk, out_rows * num_bins) plus
     `overflow` () int32, with the same fallback contract as the DNA
