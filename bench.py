@@ -5,6 +5,13 @@ Measures the hot kernel of every distance mode — the samebits tile
 in the reference) — at the default sketch size (s=1000 -> 1024 bins,
 sketchsize64=16), which is compute-bound on the TPU VPU.
 
+MEASUREMENT PROTOCOL (every figure): best-of-3 trials, each an
+RTT-cancelled salt-chained fori_loop (an N-iteration chain minus a
+1-iteration chain, forcing a scalar fetch — the tunneled runtime neither
+honours block_until_ready nor re-executes memoized identical dispatches),
+reported with the max-over-min spread so round-over-round deltas can be
+judged against the noise floor (~10% shape/tunnel noise on this rig).
+
 Prints ONE JSON line:
   {"metric": ..., "value": pair-comparisons/s at one k, "unit": ...,
    "vs_baseline": value / BASELINE_CPU_RATE}
@@ -74,20 +81,22 @@ def main():
     inner = 21
     float(tile_probe(a, b, jnp.uint32(0), s64, 1))  # compile both shapes
     float(tile_probe(a, b, jnp.uint32(0), s64, inner))
-    best = float("inf")
+    trials = []
     for trial in range(3):
         t0 = time.time()
         float(tile_probe(a, b, jnp.uint32(1 + trial), s64, 1))
         t1 = time.time()
         float(tile_probe(a, b, jnp.uint32(100 + trial), s64, inner))
         t2 = time.time()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (inner - 1))
-    dt = best
+        trials.append(((t2 - t1) - (t1 - t0)) / (inner - 1))
+    dt = min(trials)
+    spread = (max(trials) - dt) / dt * 100
     pairs_per_s = na * nb / dt
 
     print(
         f"samebits tile {na}x{nb} (s64={s64}): {dt * 1e3:.2f} ms "
-        f"-> {pairs_per_s / 1e9:.3f} G pair/s/chip",
+        f"-> {pairs_per_s / 1e9:.3f} G pair/s/chip "
+        f"(best of 3, spread {spread:.0f}%)",
         file=sys.stderr,
     )
 
@@ -113,17 +122,31 @@ def main():
 
             return jax.lax.fori_loop(0, inner, body, salt)
 
-        float(ca_probe(ac, btc, jnp.uint32(0), s64, kmers, 1024, 2))
-        t0 = time.time()
-        salt2 = jnp.uint32(1)
-        for _ in range(3):
-            salt2 = ca_probe(ac, btc, salt2, s64, kmers, 1024, 2)
-        float(salt2)
-        dt_ca = (time.time() - t0) / 6
+        # same RTT-cancelled best-of-3 salt-chain protocol as the headline
+        # (the pre-round-4 version amortised ~0.3 s/dispatch of tunnel RTT
+        # over 3 separate dispatches, understating the tile rate)
+        ca_inner = 7
+        float(ca_probe(ac, btc, jnp.uint32(0), s64, kmers, 1024, 1))
+        float(ca_probe(ac, btc, jnp.uint32(0), s64, kmers, 1024, ca_inner))
+        ca_trials = []
+        for trial in range(3):
+            t0 = time.time()
+            float(ca_probe(ac, btc, jnp.uint32(1 + trial), s64, kmers, 1024, 1))
+            t1 = time.time()
+            float(
+                ca_probe(
+                    ac, btc, jnp.uint32(50 + trial), s64, kmers, 1024, ca_inner
+                )
+            )
+            t2 = time.time()
+            ca_trials.append(((t2 - t1) - (t1 - t0)) / (ca_inner - 1))
+        dt_ca = min(ca_trials)
+        ca_spread = (max(ca_trials) - dt_ca) / dt_ca * 100
         ca_rate = nca * nca / dt_ca
         total_100k = 100000 * 99999 / 2
         print(
             f"core/accessory tile ({len(kmers)} k): {ca_rate / 1e6:.0f} M pair/s "
+            f"(best of 3, spread {ca_spread:.0f}%) "
             f"-> 100k-genome all-vs-all core/acc in ~{total_100k / ca_rate:.0f}s "
             f"on one chip",
             file=sys.stderr,
@@ -154,14 +177,19 @@ def main():
 
         be = DeviceSketchBackend()
         be.bin_minima_multi_k(batch(1), kset, True, 1024)  # warm/compile
-        streams = batch(2)
-        t0 = time.time()
-        be.bin_minima_multi_k(streams, kset, True, 1024)
-        dt_sk = time.time() - t0
+        sk_trials = []
+        for trial in range(3):
+            streams = batch(2 + trial)  # distinct inputs: no memoization
+            t0 = time.time()
+            be.bin_minima_multi_k(streams, kset, True, 1024)
+            sk_trials.append(time.time() - t0)
+        dt_sk = min(sk_trials)
+        sk_spread = (max(sk_trials) - dt_sk) / dt_sk * 100
         rate = 14 * 2.0 * len(kset) / dt_sk
         print(
             f"multi-k sketching (14 x 2Mb genomes, 3 k): {dt_sk:.2f} s "
-            f"-> {rate:.0f} Mbase-k/s end-to-end",
+            f"-> {rate:.0f} Mbase-k/s end-to-end "
+            f"(best of 3, spread {sk_spread:.0f}%)",
             file=sys.stderr,
         )
     except Exception as exc:  # pragma: no cover

@@ -1,0 +1,192 @@
+"""Measured full-schedule 100k all-vs-all core/accessory (and dense
+single-k samebits) — the north-star workload, executed for real.
+
+Until round 4 the "100k core/acc in ~11 s" figure was tile-rate
+arithmetic. This probe EXECUTES the full upper-triangle schedule on one
+chip with everything device-resident:
+
+- synthetic (nk=7, n~=100k) sketch planes generated ON device (~1.6 GB
+  group-major + 1.6 GB transposed, resident in HBM);
+- the REAL dense engine tiling: 4096-row blocks x all columns through
+  coreacc_pallas with ti=128/tj=512 and the round-4 tri=True
+  triangle skip (blocks entirely below the diagonal are zeroed and
+  skipped), row blocks driven by one lax.scan;
+- a checksum sink: each block reduces to a scalar inside the same XLA
+  program (one ~3 GB block temp lives at a time), so NOTHING crosses the
+  tunnel but the final scalar — the measurement is device compute, not
+  this rig's 0.3-33 MB/s link.
+
+n is padded to 25 uniform 4096-row blocks (102,400 rows ~= 2.4% more
+rows than 100k; the quoted rate normalises by the pairs actually
+computed, and the implied exact-100k wall is printed alongside).
+
+Timing: best-of-3, salted per trial (the tunneled runtime memoizes
+identical executions), wall from dispatch to the scalar fetch; a
+separately measured 1-block schedule gives the RTT+overhead term to
+subtract (same protocol as bench.py).
+
+Run with the chip otherwise idle.
+"""
+
+import functools
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sketchtpu.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+from sketchtpu.dist.coreacc_pallas import chunk_major, coreacc_pallas  # noqa: E402
+from sketchtpu.dist.jaccard_jax import _samebits_strip_pallas  # noqa: E402
+from sketchtpu.dist.pallas_kernels import chunk_group_major  # noqa: E402
+
+import os  # noqa: E402
+
+S64 = 16
+KMERS = (17, 21, 25, 29, 31, 33, 37)
+SS = 1024
+TILE = 4096  # DeviceCoreAccEngine row-block tile
+TI, TJ = 128, 512  # its kernel blocks
+# 25 * 4096 = 102,400 — 25 uniform row blocks covering the 100k shape
+N = int(os.environ.get("PROBE_N_BLOCKS", "25")) * TILE
+N_REF = 100_000
+SK_TILE = 2048  # DeviceDenseStreamEngine row-block tile
+INTERP = os.environ.get("PROBE_INTERPRET") == "1"  # CPU smoke only
+
+
+def tri_pairs(n: int, ti: int, tj: int, tile: int) -> int:
+    """Pairs actually computed by the tri=True schedule: every (ti, tj)
+    kernel block NOT entirely below the diagonal computes all its ti*tj
+    pairs."""
+    total = 0
+    for r0 in range(0, N, tile):
+        for bi in range(tile // ti):
+            row_min = r0 + bi * ti
+            for j in range(N // tj):
+                if not ((j + 1) * tj - 1 <= row_min):
+                    total += ti * tj
+    return total
+
+
+def main():
+    which = set(sys.argv[1:] or ["coreacc", "dense"])
+    if "coreacc" in which:
+        stack = jax.random.bits(
+            jax.random.PRNGKey(0), (len(KMERS), N, S64 * 28), dtype=jnp.uint32
+        )
+        a_cm = chunk_major(stack, S64)
+        bt = jnp.transpose(a_cm)
+        a_cm.block_until_ready()
+        del stack
+
+        @functools.partial(jax.jit, static_argnames=("nblk",))
+        def schedule(salt, nblk):
+            def body(carry, bi):
+                r0 = bi * TILE
+                a_blk = (
+                    jax.lax.dynamic_slice(
+                        a_cm, (r0, 0), (TILE, a_cm.shape[1])
+                    )
+                    ^ salt
+                )
+                out = coreacc_pallas(
+                    a_blk, bt, S64, KMERS, SS, ti=TI, tj=TJ,
+                    tri=True, row0=r0, interpret=INTERP,
+                )
+                return carry + out.sum(dtype=jnp.float32), None
+
+            cs, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(nblk, dtype=jnp.int32)
+            )
+            return cs
+
+        float(schedule(jnp.uint32(0), 1))  # compile both shapes
+        float(schedule(jnp.uint32(0), N // TILE))
+        pairs = tri_pairs(N, TI, TJ, TILE)
+        best = float("inf")
+        for t in range(3):
+            t0 = time.perf_counter()
+            float(schedule(jnp.uint32(1 + t), 1))
+            t1 = time.perf_counter()
+            float(schedule(jnp.uint32(64 + t), N // TILE))
+            t2 = time.perf_counter()
+            wall, rtt = t2 - t1, t1 - t0
+            print(
+                f"  trial {t}: full {wall:.2f} s, 1-block {rtt:.2f} s",
+                flush=True,
+            )
+            best = min(best, wall)
+        rate = pairs / best
+        implied_100k = N_REF * (N_REF - 1) / 2 / rate
+        print(
+            f"core/acc FULL SCHEDULE n={N} ({len(KMERS)} k, tri skip): "
+            f"{best:.2f} s wall best-of-3 for {pairs/1e9:.2f} G computed "
+            f"pairs -> {rate/1e6:.0f} M pair/s sustained; implied exact-100k "
+            f"triangle ({N_REF*(N_REF-1)/2/1e9:.2f} G pairs): "
+            f"{implied_100k:.1f} s",
+            flush=True,
+        )
+
+    if "dense" in which:
+        mat = jax.random.bits(
+            jax.random.PRNGKey(1), (N, S64 * 28), dtype=jnp.uint32
+        )
+        cm = chunk_group_major(mat, S64)
+        cm_t = jnp.transpose(cm)
+        cm.block_until_ready()
+        del mat
+
+        @functools.partial(jax.jit, static_argnames=("nblk",))
+        def sk_schedule(salt, nblk):
+            def body(carry, bi):
+                r0 = bi * SK_TILE
+                a_blk = (
+                    jax.lax.dynamic_slice(cm, (r0, 0), (SK_TILE, cm.shape[1]))
+                    ^ salt
+                )
+                strip = _samebits_strip_pallas(
+                    a_blk, cm_t, S64, SK_TILE, r0, tri=True,
+                    interpret=INTERP,
+                )
+                return carry + strip.sum(dtype=jnp.int32), None
+
+            cs, _ = jax.lax.scan(
+                body, jnp.int32(0), jnp.arange(nblk, dtype=jnp.int32)
+            )
+            return cs
+
+        float(sk_schedule(jnp.uint32(0), 1))
+        float(sk_schedule(jnp.uint32(0), N // SK_TILE))
+        # the strip's tri skip is per (strip x 2048-column) tile
+        pairs = tri_pairs(N, SK_TILE, SK_TILE, SK_TILE)
+        best = float("inf")
+        for t in range(3):
+            t0 = time.perf_counter()
+            float(sk_schedule(jnp.uint32(1 + t), 1))
+            t1 = time.perf_counter()
+            float(sk_schedule(jnp.uint32(64 + t), N // SK_TILE))
+            t2 = time.perf_counter()
+            print(
+                f"  trial {t}: full {t2-t1:.2f} s, 1-block {t1-t0:.2f} s",
+                flush=True,
+            )
+            best = min(best, t2 - t1)
+        rate = pairs / best
+        implied_100k = N_REF * (N_REF - 1) / 2 / rate
+        print(
+            f"dense single-k samebits FULL SCHEDULE n={N}: {best:.2f} s "
+            f"wall best-of-3 for {pairs/1e9:.2f} G computed pairs -> "
+            f"{rate/1e9:.2f} G pair/s sustained; implied exact-100k "
+            f"triangle: {implied_100k:.1f} s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,8 +38,8 @@ from sketchtpu.dist.pallas_kernels import (  # noqa: E402
     samebits_pallas_chunked,
 )
 from sketchtpu.dist.knn_jax import (  # noqa: E402
+    _knn_scan_block_gm,
     _knn_scan_block_packed,
-    _knn_scan_block_packed2,
 )
 
 S64, TR, NB, TC, KNN = 16, 2048, 65536, 8192, 50
@@ -50,7 +50,8 @@ def main():
     a = jax.random.bits(jax.random.PRNGKey(0), (TR, W2), dtype=jnp.uint32)
     b = jax.random.bits(jax.random.PRNGKey(1), (NB, W2), dtype=jnp.uint32)
     a_cm = chunk_group_major(a, S64)
-    b_cm_t = chunk_group_major(b, S64).T.copy()
+    b_cm = chunk_group_major(b, S64)
+    b_cm_t = b_cm.T.copy()
 
     @functools.partial(jax.jit, static_argnames=("inner", "mode"))
     def chain(salt, inner, mode):
@@ -61,10 +62,10 @@ def main():
                     S64, KNN, TC, True, True,
                 )
                 r = v.sum() + i.sum()
-            elif mode == "v2":  # keys-kernel scan: fused mask/pack epilogue,
-                # group-max running merge, deferred group gather
-                v, i = _knn_scan_block_packed2(
-                    a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
+            elif mode == "gm":  # group-max scan: group maxes from the
+                # kernel epilogue, winning members recomputed per block
+                v, i = _knn_scan_block_gm(
+                    a_cm ^ s, b_cm_t, b_cm, jnp.int32(0), jnp.int32(NB),
                     S64, KNN, TC, True,
                 )
                 r = v.sum() + i.sum()
@@ -108,23 +109,14 @@ def main():
         jax.random.PRNGKey(3), (NB, S), 0, 1 << 16, dtype=jnp.int32
     )
 
-    @functools.partial(jax.jit, static_argnames=("inner", "v2"))
-    def chain_masked(salt, inner, v2=False):
-        b_sig_t = jnp.transpose(b_sig)
-
+    @functools.partial(jax.jit, static_argnames=("inner",))
+    def chain_masked(salt, inner):
         def body(_, s):
-            if v2:
-                v, i = _knn_scan_block_packed2(
-                    a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
-                    S64, KNN, TC, True,
-                    a_sig=a_sig, bsig_t=b_sig_t, masked=True,
-                )
-            else:
-                v, i = _knn_scan_block_packed(
-                    a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
-                    S64, KNN, TC, True, True,
-                    a_sig=a_sig, b_sig=b_sig, masked=True,
-                )
+            v, i = _knn_scan_block_packed(
+                a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
+                S64, KNN, TC, True, True,
+                a_sig=a_sig, b_sig=b_sig, masked=True,
+            )
             return (
                 (v.sum() + i.sum()).astype(jnp.uint32) ^ jnp.uint32(1)
             ) + s * 0
@@ -132,12 +124,10 @@ def main():
         return jax.lax.fori_loop(0, inner, body, salt)
 
     pairs = TR * NB
-    modes = sys.argv[1:] or ["raw", "full", "v2", "xraw", "xfull",
-                             "masked", "masked2"]
+    modes = sys.argv[1:] or ["raw", "full", "gm", "xraw", "xfull", "masked"]
     for mode in modes:
         if mode.startswith("masked"):
-            v2 = mode == "masked2"
-            ch = lambda s, n: chain_masked(s, n, v2=v2)  # noqa: E731
+            ch = chain_masked
         else:
             ch = lambda s, n: chain(s, n, mode)  # noqa: E731
         int(ch(jnp.uint32(1), 1))  # compile + drain

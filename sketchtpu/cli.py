@@ -102,6 +102,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--subset")
     p.add_argument("-k", dest="kmer", type=int)
     p.add_argument("--ani", action="store_true")
+    p.add_argument(
+        "--exact",
+        action="store_true",
+        help="Dense multi-k core/accessory self output: stream exact "
+        "per-k samebits from the device and replay the f64 chain on the "
+        "host — byte-identical to the host pipeline (the default large-"
+        "run engine is f32, within ~1e-5). Single-k and kNN outputs are "
+        "already exact; no effect there",
+    )
     p.add_argument("--threads", type=int, default=1)
     p.add_argument("--ref-completeness-file")
     p.add_argument("--query-completeness-file")
@@ -264,6 +273,40 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("info", help="Print information about a .skm/.ski file")
     p.add_argument("skm_file")
     p.add_argument("--sample-info", action="store_true")
+    _add_common(p)
+
+    # --- warmup (extension: the reference has no compile step) ---
+    p = sub.add_parser(
+        "warmup",
+        help="Pre-compile the TPU kernel set for a configuration so later "
+        "runs hit the persistent compile cache (drives the real CLI on "
+        "synthetic inputs; see sketchtpu/warmup.py)",
+    )
+    _add_kmers(p)
+    p.add_argument("-s", "--sketch-size", type=int, default=DEFAULT_SKETCHSIZE)
+    p.add_argument("--knn", type=int, default=DEFAULT_KNN)
+    p.add_argument(
+        "--db-size",
+        type=int,
+        default=10240,
+        help="Synthetic DB rows for the distance programs (match your real "
+        "DB size: programs specialize on the padded column count)",
+    )
+    p.add_argument(
+        "--genome-sizes",
+        default="2000000",
+        help="Comma-separated genome lengths to warm the sketching kernels "
+        "at (stream-bucket granularity)",
+    )
+    p.add_argument(
+        "--modes",
+        default="sketch,dense,knn",
+        help="Comma-separated subset of sketch,dense,knn,coreacc-dense,"
+        "coreacc-knn",
+    )
+    p.add_argument("--seq-type", choices=["dna", "aa"], default="dna")
+    p.add_argument("--level", choices=["level1", "level2", "level3"], default="level1")
+    p.add_argument("--threads", type=int, default=1)
     _add_common(p)
 
     return parser
@@ -531,10 +574,14 @@ def main(argv=None) -> int:
                     from .runtime import select_coreacc_engine
 
                     coreacc_engine = select_coreacc_engine(
-                        references, ref_comp, args.completeness_cutoff
+                        references, ref_comp, args.completeness_cutoff,
+                        exact=args.exact,
                     )
                 if coreacc_engine is not None:
-                    log.info("Using on-device core/accessory tile engine")
+                    log.info(
+                        "Using on-device core/accessory %s engine",
+                        "exact-stream" if args.exact else "tile",
+                    )
                     coreacc_engine.stream_self_dense(
                         out, names, row_range=tri_rows
                     )
@@ -792,6 +839,11 @@ def main(argv=None) -> int:
     elif args.command == "info":
         _info_main(args)
         print_success = False
+
+    elif args.command == "warmup":
+        from .warmup import run_warmup
+
+        run_warmup(args)
 
     if print_success and not getattr(args, "quiet", False):
         print(f"\U0001f9ec\U0001f58b️ sketchtpu done in {int(time.time() - start)}s", file=sys.stderr)

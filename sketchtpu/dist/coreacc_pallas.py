@@ -98,16 +98,18 @@ def chunk_major(stack: jnp.ndarray, s64: int) -> jnp.ndarray:
 
 
 def _coreacc_kernel(
-    a_ref,
-    bt_ref,
-    *rest_refs,
+    *refs,
     s64: int,
     kmers: tuple[int, ...],
     maxnbits: float,
     expected: float,
     tolerance: float,
     cutoff: float | None = None,
+    tri: bool = False,
 ):
+    if tri:
+        row0_ref, *refs = refs
+    a_ref, bt_ref, *rest_refs = refs
     if cutoff is not None:
         c1_ref, c2_ref, core_ref, acc_ref, *counts_refs = rest_refs
     else:
@@ -119,27 +121,55 @@ def _coreacc_kernel(
     tj = core_ref.shape[1]
     full = jnp.full((ti, tj), 0xFFFFFFFF, dtype=jnp.uint32)
 
-    for ki in range(nk):
-        sb = jnp.zeros((ti, tj), jnp.int32)
-        for cg in range(g):
-            for w in range(2):
-                acc = full
-                for p in range(BBITS):
-                    widx = (cg * nk + ki) * _WPC + p * 2 + w
-                    a_col = a_ref[:, widx : widx + 1]  # (ti, 1)
-                    b_row = bt_ref[widx : widx + 1, :]  # (1, tj)
-                    acc = acc & ~(a_col ^ b_row)
-                sb = sb + jax.lax.population_count(acc).astype(jnp.int32)
+    if tri:
+        # self-dense triangle skip: this (ti, tj) block contributes no
+        # upper-triangle pair iff its largest column <= its smallest
+        # global row — the writer only ever reads cols > row, so skipped
+        # blocks just emit zeros at the last grid step. The kernel is
+        # VPU-compute-bound; gating the AND-chains halves dense-self
+        # compute even though block copies still stream
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        skip = (j + 1) * tj - 1 <= row0_ref[0, 0] + i * ti
+        work = jnp.logical_not(skip)
+    else:
+        work = None
 
-        @pl.when(c == 0)
-        def _init():
-            counts_refs[ki][:, :] = sb
+    def _compute_all_k():
+        for ki in range(nk):
+            sb = jnp.zeros((ti, tj), jnp.int32)
+            for cg in range(g):
+                for w in range(2):
+                    acc = full
+                    for p in range(BBITS):
+                        widx = (cg * nk + ki) * _WPC + p * 2 + w
+                        a_col = a_ref[:, widx : widx + 1]  # (ti, 1)
+                        b_row = bt_ref[widx : widx + 1, :]  # (1, tj)
+                        acc = acc & ~(a_col ^ b_row)
+                    sb = sb + jax.lax.population_count(acc).astype(jnp.int32)
 
-        @pl.when(c != 0)
-        def _accum():
-            counts_refs[ki][:, :] = counts_refs[ki][:, :] + sb
+            @pl.when(c == 0)
+            def _init():
+                counts_refs[ki][:, :] = sb
 
-    @pl.when(c == s64 // g - 1)
+            @pl.when(c != 0)
+            def _accum():
+                counts_refs[ki][:, :] = counts_refs[ki][:, :] + sb
+
+    if tri:
+        pl.when(work)(_compute_all_k)
+
+        @pl.when(jnp.logical_and(c == s64 // g - 1, skip))
+        def _zero_skipped():
+            core_ref[:, :] = jnp.zeros((ti, tj), jnp.float32)
+            acc_ref[:, :] = jnp.zeros((ti, tj), jnp.float32)
+
+        finish_cond = jnp.logical_and(c == s64 // g - 1, work)
+    else:
+        _compute_all_k()
+        finish_cond = c == s64 // g - 1
+
+    @pl.when(finish_cond)
     def _finish():
         shape = (ti, tj)
         zero = jnp.zeros(shape, jnp.float32)
@@ -190,7 +220,8 @@ def _coreacc_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "s64", "kmers", "sketch_size", "ti", "tj", "interpret", "cutoff"
+        "s64", "kmers", "sketch_size", "ti", "tj", "interpret", "cutoff",
+        "tri",
     ),
 )
 def coreacc_pallas(
@@ -206,13 +237,18 @@ def coreacc_pallas(
     c1: jnp.ndarray | None = None,  # (na,) f32 row completeness
     c2: jnp.ndarray | None = None,  # (nb,) f32 column completeness
     cutoff: float = 0.64,
+    tri: bool = False,
+    row0: jnp.ndarray | None = None,  # () i32 global row offset (tri mode)
 ) -> jnp.ndarray:
     """Returns (na, nb, 2) f32 core and accessory distances.
 
     na must be a multiple of ti and nb of tj (callers pad; padded rows are
     discarded by the caller). c1/c2 apply the MAG completeness correction
     to each per-k Jaccard inside the final grid step (the factor is
-    constant over k)."""
+    constant over k). tri=True (self-dense row blocks, rows globally at
+    row0) zeroes and SKIPS compute for blocks entirely below the
+    diagonal — the writer only reads cols > row — roughly halving the
+    all-vs-all device time."""
     na = a.shape[0]
     nb = bt.shape[1]
     nk = len(kmers)
@@ -230,12 +266,23 @@ def coreacc_pallas(
         expected=expected,
         tolerance=tolerance,
         cutoff=cutoff if comp else None,
+        tri=tri,
     )
     in_specs = [
         pl.BlockSpec((ti, wc), lambda i, j, c: (i, c), memory_space=pltpu.VMEM),
         pl.BlockSpec((wc, tj), lambda i, j, c: (c, j), memory_space=pltpu.VMEM),
     ]
     operands = [a, bt]
+    if tri:
+        in_specs.insert(
+            0,
+            pl.BlockSpec(
+                (1, 1), lambda i, j, c: (0, 0), memory_space=pltpu.SMEM
+            ),
+        )
+        operands.insert(
+            0, jnp.asarray(0 if row0 is None else row0, jnp.int32).reshape(1, 1)
+        )
     if comp:
         in_specs += [
             pl.BlockSpec(

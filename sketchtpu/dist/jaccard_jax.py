@@ -124,7 +124,9 @@ def _samebits_strip(
     return tiles.transpose(1, 0, 2).reshape(a.shape[0], n)
 
 
-@functools.partial(jax.jit, static_argnames=("s64", "tc", "tri"))
+@functools.partial(
+    jax.jit, static_argnames=("s64", "tc", "tri", "interpret")
+)
 def _samebits_strip_pallas(
     a_cm: jnp.ndarray,  # (blk, SW) u32 chunk-group-major rows (blk % 512 == 0)
     mt_cm: jnp.ndarray,  # (SW, n) u32 chunk-group-major transposed columns
@@ -132,6 +134,7 @@ def _samebits_strip_pallas(
     tc: int,
     i0: jnp.ndarray = 0,
     tri: bool = False,
+    interpret: bool = False,
 ):
     """_samebits_strip with the VMEM-blocked Pallas outer-product samebits
     tile (pallas_kernels.samebits_pallas_chunked): each operand block is
@@ -145,7 +148,9 @@ def _samebits_strip_pallas(
 
     def tile(j0):
         bt = jax.lax.dynamic_slice(mt_cm, (0, j0), (sw, tc))
-        return samebits_pallas_chunked(a_cm, bt, s64).astype(jnp.int16)
+        return samebits_pallas_chunked(
+            a_cm, bt, s64, interpret=interpret
+        ).astype(jnp.int16)
 
     def body(_, t):
         j0 = t * tc

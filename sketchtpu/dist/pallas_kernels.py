@@ -147,6 +147,7 @@ def _knn_keys_kernel(
     exclude_self: bool,
     masked: bool,
     n_sig: int,
+    gw: int = 1,
 ):
     if masked:
         asig_ref, bsig_ref, out_ref, acc_ref, mask_ref, flag_ref = rest
@@ -233,7 +234,22 @@ def _knn_keys_kernel(
         # a skipped masked block's acc is stale garbage; its valid is
         # all-False so the where never exposes it
         packed = (acc_ref[:, :] << shift) | (colmask - col)
-        out_ref[:, :] = jnp.where(valid, packed, -1)
+        packed = jnp.where(valid, packed, -1)
+        if gw == 1:
+            out_ref[:, :] = packed
+        else:
+            # group-max emission: group i0 of this tj-block holds member
+            # columns {block_base + i0 + ng*jj, jj < gw} (strided groups =
+            # contiguous ng-wide lane slices, no in-kernel relayout), and
+            # only the per-group max key leaves VMEM — gw-fold less HBM
+            # write than emitting the key tile. Packed keys are unique, so
+            # the max is a well-defined member; the scan recovers members
+            # by recomputing the selected groups only.
+            ng = tj // gw
+            m = packed[:, 0:ng]
+            for jj in range(1, gw):
+                m = jnp.maximum(m, packed[:, jj * ng : (jj + 1) * ng])
+            out_ref[:, :] = m
 
 
 def _keys_validity(c0_ref, row0_ref, nb_ref, i, j, ti, tj, exclude_self):
@@ -256,7 +272,8 @@ def _keys_validity(c0_ref, row0_ref, nb_ref, i, j, ti, tj, exclude_self):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "s64", "shift", "exclude_self", "masked", "ti", "tj", "interpret"
+        "s64", "shift", "exclude_self", "masked", "ti", "tj", "interpret",
+        "gw",
     ),
 )
 def knn_keys_pallas(
@@ -274,11 +291,22 @@ def knn_keys_pallas(
     ti: int = 512,
     tj: int = 512,
     interpret: bool = False,
+    gw: int = 1,
 ) -> jnp.ndarray:
     """(na, nb) int32 PACKED top-k keys: (samebits << shift) | (colmask -
     global_col) for valid pairs, -1 for pad/self/masked-out pairs — the
     samebits kernel with the kNN scan's whole masking + packing epilogue
     fused in, so the scan's XLA side never touches the raw samebits tile.
+
+    With gw > 1 the kernel instead emits (na, nb // gw) GROUP-MAX keys:
+    each tj-wide block is partitioned into ng = tj // gw strided groups
+    (group i0's members are block_base + i0 + ng * jj for jj < gw) and
+    only each group's max key is written — gw-fold less HBM write traffic
+    than the key tile, computed in the VMEM epilogue as gw elementwise
+    maxima of contiguous ng-lane slices. Output column j of block b maps
+    to group j of that block; member columns are recomputable from the
+    max member's column (low key bits) alone, which is how
+    knn_jax._knn_scan_block_gm recovers exact per-member keys.
 
     In masked (precluster) mode the inverted-index sign-equality prefilter
     (/root/reference/src/distances/mod.rs:399-553) runs INSIDE the kernel
@@ -292,6 +320,11 @@ def knn_keys_pallas(
         raise ValueError(
             "knn_keys_pallas needs shapes divisible by its tiles: "
             f"na={na} % ti={ti}, nb={nb} % tj={tj}, s64={s64} % {g}"
+        )
+    if gw > 1 and (tj % gw or masked):
+        raise ValueError(
+            f"group-max emission needs tj={tj} % gw={gw} == 0 and "
+            "unmasked mode (the masked scan keeps per-key emission)"
         )
     grid = (na // ti, nb // tj, s64 // g)
     smem = lambda: pl.BlockSpec(  # noqa: E731
@@ -335,13 +368,14 @@ def knn_keys_pallas(
             exclude_self=exclude_self,
             masked=masked,
             n_sig=n_sig,
+            gw=gw,
         ),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (ti, tj), lambda i, j, c: (i, j), memory_space=pltpu.VMEM
+            (ti, tj // gw), lambda i, j, c: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((na, nb), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((na, nb // gw), jnp.int32),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -351,7 +385,7 @@ def knn_keys_pallas(
         cost_estimate=pl.CostEstimate(
             flops=na * nb * (BBITS * 2 + 2) * s64 * 2,
             bytes_accessed=(
-                na * 128 * (s64 // g) + nb * 128 * (s64 // g) + na * nb
+                na * 128 * (s64 // g) + nb * 128 * (s64 // g) + na * nb // gw
             ) * 4,
             transcendentals=0,
         ),

@@ -115,24 +115,40 @@ _MIN_SAMPLES_FOR_DEVICE_COREACC = 2048
 
 
 def select_coreacc_engine(ms, completeness_vec=None,
-                          completeness_cutoff: float = 0.64):
+                          completeness_cutoff: float = 0.64,
+                          exact: bool = False):
     """Fully on-device core/accessory engine for large dense runs (f32; the
     exact f64 host pipeline is used for small runs). Completeness
     correction runs on device too — the per-k Jaccard correction folds
     into the regression chain of both the fused Pallas tile and the XLA
-    tile (after the samebits psum on the multi-chip sharded engine)."""
+    tile (after the samebits psum on the multi-chip sharded engine).
+
+    exact=True (`dist --exact`) selects the exact-output stream engine:
+    per-k int16 samebits strips on device, the oracle's f64 chain on the
+    host — byte-identical output to the host pipeline at a device->host
+    transfer and host-format cost (see DeviceCoreAccExactStreamEngine)."""
     mode = _mode()
     if mode == "host":
         return None
     n = ms.number_samples_loaded()
     if len(ms.kmer_lengths) < 2:
         return None
+    if exact and ms.sketchsize64 * 64 > 32767:
+        return None  # samebits would overflow the exact engine's int16 strips
     if mode == "tpu" or (
         _device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_COREACC
     ):
         try:
             import jax
 
+            if exact:
+                from .dist.coreacc_jax import DeviceCoreAccExactStreamEngine
+
+                return DeviceCoreAccExactStreamEngine(
+                    ms,
+                    completeness_vec=completeness_vec,
+                    completeness_cutoff=completeness_cutoff,
+                )
             if len(jax.local_devices()) > 1:
                 from .shard.mesh import ShardedCoreAccEngine
 

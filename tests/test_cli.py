@@ -284,3 +284,15 @@ def test_arg_group_enforcement(tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="mutually exclusive"):
         main(["inverted", "precluster", "x.ski", "--count", "--skd", "db",
               "--quiet"])
+
+
+def test_warmup_smoke(tmp_path, monkeypatch):
+    """`warmup` must drive sketch + every dist mode end-to-end on a tiny
+    synthetic configuration (the production cache-priming path; on this
+    CPU test backend it exercises the same CLI flows with host engines)."""
+    monkeypatch.chdir(tmp_path)
+    run(
+        "warmup", "-k", "17,21,25", "-s", "64", "--db-size", "64",
+        "--genome-sizes", "20000", "--knn", "3",
+        "--modes", "sketch,dense,knn,coreacc-dense,coreacc-knn",
+    )

@@ -352,3 +352,88 @@ def test_cross_engine_completeness_pallas_matches_host(monkeypatch):
         [[float(x) for x in ln.split("\t")[2:]] for ln in lines]
     )
     np.testing.assert_allclose(got, host, atol=2e-4)
+
+
+def test_coreacc_exact_stream_byte_identical_to_host():
+    """DeviceCoreAccExactStreamEngine (`dist --exact`) must emit BYTE-
+    identical output to the host f64 pipeline — plain and completeness-
+    corrected, row_range'd and full."""
+    import io
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api, output as dist_output
+    from sketchtpu.dist.coreacc_jax import DeviceCoreAccExactStreamEngine
+
+    ms = _fake_ms(n=30, nk=4, kmers=(17, 21, 25, 29), seed=12)
+    names = [ms.sketch_name(i) for i in range(30)]
+    rng = np.random.default_rng(13)
+    comp = rng.uniform(0.5, 1.0, 30)
+    dist_type = api.set_k(ms, None, False)
+    for cv in (None, comp):
+        for rr in (None, slice(7, 19)):
+            host_out = io.StringIO()
+            d = api.self_dists_all(
+                ms, dist_type, completeness_vec=cv, row_range=rr
+            )
+            dist_output.write_dense_self(
+                host_out, names, d, True, row_range=rr
+            )
+            eng = DeviceCoreAccExactStreamEngine(
+                ms, completeness_vec=cv, tile=8
+            )
+            dev_out = io.StringIO()
+            eng.stream_self_dense(dev_out, names, row_range=rr)
+            assert dev_out.getvalue() == host_out.getvalue(), (
+                f"comp={cv is not None} rr={rr}"
+            )
+
+
+def test_coreacc_pallas_tri_skip_matches_full():
+    """tri=True (self-dense triangle skip) must reproduce the full kernel
+    exactly on every pair with col > row and write zeros on fully-skipped
+    blocks — across row0 offsets that put the diagonal inside, before,
+    and after the tile."""
+    import jax
+    import jax.numpy as jnp
+
+    from sketchtpu.dist.coreacc_pallas import chunk_major, coreacc_pallas
+
+    rng = np.random.default_rng(21)
+    s64 = 4
+    w2 = s64 * 28
+    kmers = (17, 21, 25)
+    na, nb, ti, tj = 16, 32, 8, 8
+    stack = rng.integers(0, 2**32, (len(kmers), nb, w2), dtype=np.uint32)
+    cm = chunk_major(jnp.asarray(stack), s64)
+    bt = jnp.transpose(cm)
+    for row0 in (0, 8, 16, 40):
+        a = cm[:na] if row0 == 0 else cm[nb - na :]
+        full = np.asarray(
+            coreacc_pallas(
+                a, bt, s64, kmers, 256, ti=ti, tj=tj, interpret=True
+            )
+        )
+        tri = np.asarray(
+            coreacc_pallas(
+                a, bt, s64, kmers, 256, ti=ti, tj=tj, interpret=True,
+                tri=True, row0=np.int32(row0),
+            )
+        )
+        rows = row0 + np.arange(na)[:, None]
+        cols = np.arange(nb)[None, :]
+        upper = cols > rows
+        np.testing.assert_array_equal(
+            tri[upper], full[upper], err_msg=f"row0={row0}"
+        )
+        # fully-skipped blocks come back zeroed (never read, but pinned)
+        bi, bj = np.meshgrid(
+            np.arange(na // ti), np.arange(nb // tj), indexing="ij"
+        )
+        skipped = (bj + 1) * tj - 1 <= row0 + bi * ti
+        for i, j in zip(*np.nonzero(skipped)):
+            blk = tri[i * ti : (i + 1) * ti, j * tj : (j + 1) * tj]
+            np.testing.assert_array_equal(blk, 0.0)
