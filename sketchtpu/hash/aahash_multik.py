@@ -124,15 +124,15 @@ def multik_aa_hash_bin_kernel(
         # k costs only two slices + a final per-position rotation — the
         # incremental step loop pays a 32-way select tree per (position,
         # step), kmax of them
-        from .aahash_jax import _srol_n
+        from .aahash_jax import _srol_n, _xor_prefix_scan
 
         q = jnp.arange(n0, dtype=jnp.uint32)
         g_lo, g_hi = _tap_select32_dyn(c, seed_row)
         r33 = (jnp.uint32(33) - q % 33) % 33
         r31 = (jnp.uint32(31) - q % 31) % 31
         g_lo, g_hi = _srol_n(g_lo, g_hi, r33, r31)
-        s_lo = jax.lax.associative_scan(jnp.bitwise_xor, g_lo)
-        s_hi = jax.lax.associative_scan(jnp.bitwise_xor, g_hi)
+        s_lo = _xor_prefix_scan(g_lo)
+        s_hi = _xor_prefix_scan(g_hi)
         p_arange = jnp.arange(m, dtype=jnp.uint32)
 
     for step in ((kmers if prefix else range(1, kmax + 1))):
