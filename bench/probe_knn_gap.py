@@ -53,8 +53,12 @@ def main():
     b_cm = chunk_group_major(b, S64)
     b_cm_t = b_cm.T.copy()
 
+    # big operands are explicit jit PARAMETERS: closed-over device arrays
+    # serialize into the remote-compile request body as constants, and the
+    # tunneled compile service rejects the ~380 MB payload (HTTP 413)
     @functools.partial(jax.jit, static_argnames=("inner", "mode"))
-    def chain(salt, inner, mode):
+    def chain(salt, inner, mode, a=None, b=None, a_cm=None, b_cm=None,
+              b_cm_t=None):
         def body(_, s):
             if mode == "full":
                 v, i = _knn_scan_block_packed(
@@ -110,7 +114,8 @@ def main():
     )
 
     @functools.partial(jax.jit, static_argnames=("inner",))
-    def chain_masked(salt, inner):
+    def chain_masked(salt, inner, a_cm=None, b_cm_t=None, a_sig=None,
+                     b_sig=None):
         def body(_, s):
             v, i = _knn_scan_block_packed(
                 a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
@@ -127,9 +132,13 @@ def main():
     modes = sys.argv[1:] or ["raw", "full", "gm", "xraw", "xfull", "masked"]
     for mode in modes:
         if mode.startswith("masked"):
-            ch = chain_masked
+            ch = lambda s, n: chain_masked(  # noqa: E731
+                s, n, a_cm=a_cm, b_cm_t=b_cm_t, a_sig=a_sig, b_sig=b_sig
+            )
         else:
-            ch = lambda s, n: chain(s, n, mode)  # noqa: E731
+            ch = lambda s, n: chain(  # noqa: E731
+                s, n, mode, a=a, b=b, a_cm=a_cm, b_cm=b_cm, b_cm_t=b_cm_t
+            )
         int(ch(jnp.uint32(1), 1))  # compile + drain
         int(ch(jnp.uint32(1), 5))
         t0 = time.perf_counter()
