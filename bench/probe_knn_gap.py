@@ -15,6 +15,31 @@ both measurements). 2026-08 v5e clean readings: pallas raw 3.05,
 pallas full 2.41, masked 2.07 G pair/s — the selection chain costs its
 full isolated ~1.45 ms/tile (nothing overlaps on a single tensor core).
 
+ROUND-4 GROUP-MAX EXPERIMENT (code deleted after measurement — see the
+round-4 commit that removed _knn_scan_block_gm / knn_keys_pallas for the
+exact code; every number below is an RTT-cancelled clean reading at the
+512x512 kernel blocks, 2026-08 v5e):
+
+  raw samebits kernel            4.71 ms/tile  3.56 G pair/s
+  keys kernel gw=1 (kraw)        4.85 ms/tile  3.46   (mask+pack fused)
+  keys kernel gw=4 +fold (gmraw) 4.60 ms/tile  3.64   (epilogue is FREE;
+                                 writes 4x less HBM than raw — confirms
+                                 the kernel is VPU-bound, not write-bound)
+  gm phase 1 (+top_k merge)      5.48 ms/tile  3.06
+  gm phase 2 (member recompute) 29.20 ms/block        (XLA row gather of
+                                 2048x400 x 2KB = 1.6 GB; HBM floor of
+                                 that gather alone is ~2.3 ms)
+  gm total                       9.03 ms/tile  1.86
+  production v1                  6.07 ms/tile  2.76
+
+Floor argument: even a perfect phase 2 at its 2.3 ms HBM-gather floor
+gives 43.8 + 2.3 = 46.1 ms/block = 2.9 G pair/s — inside this rig's
+~10% noise band around v1's 2.76 and far from the 3.2 target, with ~500
+lines of extra machinery. v1's own selection cost (6.07 - 4.71 = 1.36
+ms/tile) decomposes into measured minimal components: top_k(2048x1024
+-> 50) 0.38 ms + group gather ~0.7 ms + mask/pack/merge ~0.3 ms — v1 IS
+the component floor for an exact selection, so it stays the only scan.
+
 Reference hot loop being modelled: the per-row heap scan of
 /root/reference/src/distances/mod.rs:133-224.
 """
@@ -37,10 +62,7 @@ from sketchtpu.dist.pallas_kernels import (  # noqa: E402
     chunk_group_major,
     samebits_pallas_chunked,
 )
-from sketchtpu.dist.knn_jax import (  # noqa: E402
-    _knn_scan_block_gm,
-    _knn_scan_block_packed,
-)
+from sketchtpu.dist.knn_jax import _knn_scan_block_packed  # noqa: E402
 
 S64, TR, NB, TC, KNN = 16, 2048, 65536, 8192, 50
 W2 = S64 * 14 * 2
@@ -64,13 +86,6 @@ def main():
                 v, i = _knn_scan_block_packed(
                     a_cm ^ s, b_cm_t, jnp.int32(0), jnp.int32(NB),
                     S64, KNN, TC, True, True,
-                )
-                r = v.sum() + i.sum()
-            elif mode == "gm":  # group-max scan: group maxes from the
-                # kernel epilogue, winning members recomputed per block
-                v, i = _knn_scan_block_gm(
-                    a_cm ^ s, b_cm_t, b_cm, jnp.int32(0), jnp.int32(NB),
-                    S64, KNN, TC, True,
                 )
                 r = v.sum() + i.sum()
             elif mode == "xfull":  # packed scan, XLA samebits tile
@@ -129,7 +144,7 @@ def main():
         return jax.lax.fori_loop(0, inner, body, salt)
 
     pairs = TR * NB
-    modes = sys.argv[1:] or ["raw", "full", "gm", "xraw", "xfull", "masked"]
+    modes = sys.argv[1:] or ["raw", "full", "xraw", "xfull", "masked"]
     for mode in modes:
         if mode.startswith("masked"):
             ch = lambda s, n: chain_masked(  # noqa: E731

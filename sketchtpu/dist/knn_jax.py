@@ -287,159 +287,6 @@ def _knn_scan_block_packed(
     return vals, idxs
 
 
-def _pairs_samebits_cm(a_cm, b_cm, cols, s64):
-    """Exact samebits between row r of a_cm and row cols[r, j] of b_cm
-    (both chunk-group-major (n, SW) u32) -> (tr, m) int32.
-
-    The group-max scan's member recompute: row-chunked with lax.map so
-    the gathered member planes peak at ~hundreds of MB, not GBs."""
-    from ..constants import BBITS as _BB
-    from .pallas_kernels import _CHUNK_GROUP
-
-    tr, m = cols.shape
-    sw = a_cm.shape[1]
-    ngrp = sw // 128
-
-    def one(args):
-        a_blk, c_blk = args
-        ch = a_blk.shape[0]
-        b = b_cm[c_blk.reshape(-1)].reshape(ch, m, sw)
-        x = ~(a_blk[:, None, :] ^ b)
-        x = x.reshape(ch, m, ngrp, 128)[..., : _CHUNK_GROUP * _BB * 2]
-        x = x.reshape(ch, m, ngrp, _CHUNK_GROUP, _BB, 2)
-        acc = x[..., 0, :]
-        for p in range(1, _BB):
-            acc = acc & x[..., p, :]
-        return jnp.sum(
-            jax.lax.population_count(acc), axis=(2, 3, 4), dtype=jnp.int32
-        )
-
-    chunk = 256
-    if tr % chunk:
-        return one((a_cm[:tr], cols))
-    out = jax.lax.map(
-        one,
-        (
-            a_cm[:tr].reshape(tr // chunk, chunk, sw),
-            cols.reshape(tr // chunk, chunk, m),
-        ),
-    )
-    return out.reshape(tr, m)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "s64", "knn", "tc", "exclude_self", "ti", "tj", "interpret", "gw",
-    ),
-)
-def _knn_scan_block_gm(
-    a_cm: jnp.ndarray,  # (tr, SW) u32 chunk-group-major rows
-    bt_cm: jnp.ndarray,  # (SW, nbp) u32 chunk-group-major transposed columns
-    b_cm: jnp.ndarray,  # (nbp, SW) u32 chunk-group-major columns (row-major)
-    row0: jnp.ndarray,
-    nb_real: jnp.ndarray,
-    s64: int,
-    knn: int,
-    tc: int,
-    exclude_self: bool,
-    ti: int = 512,
-    tj: int = 512,
-    interpret: bool = False,
-    gw: int = 8,
-):
-    """Group-max kNN scan — same contract as _knn_scan_block_packed
-    (pallas=True, unmasked) with the selection chain collapsed to one
-    top_k per tile plus a per-row-block member recompute:
-
-    - the keys kernel emits only (tr, tc / gw) GROUP-MAX packed keys from
-      its VMEM epilogue (pallas_kernels.knn_keys_pallas with gw > 1) — the
-      raw samebits/key tile never reaches HBM (scan v2 failed exactly
-      there: materializing (tr, nbp) key tiles measured 2.33 G pair/s vs
-      v1's 2.78);
-    - the running merge is top_k(concat(carry, group_maxes)) — exact
-      because any true top-knn element's group max must rank in the global
-      top-knn group maxes (else knn distinct groups each contribute one
-      strictly greater element, contradiction; packed keys are unique);
-    - phase 2 recomputes ONLY the winning groups' members — knn * gw
-      samebits per row via _pairs_samebits_cm (~0.8% of scanned pairs at
-      knn=50, gw=8, nbp=64k) — and a final top_k gives the exact result
-      with reference heap tie order (samebits desc, column asc).
-
-    Member recovery needs the group -> columns map: kernel block base
-    B = (col // tj) * tj, group slot i0 = (col - B) % ng with
-    ng = tj // gw, members B + i0 + ng * jj. Correct because c0 = t * tc
-    is always a multiple of tj."""
-    from .pallas_kernels import knn_keys_pallas
-
-    sw, nbp = bt_cm.shape
-    tr = a_cm.shape[0]
-    n_tiles = nbp // tc
-    shift = _pack_shift(s64)
-    colmask = (1 << shift) - 1
-    ng = tj // gw
-    init = jnp.full((tr, knn), -1, jnp.int32) + row0 * 0
-
-    # Mosaic requires the kernel's output block width to divide 128, so
-    # the kernel emits gw=4 group maxes ((ti, tj/4) = 128-lane blocks)
-    # and gw == 8 folds pairs in XLA: the stride-64 8-group {B+i0+64j}
-    # is exactly the union of stride-128 4-groups i0 and i0+64, so
-    # max(g4[:, i0], g4[:, i0+64]) per block IS the 8-group max.
-    if gw not in (4, 8) or (tj % 128 and not interpret):
-        raise ValueError(
-            f"gm scan supports gw in (4, 8) (got {gw}) and tj % 128 == 0 "
-            f"(got {tj}; Mosaic needs 128-lane output blocks)"
-        )
-    nblk = tc // tj
-
-    def body(carry, t):
-        c0 = t * tc
-        bt = jax.lax.dynamic_slice(bt_cm, (0, c0), (sw, tc))
-        g4 = knn_keys_pallas(
-            a_cm, bt, c0, row0, nb_real, s64, shift, exclude_self,
-            ti=ti, tj=tj, interpret=interpret, gw=4,
-        )  # (tr, tc // 4)
-        if gw == 8:
-            gm = (
-                g4.reshape(tr, nblk, 2, tj // 8)
-                .max(axis=2)
-                .reshape(tr, tc // 8)
-            )
-        else:
-            gm = g4
-        merged, _ = jax.lax.top_k(jnp.concatenate([carry, gm], axis=1), knn)
-        return merged, None
-
-    carry, _ = jax.lax.scan(
-        body, init, jnp.arange(n_tiles, dtype=jnp.int32)
-    )
-
-    # phase 2: expand each surviving group into its gw member columns and
-    # recompute their exact keys. Dead slots (fewer than knn nonempty
-    # groups) stay -1 so no group is double-counted.
-    gcol = colmask - (carry & colmask)  # (tr, knn) col of each group max
-    base = (gcol // tj) * tj
-    i0 = (gcol - base) % ng
-    cand = (
-        base[:, :, None]
-        + i0[:, :, None]
-        + ng * jnp.arange(gw, dtype=jnp.int32)[None, None, :]
-    ).reshape(tr, knn * gw)
-    dead = jnp.repeat(carry < 0, gw, axis=1)
-    cand_c = jnp.where(dead, 0, cand)
-    sb = _pairs_samebits_cm(a_cm, b_cm, cand_c, s64)
-    packed = (sb << shift) | (colmask - cand_c)
-    valid = ~dead & (cand_c < nb_real)
-    if exclude_self:
-        rows = row0 + jnp.arange(tr, dtype=jnp.int32)[:, None]
-        valid = valid & (cand_c != rows)
-    packed = jnp.where(valid, packed, -1)
-    final, _ = jax.lax.top_k(packed, knn)
-    vals = jnp.where(final < 0, _NEG, final >> shift)
-    idxs = jnp.where(final < 0, 0x7FFFFFFF, colmask - (final & colmask))
-    return vals, idxs
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1183,12 +1030,6 @@ class DeviceKnnEngine(PreclusterKnnMixin):
             kern_sb == "pallas"
             or (kern_sb != "xla" and jax.default_backend() not in ("cpu",))
         ) and self.s64 % 4 == 0 and self.col_tile % 512 == 0
-        # unmasked packed scans: "gm" selects the group-max scan
-        # (_knn_scan_block_gm — group maxes emitted from the kernel
-        # epilogue, winning-group members recomputed), "v1" the per-tile
-        # shrink scan. Default pending on-device measurement
-        # (bench/probe_knn_gap.py gm mode).
-        self._knn_scan = os.environ.get("SKETCHTPU_KNN_SCAN", "v1")
         self._planes_cm: dict[int, jax.Array] = {}
         self._planes_cm_t: dict[int, jax.Array] = {}
 
@@ -1261,7 +1102,6 @@ class DeviceKnnEngine(PreclusterKnnMixin):
         cutoff: float = 0.64,
         a_dev: jax.Array | None = None,
         cm: tuple[jax.Array, jax.Array] | None = None,
-        b_cm_dev: jax.Array | None = None,
     ):
         """Generic row-block scan; a_mat is host u32 (na, W2). row_base is
         the global index of a_mat's first row (self-exclusion offset when
@@ -1272,10 +1112,7 @@ class DeviceKnnEngine(PreclusterKnnMixin):
         on device instead of re-uploading planes that already live in
         HBM. cm, when given, is (a_cm_dev, bt_cm_dev) — chunk-group-major
         device matrices (a_cm_dev indexed like a_dev) — and switches the
-        samebits tile to the Pallas kernel; b_dev may then be None.
-        b_cm_dev is the COLUMN matrix row-major in cm layout (equal to
-        cm[0] in the self case) — it enables the group-max scan's member
-        recompute on unmasked packed scans."""
+        samebits tile to the Pallas kernel; b_dev may then be None."""
         na = a_mat.shape[0] if a_mat is not None else (
             cm[0].shape[0] - row_base
         )
@@ -1314,27 +1151,7 @@ class DeviceKnnEngine(PreclusterKnnMixin):
                         sig_blk = np.pad(sig_blk, ((0, pad), (0, 0)))
                     if comp:
                         c1_blk = np.pad(c1_blk, (0, pad), constant_values=1.0)
-                use_gm = (
-                    packed_ok
-                    and not masked
-                    and self._knn_scan == "gm"
-                    and b_cm_dev is not None
-                    and tc % 512 == 0
-                )
-                if use_gm:
-                    v, i = _knn_scan_block_gm(
-                        a_blk,
-                        bt_cm_dev,
-                        b_cm_dev,
-                        np.int32(row_base + r0),
-                        np.int32(self.n),
-                        s64=self.s64,
-                        knn=knn,
-                        tc=tc,
-                        exclude_self=exclude_self,
-                        ti=ti,
-                    )
-                elif packed_ok:
+                if packed_ok:
                     v, i = _knn_scan_block_packed(
                         a_blk,
                         bt_cm_dev,
@@ -1487,7 +1304,6 @@ class DeviceKnnEngine(PreclusterKnnMixin):
             cutoff=completeness_cutoff,
             a_dev=b_dev,
             cm=cm,
-            b_cm_dev=cm[0] if cm is not None else None,
         )
         return self._rows_from_samebits(
             sb, idx, dist_type,
@@ -1526,9 +1342,6 @@ class DeviceKnnEngine(PreclusterKnnMixin):
             c2_dev=self._comp_cols_dev(c2) if c2 is not None else None,
             cutoff=completeness_cutoff,
             cm=cm,
-            b_cm_dev=self._plane_cm(dist_type.k_idx)
-            if cm is not None
-            else None,
         )
         return self._rows_from_samebits(
             sb, idx, dist_type,

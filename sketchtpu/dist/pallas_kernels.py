@@ -133,265 +133,6 @@ def samebits_pallas_chunked(
     )(a, bt)
 
 
-def _knn_keys_kernel(
-    c0_ref,  # SMEM (1,1) i32: global column offset of this tile
-    row0_ref,  # SMEM (1,1) i32: global row offset of the row block
-    nb_ref,  # SMEM (1,1) i32: real (unpadded) column count
-    a_ref,
-    bt_ref,
-    *rest,
-    s64: int,
-    ti: int,
-    tj: int,
-    shift: int,
-    exclude_self: bool,
-    masked: bool,
-    n_sig: int,
-    gw: int = 1,
-):
-    if masked:
-        asig_ref, bsig_ref, out_ref, acc_ref, mask_ref, flag_ref = rest
-    else:
-        out_ref, acc_ref = rest
-    c = pl.program_id(2)
-    g = _CHUNK_GROUP
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    if masked:
-        # mask pass at c == 0: fold the inverted-index sign-equality
-        # prefilter AND pad/diagonal validity into one (ti, tj) mask; a
-        # whole-block any() gates the samebits compute entirely (real data
-        # is species-sorted, so most blocks have no candidate pairs)
-        @pl.when(c == 0)
-        def _mask():
-            shared = jnp.zeros((ti, tj), dtype=jnp.bool_)
-            for s in range(n_sig):
-                a_col = asig_ref[:, s : s + 1]  # (ti, 1)
-                b_row = bsig_ref[s : s + 1, :]  # (1, tj)
-                shared = shared | (a_col == b_row)
-            valid = shared & _keys_validity(
-                c0_ref, row0_ref, nb_ref, i, j, ti, tj, exclude_self
-            )
-            mask_ref[:, :] = valid.astype(jnp.int32)
-            flag_ref[0] = valid.any().astype(jnp.int32)
-
-    def compute():
-        counts = jnp.zeros((ti, tj), dtype=jnp.int32)
-        full = jnp.full((ti, tj), 0xFFFFFFFF, dtype=jnp.uint32)
-        for cg in range(g):
-            for w in range(2):
-                acc = full
-                for p in range(BBITS):
-                    widx = cg * (BBITS * 2) + p * 2 + w
-                    a_col = a_ref[:, widx : widx + 1]
-                    b_row = bt_ref[widx : widx + 1, :]
-                    acc = acc & ~(a_col ^ b_row)
-                counts = counts + jax.lax.population_count(acc).astype(
-                    jnp.int32
-                )
-        return counts
-
-    if masked:
-
-        @pl.when(flag_ref[0] != 0)
-        def _go():
-            counts = compute()
-
-            @pl.when(c == 0)
-            def _init():
-                acc_ref[:, :] = counts
-
-            @pl.when(c != 0)
-            def _accum():
-                acc_ref[:, :] = acc_ref[:, :] + counts
-
-    else:
-        counts = compute()
-
-        @pl.when(c == 0)
-        def _init():
-            acc_ref[:, :] = counts
-
-        @pl.when(c != 0)
-        def _accum():
-            acc_ref[:, :] = acc_ref[:, :] + counts
-
-    @pl.when(c == s64 // g - 1)
-    def _finish():
-        colmask = (1 << shift) - 1
-        col = (
-            c0_ref[0, 0]
-            + j * tj
-            + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-        )
-        if masked:
-            valid = mask_ref[:, :] != 0
-        else:
-            valid = _keys_validity(
-                c0_ref, row0_ref, nb_ref, i, j, ti, tj, exclude_self
-            )
-        # a skipped masked block's acc is stale garbage; its valid is
-        # all-False so the where never exposes it
-        packed = (acc_ref[:, :] << shift) | (colmask - col)
-        packed = jnp.where(valid, packed, -1)
-        if gw == 1:
-            out_ref[:, :] = packed
-        else:
-            # group-max emission: group i0 of this tj-block holds member
-            # columns {block_base + i0 + ng*jj, jj < gw} (strided groups =
-            # contiguous ng-wide lane slices, no in-kernel relayout), and
-            # only the per-group max key leaves VMEM — gw-fold less HBM
-            # write than emitting the key tile. Packed keys are unique, so
-            # the max is a well-defined member; the scan recovers members
-            # by recomputing the selected groups only.
-            ng = tj // gw
-            m = packed[:, 0:ng]
-            for jj in range(1, gw):
-                m = jnp.maximum(m, packed[:, jj * ng : (jj + 1) * ng])
-            out_ref[:, :] = m
-
-
-def _keys_validity(c0_ref, row0_ref, nb_ref, i, j, ti, tj, exclude_self):
-    col = (
-        c0_ref[0, 0]
-        + j * tj
-        + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-    )
-    valid = col < nb_ref[0, 0]
-    if exclude_self:
-        row = (
-            row0_ref[0, 0]
-            + i * ti
-            + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
-        )
-        valid = valid & (col != row)
-    return valid
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "s64", "shift", "exclude_self", "masked", "ti", "tj", "interpret",
-        "gw",
-    ),
-)
-def knn_keys_pallas(
-    a: jnp.ndarray,  # (na, (s64/G)*128) u32 chunk-group-major rows
-    bt: jnp.ndarray,  # ((s64/G)*128, nb) u32 (transposed, same layout)
-    c0: jnp.ndarray,  # () i32 global column offset of bt's tile
-    row0: jnp.ndarray,  # () i32 global row offset of a's block
-    nb_real: jnp.ndarray,  # () i32 real column count
-    s64: int,
-    shift: int,
-    exclude_self: bool,
-    a_sig: jnp.ndarray | None = None,  # (na, S) i32 row signs (masked)
-    bsig_t: jnp.ndarray | None = None,  # (S, nb) i32 transposed column signs
-    masked: bool = False,
-    ti: int = 512,
-    tj: int = 512,
-    interpret: bool = False,
-    gw: int = 1,
-) -> jnp.ndarray:
-    """(na, nb) int32 PACKED top-k keys: (samebits << shift) | (colmask -
-    global_col) for valid pairs, -1 for pad/self/masked-out pairs — the
-    samebits kernel with the kNN scan's whole masking + packing epilogue
-    fused in, so the scan's XLA side never touches the raw samebits tile.
-
-    With gw > 1 the kernel instead emits (na, nb // gw) GROUP-MAX keys:
-    each tj-wide block is partitioned into ng = tj // gw strided groups
-    (group i0's members are block_base + i0 + ng * jj for jj < gw) and
-    only each group's max key is written — gw-fold less HBM write traffic
-    than the key tile, computed in the VMEM epilogue as gw elementwise
-    maxima of contiguous ng-lane slices. Output column j of block b maps
-    to group j of that block; member columns are recomputable from the
-    max member's column (low key bits) alone, which is how
-    knn_jax._knn_scan_block_gm recovers exact per-member keys.
-
-    In masked (precluster) mode the inverted-index sign-equality prefilter
-    (/root/reference/src/distances/mod.rs:399-553) runs INSIDE the kernel
-    at the first chunk step, and a whole-(ti, tj)-block any() skips the
-    samebits compute for blocks with no candidate pairs (real 661k data is
-    species-sorted, so candidates cluster near the diagonal)."""
-    na = a.shape[0]
-    nb = bt.shape[1]
-    g = _CHUNK_GROUP
-    if na % ti or nb % tj or s64 % g:
-        raise ValueError(
-            "knn_keys_pallas needs shapes divisible by its tiles: "
-            f"na={na} % ti={ti}, nb={nb} % tj={tj}, s64={s64} % {g}"
-        )
-    if gw > 1 and (tj % gw or masked):
-        raise ValueError(
-            f"group-max emission needs tj={tj} % gw={gw} == 0 and "
-            "unmasked mode (the masked scan keeps per-key emission)"
-        )
-    grid = (na // ti, nb // tj, s64 // g)
-    smem = lambda: pl.BlockSpec(  # noqa: E731
-        (1, 1), lambda i, j, c: (0, 0), memory_space=pltpu.SMEM
-    )
-    in_specs = [
-        smem(), smem(), smem(),
-        pl.BlockSpec(
-            (ti, 128), lambda i, j, c: (i, c), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (128, tj), lambda i, j, c: (c, j), memory_space=pltpu.VMEM
-        ),
-    ]
-    scalar = lambda x: jnp.asarray(x, jnp.int32).reshape(1, 1)  # noqa: E731
-    operands = [scalar(c0), scalar(row0), scalar(nb_real), a, bt]
-    scratch = [pltpu.VMEM((ti, tj), jnp.int32)]
-    n_sig = 0
-    if masked:
-        n_sig = a_sig.shape[1]
-        in_specs += [
-            pl.BlockSpec(
-                (ti, n_sig), lambda i, j, c: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (n_sig, tj), lambda i, j, c: (0, j), memory_space=pltpu.VMEM
-            ),
-        ]
-        operands += [a_sig, bsig_t]
-        scratch += [
-            pltpu.VMEM((ti, tj), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-        ]
-    return pl.pallas_call(
-        functools.partial(
-            _knn_keys_kernel,
-            s64=s64,
-            ti=ti,
-            tj=tj,
-            shift=shift,
-            exclude_self=exclude_self,
-            masked=masked,
-            n_sig=n_sig,
-            gw=gw,
-        ),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (ti, tj // gw), lambda i, j, c: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((na, nb // gw), jnp.int32),
-        scratch_shapes=scratch,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=na * nb * (BBITS * 2 + 2) * s64 * 2,
-            bytes_accessed=(
-                na * 128 * (s64 // g) + nb * 128 * (s64 // g) + na * nb // gw
-            ) * 4,
-            transcendentals=0,
-        ),
-    )(*operands)
-
-
 def _samebits_kernel(a_ref, bt_ref, out_ref, *, s64: int, ti: int, tj: int):
     counts = jnp.zeros((ti, tj), dtype=jnp.int32)
     full = jnp.full((ti, tj), 0xFFFFFFFF, dtype=jnp.uint32)
