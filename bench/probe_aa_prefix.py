@@ -22,6 +22,20 @@ Run one (mode, variant) per process under `timeout` — first compiles via
 the tunnel are slow and occasionally stall; the persistent cache makes
 re-runs fast.
 
+ROUND-4 RESULTS (v5e, chip idle, this protocol) — prefix LOSES at every
+compilable shape and the default stays taps:
+
+  kernel  8x100k-aa  taps 39.8  prefix 34.8 Maa*k/s   (prefix -13%)
+  multik  4x250k-aa  taps 37.4  prefix 33.9 Maa*k/s   (prefix -10%,
+          and multik shares the prefix scans across k — the best case)
+  kernel  1x100k-aa  prefix 45.5 (overhead-bound tiny shape)
+  taps production-shape baselines: kernel 64x100k 55.1; multik 16x1M 88.3
+
+Prefix compile time explodes with stream bucket even with the blocked
+two-level scan (2^17 ~6 min, 2^20 ~15 min, 2^23 >35 min unfinished);
+taps compiles in minutes at every size. Diagnosis in
+sketch_aa_jax._aa_prefix_hash's docstring.
+
 Reference hot loop being modelled: aahash_iterator.rs:25-218.
 """
 

@@ -31,10 +31,22 @@ from ..hash.nthash_jax import MAX_K, combine_bin_minima
 def _aa_prefix_hash() -> bool:
     """SKETCHTPU_AA_HASH=prefix selects the prefix-XOR aaHash (O(1) work
     per position regardless of k, bit-exact vs the tap path — fuzz-tested
-    on CPU across levels and k). Default remains the per-tap select-tree
-    kernels: on this rig's tunneled TPU the prefix kernel's first
-    compile/execution stalled indefinitely (remote-compile pathology, not
-    reproduced on CPU) and has not yet been proven on real hardware."""
+    on CPU across levels and k). Default is the per-tap select-tree
+    kernels, now by MEASUREMENT, not caution (round 4, v5e,
+    bench/probe_aa_prefix.py RTT-cancelled salt chains, one variant per
+    process): at every shape whose prefix graph the tunneled compiler
+    could build, prefix LOSES — exact-wide 8x100k-aa 34.8 vs taps 39.8
+    Maa*k/s; fused multik 4x250k-aa 33.9 vs 37.4 — and its compile time
+    explodes with stream length (2^17 bucket ~6 min, 2^20 ~15 min, 2^23
+    still compiling at 35 min; the taps graphs compile in minutes at
+    every size). The ~6x op-count model fails on the VPU because the tap
+    select tree is fixed-shift/XOR soup that vectorizes perfectly, while
+    the prefix path pays two per-lane VARIABLE 33/31-bit field rotations
+    per position (~80 where/shift ops each) plus two memory-bound XOR
+    scans, and both kernels share the downstream mod/mask/bin-min-sort
+    chain that bounds the total. Kept as an opt-in escape hatch: the
+    trade could flip on hardware with cheap dynamic lane shifts or a
+    compiler that lowers associative_scan better."""
     import os
 
     return os.environ.get("SKETCHTPU_AA_HASH", "taps") == "prefix"
