@@ -22,8 +22,9 @@ computed, and the implied exact-100k wall is printed alongside).
 
 Timing: best-of-3, salted per trial (the tunneled runtime memoizes
 identical executions), wall from dispatch to the scalar fetch; a
-separately measured 1-block schedule gives the RTT+overhead term to
-subtract (same protocol as bench.py).
+separately measured 1-block schedule is recorded for context only —
+sustained rates are computed from the raw full-schedule wall, so they
+are conservative by the dispatch overhead.
 
 Run with the chip otherwise idle.
 """

@@ -105,11 +105,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--exact",
         action="store_true",
-        help="Dense multi-k core/accessory self output: stream exact "
-        "per-k samebits from the device and replay the f64 chain on the "
-        "host — byte-identical to the host pipeline (the default large-"
-        "run engine is f32, within ~1e-5). Single-k and kNN outputs are "
-        "already exact; no effect there",
+        help="Dense multi-k core/accessory output (self AND ref-vs-"
+        "query): stream exact per-k samebits from the device and replay "
+        "the f64 chain on the host — byte-identical to the host "
+        "pipeline (the default large-run engine is f32, within ~1e-5). "
+        "Single-k and kNN outputs are already exact; no effect there",
     )
     p.add_argument("--threads", type=int, default=1)
     p.add_argument("--ref-completeness-file")
@@ -302,7 +302,30 @@ def build_parser() -> argparse.ArgumentParser:
         "--modes",
         default="sketch,dense,knn",
         help="Comma-separated subset of sketch,dense,knn,coreacc-dense,"
-        "coreacc-knn",
+        "coreacc-knn,exact,cross,reads,inverted",
+    )
+    p.add_argument(
+        "--query-db-size",
+        type=int,
+        default=2048,
+        help="Synthetic query DB rows for the cross (ref-vs-query) "
+        "programs (match your real query count: cross programs "
+        "specialize on the padded query column count)",
+    )
+    p.add_argument(
+        "--reads-bases",
+        type=int,
+        default=20_000_000,
+        help="Total FASTQ bases for the reads mode (programs specialize "
+        "on the dispatch-window bucket of the base count; 20 Mb covers "
+        "one full 16 Mb window plus a tail bucket)",
+    )
+    p.add_argument(
+        "--inverted-sketch-size",
+        type=int,
+        default=100,
+        help="Bins for the inverted-index programs (the inverted index "
+        "is typically much smaller than the dense sketch, e.g. 100)",
     )
     p.add_argument("--seq-type", choices=["dna", "aa"], default="dna")
     p.add_argument("--level", choices=["level1", "level2", "level3"], default="level1")
@@ -731,6 +754,7 @@ def main(argv=None) -> int:
                         references,
                         ref_comp if both_comp else None,
                         args.completeness_cutoff,
+                        exact=args.exact,
                     )
                 if stream_engine is not None:
                     log.info("Using on-device dense streaming engine")
@@ -744,7 +768,8 @@ def main(argv=None) -> int:
                     cross_ca_engine, "stream_cross_dense"
                 ):
                     log.info(
-                        "Using on-device core/accessory tile engine (cross)"
+                        "Using on-device core/accessory %s engine (cross)",
+                        "exact-stream" if args.exact else "tile",
                     )
                     cross_ca_engine.stream_cross_dense(
                         out, names, qnames, queries,

@@ -522,3 +522,112 @@ class DeviceCoreAccExactStreamEngine:
         finally:
             if pipe is not None:
                 pipe.close()
+
+    def stream_cross_dense(
+        self,
+        out,
+        ref_names: list[str],
+        query_names: list[str],
+        query_ms,
+        rcomp=None,
+        qcomp=None,
+        cutoff: float = 0.64,
+        row_range: slice | None = None,
+    ) -> None:
+        """Cross (ref-vs-query) twin of stream_self_dense: per-k EXACT
+        int16 samebits strips over the query rectangle, the oracle's f64
+        chain replayed on the host — byte-identical to
+        api.cross_dists_all + write_dense_cross
+        (/root/reference/src/distances/mod.rs:227-297 semantics).
+        Completeness applies only when both sides have values
+        (jaccard.rs:36-42)."""
+        from .._native import get_lib
+        from .jaccard_np import core_acc_from_jaccards, jaccard_from_samebits
+        from .output import (
+            _name_table,
+            fmt_f32,
+            format_lines_bytes,
+            row_spans,
+        )
+
+        n = self.n
+        nq = query_ms.number_samples_loaded()
+        cutoff = float(cutoff)
+        comp_on = rcomp is not None and qcomp is not None
+        rc = np.asarray(rcomp, dtype=np.float64) if comp_on else None
+        qc = np.asarray(qcomp, dtype=np.float64) if comp_on else None
+        nk = len(self.kmers)
+        qreps = [e.prep_query(query_ms) for e in self._per_k]
+        lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
+        starts = list(range(lo, hi, self.tile))
+        if not starts:
+            return
+        tab_r = _name_table(ref_names) if get_lib() is not None else None
+        tab_q = _name_table(query_names) if tab_r is not None else None
+        pending: list[tuple] = []
+
+        def dispatch(r0: int):
+            pending.append(
+                (
+                    r0,
+                    [
+                        e.cross_strip(r0, qr)
+                        for e, qr in zip(self._per_k, qreps)
+                    ],
+                )
+            )
+
+        dispatch(starts[0])
+        s64 = self.s64
+
+        def pair_values(strips, sbase: int, i0: int, i1: int):
+            rows = np.repeat(np.arange(i0, i1, dtype=np.int32), nq)
+            cols = np.tile(np.arange(nq, dtype=np.int32), i1 - i0)
+            npad = strips[0].shape[1]
+            flat_idx = (rows - sbase).astype(np.int64) * npad + cols
+            c1 = rc[rows] if comp_on else None
+            c2 = qc[cols] if comp_on else None
+            jaccs = np.empty((rows.size, nk), dtype=np.float64)
+            for ki, s in enumerate(strips):
+                jaccs[:, ki] = jaccard_from_samebits(
+                    s.reshape(-1)[flat_idx], s64, c1, c2, cutoff
+                )
+            core, acc = core_acc_from_jaccards(
+                jaccs, self.kmers, self.sketch_size
+            )
+            return rows, cols, core, acc
+
+        def chunk_task(strips, sbase: int, i0: int, i1: int) -> bytes:
+            rows, cols, core, acc = pair_values(strips, sbase, i0, i1)
+            return format_lines_bytes(
+                tab_r, tab_q, rows, cols,
+                core.astype(np.float32), acc.astype(np.float32),
+            )
+
+        pipe = None
+        if tab_r is not None:
+            from .opipe import OutputPipeline
+
+            pipe = OutputPipeline(out)
+        try:
+            for nxt in starts[1:] + [None]:
+                r0, strips_dev = pending.pop(0)
+                if nxt is not None:
+                    dispatch(nxt)
+                r1 = min(r0 + self.tile, hi)
+                strips = [np.asarray(s) for s in strips_dev]
+                if pipe is not None:
+                    for i0, i1 in row_spans(r0, r1, nq):
+                        pipe.submit(chunk_task, strips, r0, i0, i1)
+                    continue
+                rows, cols, core, acc = pair_values(strips, r0, r0, r1)
+                out.write(
+                    "".join(
+                        f"{ref_names[i]}\t{query_names[jx]}\t"
+                        f"{fmt_f32(np.float32(c))}\t{fmt_f32(np.float32(a))}\n"
+                        for i, jx, c, a in zip(rows, cols, core, acc)
+                    )
+                )
+        finally:
+            if pipe is not None:
+                pipe.close()

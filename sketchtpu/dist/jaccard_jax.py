@@ -200,6 +200,7 @@ class DeviceDenseStreamEngine:
         enable_compilation_cache()
         self.s64 = ms.sketchsize64
         self.tile = tile
+        self.k_idx = k_idx
         self.n = ms.number_samples_loaded()
         mat = np.ascontiguousarray(ms.bins_matrix(k_idx)).view(np.uint32)
         pad = (-self.n) % tile
@@ -228,6 +229,35 @@ class DeviceDenseStreamEngine:
         return _samebits_strip(
             a, self._mat, self.s64, self.tile, jnp.int32(r0), tri=True
         )
+
+    def prep_query(self, query_ms):
+        """Device-resident query matrix (this engine's k plane, padded to
+        the column tile) for cross strips."""
+        nq = query_ms.number_samples_loaded()
+        qmat = np.ascontiguousarray(
+            query_ms.bins_matrix(self.k_idx)
+        ).view(np.uint32)
+        pad = (-nq) % self.tile
+        if pad:
+            qmat = np.pad(qmat, ((0, pad), (0, 0)))
+        if self._pallas:
+            from .pallas_kernels import chunk_group_major
+
+            q = jnp.transpose(
+                chunk_group_major(jax.device_put(qmat), self.s64)
+            )
+            q.block_until_ready()
+            return q
+        return jax.device_put(qmat)
+
+    def cross_strip(self, r0: int, q):
+        """(tile, nq_padded) int16 samebits strip of ref rows
+        [r0, r0+tile) against a prep_query() matrix."""
+        if self._pallas:
+            a = self._mat_cm[r0 : r0 + self.tile]
+            return _samebits_strip_pallas(a, q, self.s64, self.tile)
+        a = self._mat[r0 : r0 + self.tile]
+        return _samebits_strip(a, q, self.s64, self.tile)
 
     def stream_self_dense(
         self, out, names, dist_type, comp=None, cutoff: float = 0.64,
@@ -339,22 +369,7 @@ class DeviceDenseStreamEngine:
 
         n = self.n
         nq = query_ms.number_samples_loaded()
-        qmat = np.ascontiguousarray(
-            query_ms.bins_matrix(dist_type.k_idx)
-        ).view(np.uint32)
-        pad = (-nq) % self.tile
-        if pad:
-            qmat = np.pad(qmat, ((0, pad), (0, 0)))
-        if self._pallas:
-            from .pallas_kernels import chunk_group_major
-
-            q_cm_t = jnp.transpose(
-                chunk_group_major(jax.device_put(qmat), self.s64)
-            )
-            q_cm_t.block_until_ready()
-            q_dev = None
-        else:
-            q_dev = jax.device_put(qmat)
+        q = self.prep_query(query_ms)
         rcomp = np.asarray(rcomp, dtype=np.float64) if rcomp is not None else None
         qcomp = np.asarray(qcomp, dtype=np.float64) if qcomp is not None else None
         lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
@@ -366,16 +381,7 @@ class DeviceDenseStreamEngine:
         pending: list[tuple] = []
 
         def dispatch(r0: int):
-            if self._pallas:
-                a = self._mat_cm[r0 : r0 + self.tile]
-                pending.append(
-                    (r0, _samebits_strip_pallas(a, q_cm_t, self.s64, self.tile))
-                )
-                return
-            a = self._mat[r0 : r0 + self.tile]
-            pending.append(
-                (r0, _samebits_strip(a, q_dev, self.s64, self.tile))
-            )
+            pending.append((r0, self.cross_strip(r0, q)))
 
         dispatch(starts[0])
         s64 = self.s64

@@ -134,6 +134,13 @@ def select_coreacc_engine(ms, completeness_vec=None,
     if len(ms.kmer_lengths) < 2:
         return None
     if exact and ms.sketchsize64 * 64 > 32767:
+        # not silent: the user asked for --exact and gets the host path
+        log.info(
+            "--exact: sketch size %d bins exceeds the device exact "
+            "engine's int16 samebits range (max 32767 bins); using the "
+            "host f64 pipeline (output is identical, just slower)",
+            ms.sketchsize64 * 64,
+        )
         return None  # samebits would overflow the exact engine's int16 strips
     if mode == "tpu" or (
         _device_available() and n >= _MIN_SAMPLES_FOR_DEVICE_COREACC

@@ -77,6 +77,58 @@ def _write_synth_fasta(path: str, length: int, seq_type: str, seed: int):
             f.write(seq[i : i + 80] + b"\n")
 
 
+def _write_synth_fastq_gz(path: str, total: int, seed: int,
+                          read_len: int = 150, coverage: int = 25):
+    """Synthetic FASTQ.gz: `total` bases of `read_len` reads at
+    `coverage`x off one random genome, ~0.5% errors, Q40 (the reads-path
+    programs specialize on the dispatch-window bucket of the total base
+    count, not on read content)."""
+    import gzip
+
+    rng = np.random.default_rng(seed)
+    glen = max(total // coverage, read_len + 1)
+    genome = rng.integers(0, 4, glen).astype(np.uint8)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_reads = total // read_len
+    qual = b"I" * read_len
+    with gzip.open(path, "wb", compresslevel=1) as f:
+        for i, s in enumerate(rng.integers(0, glen - read_len, n_reads)):
+            seg = genome[s : s + read_len]
+            if i % 2:
+                seg = 3 - seg[::-1]
+            err = rng.random(read_len) < 0.005
+            if err.any():
+                seg = seg.copy()
+                seg[err] = (seg[err] + rng.integers(1, 4, int(err.sum()))) % 4
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, letters[seg].tobytes(), qual))
+
+
+def build_synth_inverted(prefix: str, n: int, sketch_size: int,
+                         kmer: int) -> str:
+    """Synthesize an on-disk inverted index (.ski + .skq) plus a matching
+    .skd/.skm DB (same sample names, so `inverted precluster` accepts the
+    pair). Program shapes depend only on (n, sketch_size), not sign
+    values."""
+    from .formats.skd import SketchDataWriter
+    from .inverted.index import Inverted
+    from .sketchcore.sketch import HashType
+
+    rng = np.random.default_rng(0)
+    signs = rng.integers(0, 1 << 16, size=(n, sketch_size), dtype=np.uint16)
+    inv = Inverted(
+        sign_matrix=signs,
+        sample_names=[f"w{i}" for i in range(n)],
+        kmer_size=kmer,
+        rc=True,
+        hash_type=HashType("dna"),
+    )
+    inv.save(prefix)
+    with SketchDataWriter(f"{prefix}.skq", dtype=np.uint16) as w:
+        for row in signs:
+            w.write_sketch(row)
+    return prefix
+
+
 def _run_cli(argv: list[str], label: str) -> float:
     from . import cli
 
@@ -119,7 +171,30 @@ def run_warmup(args) -> int:
                     argv += ["--seq-type", "aa", "--level", args.level]
                 _run_cli(argv, f"sketch {args.seq_type} {gs:,} bases")
 
-        dist_modes = modes & {"dense", "knn", "coreacc-dense", "coreacc-knn"}
+        if "reads" in modes:
+            # FASTQ path: per-(dispatch-window bucket, k) hash + prefilter
+            # graphs are among the most expensive compiles; one sample
+            # covers the full-window program and the tail bucket
+            fq = os.path.join(tmp, "reads.fastq.gz")
+            _write_synth_fastq_gz(fq, args.reads_bases, seed=0)
+            rfile = os.path.join(tmp, "reads_rfile.txt")
+            with open(rfile, "w") as rf:
+                rf.write(f"r0\t{fq}\n")
+            _run_cli(
+                [
+                    "sketch", "-f", rfile,
+                    "-o", os.path.join(tmp, "rdb"),
+                    "-k", ",".join(str(k) for k in kmers),
+                    "-s", str(args.sketch_size),
+                    "--min-count", "5",
+                    "--threads", str(args.threads),
+                ],
+                f"reads {args.reads_bases:,} bases",
+            )
+
+        dist_modes = modes & {
+            "dense", "knn", "coreacc-dense", "coreacc-knn", "exact", "cross",
+        }
         if dist_modes:
             n = args.db_size
             db = build_synth_db(
@@ -129,8 +204,11 @@ def run_warmup(args) -> int:
             # first + last rank slices: full row blocks AND the tail block
             n_procs = max(1, n // _WARM_ROWS)
             ranks = [0] if n_procs == 1 else [0, n_procs - 1]
-            for mode in sorted(dist_modes):
-                coreacc = mode.startswith("coreacc")
+            for mode in sorted(
+                dist_modes & {"dense", "knn", "coreacc-dense",
+                              "coreacc-knn", "exact"}
+            ):
+                coreacc = mode.startswith("coreacc") or mode == "exact"
                 if coreacc and len(kmers) < 3:
                     print(
                         f"  skipping {mode}: needs >= 3 k-mer lengths",
@@ -141,6 +219,8 @@ def run_warmup(args) -> int:
                     argv = ["dist", db, "-o", os.path.join(tmp, "out")]
                     if not coreacc:
                         argv += ["-k", str(kmers[0])]
+                    if mode == "exact":
+                        argv += ["--exact"]
                     if mode.endswith("knn"):
                         argv += ["--knn", str(args.knn)]
                     argv += [
@@ -149,6 +229,92 @@ def run_warmup(args) -> int:
                         "--n-processes", str(n_procs),
                     ]
                     _run_cli(argv, f"{mode} n={n} rank {rank}/{n_procs}")
+            if "cross" in dist_modes:
+                nq = args.query_db_size
+                qdb = build_synth_db(
+                    os.path.join(tmp, "qdb"), nq, args.sketch_size, kmers,
+                    args.seq_type, _level_num(args.level),
+                )
+                runs = [
+                    (["-k", str(kmers[0])], f"cross dense n={n} nq={nq}"),
+                    (["--knn", str(args.knn)], f"cross knn n={n} nq={nq}"),
+                ]
+                if len(kmers) >= 3:
+                    runs.append(([], f"cross coreacc n={n} nq={nq}"))
+                    runs.append(
+                        (["--exact"], f"cross exact n={n} nq={nq}")
+                    )
+                for extra, label in runs:
+                    _run_cli(
+                        [
+                            "dist", db, qdb,
+                            "-o", os.path.join(tmp, "out"),
+                            "--threads", str(args.threads), *extra,
+                        ],
+                        label,
+                    )
+
+        if "inverted" in modes:
+            # build kernels (single-k, no densify) on the smallest genome
+            # bucket; query/precluster kernels (equality tiles, masked
+            # scan) against a synthetic index at the requested scale
+            gs = min(genome_sizes)
+            paths = []
+            for i in range(2):
+                p = os.path.join(tmp, f"inv_g{i}.fa")
+                _write_synth_fasta(p, gs, "dna", seed=1000 + i)
+                paths.append(p)
+            _run_cli(
+                [
+                    "inverted", "build", *paths,
+                    "-o", os.path.join(tmp, "wski"),
+                    "-s", str(args.inverted_sketch_size),
+                    "-k", str(kmers[0]),
+                    "--write-skq",
+                    "--threads", str(args.threads),
+                ],
+                f"inverted build {gs:,} bases",
+            )
+            n = args.db_size
+            ski = build_synth_inverted(
+                os.path.join(tmp, "iski"), n,
+                args.inverted_sketch_size, kmers[0],
+            )
+            build_synth_db(
+                os.path.join(tmp, "iski"), n, args.inverted_sketch_size,
+                kmers, "dna", 1,
+            )
+            for qt in ("match-count", "all-bins", "any-bins"):
+                _run_cli(
+                    [
+                        "inverted", "query", f"{ski}.ski", *paths,
+                        "-o", os.path.join(tmp, "qout"),
+                        "--query-type", qt,
+                        "--threads", str(args.threads),
+                    ],
+                    f"inverted query {qt} n={n}",
+                )
+            _run_cli(
+                [
+                    "inverted", "precluster", f"{ski}.ski", "--count",
+                    "-o", os.path.join(tmp, "pout"),
+                    "--threads", str(args.threads),
+                ],
+                f"inverted precluster --count n={n}",
+            )
+            pre = [
+                "inverted", "precluster", f"{ski}.ski",
+                "--skd", f"{ski}.skd",
+                "-o", os.path.join(tmp, "pout"),
+                "--knn", str(args.knn),
+                "--threads", str(args.threads),
+            ]
+            _run_cli(pre, f"inverted precluster knn n={n}")
+            if len(kmers) >= 3:
+                _run_cli(
+                    pre + ["--core-acc"],
+                    f"inverted precluster core-acc n={n}",
+                )
     print(
         f"warmup complete in {time.time() - total0:.0f} s — compile cache "
         "primed for this configuration",

@@ -296,3 +296,18 @@ def test_warmup_smoke(tmp_path, monkeypatch):
         "--genome-sizes", "20000", "--knn", "3",
         "--modes", "sketch,dense,knn,coreacc-dense,coreacc-knn",
     )
+
+
+def test_warmup_smoke_extended_modes(tmp_path, monkeypatch):
+    """Round-5 warmup modes (VERDICT r4 task 6): reads (FASTQ bucket
+    programs), cross (ref-vs-query dense/knn/coreacc/exact), exact
+    (self --exact strip engine), inverted (build/query x 3 types/
+    precluster count + knn + core-acc) — each drives the real CLI."""
+    monkeypatch.chdir(tmp_path)
+    run(
+        "warmup", "-k", "17,21,25", "-s", "64", "--db-size", "48",
+        "--genome-sizes", "20000", "--knn", "3",
+        "--query-db-size", "16", "--reads-bases", "200000",
+        "--inverted-sketch-size", "32",
+        "--modes", "reads,cross,exact,inverted",
+    )

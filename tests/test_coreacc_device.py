@@ -392,6 +392,66 @@ def test_coreacc_exact_stream_byte_identical_to_host():
             )
 
 
+def test_coreacc_exact_stream_cross_byte_identical_to_host():
+    """The cross (ref-vs-query) twin of `dist --exact`
+    (DeviceCoreAccExactStreamEngine.stream_cross_dense) must emit BYTE-
+    identical output to the host f64 cross pipeline — plain and
+    completeness-corrected, row_range'd and full
+    (/root/reference/src/distances/mod.rs:227-297 semantics)."""
+    import copy
+    import io
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_knn_device import _fake_ms
+
+    from sketchtpu.dist import api, output as dist_output
+    from sketchtpu.dist.coreacc_jax import DeviceCoreAccExactStreamEngine
+
+    family = _fake_ms(n=31, nk=4, kmers=(17, 21, 25, 29), seed=17)
+    nk, w = 4, family.kmer_stride
+    mat = family.sketch_bins.reshape(31, nk * w)
+    ms = copy.copy(family)
+    ms.sketch_metadata = family.sketch_metadata[:22]
+    ms.sketch_bins = np.ascontiguousarray(mat[:22]).reshape(-1)
+    qms = copy.copy(family)
+    qms.sketch_metadata = family.sketch_metadata[22:]
+    qms.sketch_bins = np.ascontiguousarray(mat[22:]).reshape(-1)
+    names = [ms.sketch_name(i) for i in range(22)]
+    qnames = [qms.sketch_name(i) for i in range(9)]
+    rng = np.random.default_rng(19)
+    rcomp = rng.uniform(0.5, 1.0, 22)
+    qcomp = rng.uniform(0.5, 1.0, 9)
+    dist_type = api.set_k(ms, None, False)
+    for rc, qc in ((None, None), (rcomp, qcomp)):
+        for rr in (None, slice(5, 17)):
+            host_out = io.StringIO()
+            d = api.cross_dists_all(
+                ms, qms, dist_type,
+                ref_completeness_vec=rc, query_completeness_vec=qc,
+            )
+            if rr is None:
+                dist_output.write_dense_cross(
+                    host_out, names, qnames, d, True
+                )
+            else:
+                # host rectangle sliced to just the ref row block
+                d = np.asarray(d).reshape(22, 9, 2)[rr].reshape(-1, 2)
+                dist_output.write_dense_cross(
+                    host_out, names[rr], qnames, d, True
+                )
+            eng = DeviceCoreAccExactStreamEngine(ms, tile=8)
+            dev_out = io.StringIO()
+            eng.stream_cross_dense(
+                dev_out, names, qnames, qms,
+                rcomp=rc, qcomp=qc, row_range=rr,
+            )
+            assert dev_out.getvalue() == host_out.getvalue(), (
+                f"comp={rc is not None} rr={rr}"
+            )
+
+
 def test_coreacc_pallas_tri_skip_matches_full():
     """tri=True (self-dense triangle skip) must reproduce the full kernel
     exactly on every pair with col > row and write zeros on fully-skipped
