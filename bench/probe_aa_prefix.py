@@ -1,4 +1,7 @@
-"""A/B probe: tap vs prefix-XOR aaHash on the device, in-pipeline graphs.
+"""A/B probe: tap vs prefix-XOR vs rotate-after-select aaHash on the
+device, in-pipeline graphs (round 5 adds --variant rotsel, VERDICT r4
+task 4: ONE 32-way seed select per position + fixed srol1 rotations —
+no per-tap select tree, no variable rotation, no scan).
 
 VERDICT round-3 task 1: the prefix-XOR reformulation
 (aahash_jax._windowed_hash_aa_prefix) is bit-exact-tested but shipped
@@ -112,7 +115,7 @@ def salt_codes(codes, s):
     return ((codes.astype(jnp.uint32) + (s % 19)) % 20).astype(jnp.uint8)
 
 
-def run_kernel(n, length, kmers, prefix, inner, sketch_size):
+def run_kernel(n, length, kmers, variant, inner, sketch_size):
     sketchsize64, nbins, _ = num_bins_fn(sketch_size)
     rows = _exact_rows(n)
     codes, starts, total, n_pad = make_stream(n, length, 0)
@@ -120,7 +123,8 @@ def run_kernel(n, length, kmers, prefix, inner, sketch_size):
     starts_pad[:n] = starts
     codes_d = jax.device_put(codes)
     tabs = [
-        aa_seed_row_u32(LEVEL) if prefix else aa_tap_tables_u32(kk, LEVEL)
+        aa_tap_tables_u32(kk, LEVEL) if variant == "taps"
+        else aa_seed_row_u32(LEVEL)
         for kk in kmers
     ]
     magic = bin_magic(nbins)
@@ -140,7 +144,7 @@ def run_kernel(n, length, kmers, prefix, inner, sketch_size):
                     num_bins=nbins,
                     magic=magic,
                     out_rows=rows,
-                    prefix=prefix,
+                    variant=variant,
                 )
                 acc ^= (
                     mh.sum().astype(jnp.uint32)
@@ -156,13 +160,13 @@ def run_kernel(n, length, kmers, prefix, inner, sketch_size):
     rate = n * length * len(kmers) / dt / 1e6
     print(
         f"exact-wide kernel {n}x{length} nk={len(kmers)} "
-        f"prefix={prefix}: {dt*1e3:.1f} ms/iter -> {rate:.1f} Maa*k/s",
+        f"variant={variant}: {dt*1e3:.1f} ms/iter -> {rate:.1f} Maa*k/s",
         flush=True,
     )
     return rate
 
 
-def run_multik(n, length, kmers, prefix, inner, sketch_size):
+def run_multik(n, length, kmers, variant, inner, sketch_size):
     from sketchtpu.sketchcore.sketch_jax import _MAX_GROUP_FAST
 
     sketchsize64, nbins, _ = num_bins_fn(sketch_size)
@@ -199,7 +203,7 @@ def run_multik(n, length, kmers, prefix, inner, sketch_size):
                 w=w,
                 total=jnp.int32(total),
                 device_mask=True,
-                prefix=prefix,
+                variant=variant,
             )
             acc = (
                 o_hi.sum().astype(jnp.uint32)
@@ -216,7 +220,7 @@ def run_multik(n, length, kmers, prefix, inner, sketch_size):
     rate = n * length * len(kmers) / dt / 1e6
     print(
         f"multik kernel {n}x{length} nk={len(kmers)} blk={blk} w={w} "
-        f"prefix={prefix}: {dt*1e3:.1f} ms/iter -> {rate:.1f} Maa*k/s",
+        f"variant={variant}: {dt*1e3:.1f} ms/iter -> {rate:.1f} Maa*k/s",
         flush=True,
     )
     return rate
@@ -257,7 +261,9 @@ def run_e2e(n, length, kmers, variant, sketch_size):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["kernel", "multik", "e2e"], required=True)
-    ap.add_argument("--variant", choices=["taps", "prefix"], required=True)
+    ap.add_argument(
+        "--variant", choices=["taps", "prefix", "rotsel"], required=True
+    )
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--len", dest="length", type=int, default=100_000)
     ap.add_argument("--kmers", default="6,9,12")
@@ -265,11 +271,10 @@ def main():
     ap.add_argument("-s", "--sketch-size", type=int, default=1000)
     a = ap.parse_args()
     kmers = [int(x) for x in a.kmers.split(",")]
-    prefix = a.variant == "prefix"
     if a.mode == "kernel":
-        run_kernel(a.n, a.length, kmers, prefix, a.inner, a.sketch_size)
+        run_kernel(a.n, a.length, kmers, a.variant, a.inner, a.sketch_size)
     elif a.mode == "multik":
-        run_multik(a.n, a.length, kmers, prefix, a.inner, a.sketch_size)
+        run_multik(a.n, a.length, kmers, a.variant, a.inner, a.sketch_size)
     else:
         run_e2e(a.n, a.length, kmers, a.variant, a.sketch_size)
 

@@ -192,6 +192,44 @@ def _windowed_hash_aa_prefix(codes: jnp.ndarray, k, seeds: jnp.ndarray):
     return _srol_n(f_lo, f_hi, e % 33, e % 31)
 
 
+def _windowed_hash_aa_rotsel(codes: jnp.ndarray, k, seeds: jnp.ndarray):
+    """Rotate-after-select reformulation (VERDICT r4 task 4) — the middle
+    ground between the tap select trees and the prefix-XOR scan:
+
+      fh(p) = XOR_{t<k} srol^t( r_{p + k-1-t} ),   r_q = seed[s_q]
+
+    ONE 32-way select per position builds the unrotated seed stream r;
+    the fori_loop then pays only a fixed srol1 (a compile-time-constant
+    bit permutation, ~8 ops on the u32 pair) of the r stream plus a
+    dynamic slice + XOR per tap — no per-tap select tree (taps: ~32 ops
+    per (position, tap)) and no variable 33/31-field rotation or XOR scan
+    (prefix). k is a traced scalar; seeds is the UNROTATED (32, 2) row
+    (aa_seed_row_u32). Bit-exact vs the tap path by construction
+    (fuzz-pinned in tests/test_aahash_prefix.py)."""
+    from .nthash_multik import _srol1_pair
+
+    n = codes.shape[0] - MAX_K
+    r_lo, r_hi = _tap_select32_dyn(codes, seeds)
+    # one materialization: without the barrier XLA re-fuses the select
+    # tree into every loop iteration's consumer, undoing the hoist
+    r_lo, r_hi = jax.lax.optimization_barrier((r_lo, r_hi))
+    zeros = jnp.zeros(n, dtype=_U32)
+    k = k.astype(jnp.int32)
+
+    def body(t, carry):
+        f_lo, f_hi, c_lo, c_hi = carry
+        j = k - 1 - t
+        f_lo = f_lo ^ jax.lax.dynamic_slice(c_lo, (j,), (n,))
+        f_hi = f_hi ^ jax.lax.dynamic_slice(c_hi, (j,), (n,))
+        c_lo, c_hi = _srol1_pair(c_lo, c_hi)
+        return f_lo, f_hi, c_lo, c_hi
+
+    f_lo, f_hi, _, _ = jax.lax.fori_loop(
+        0, k, body, (zeros, zeros, r_lo, r_hi)
+    )
+    return f_lo, f_hi
+
+
 def _windowed_hash_aa(codes: jnp.ndarray, k, taps: jnp.ndarray):
     """Forward-only k-generic windowed hash; k is a traced scalar and the
     per-tap rotated seed tables a traced input. codes must be padded with
@@ -208,6 +246,16 @@ def _windowed_hash_aa(codes: jnp.ndarray, k, taps: jnp.ndarray):
         return f_lo ^ tl, f_hi ^ th
 
     return jax.lax.fori_loop(0, k, body, (zeros, zeros))
+
+
+# static `variant` kernel arg -> windowed hash implementation. "taps"
+# expects the (MAX_K, 32, 2) rotated tap tables; "prefix" and "rotsel"
+# the unrotated (32, 2) seed row (aa_seed_row_u32).
+_WINDOWED_HASH = {
+    "taps": _windowed_hash_aa,
+    "prefix": _windowed_hash_aa_prefix,
+    "rotsel": _windowed_hash_aa_rotsel,
+}
 
 
 def _aa_window_mask_device(valid, starts, total, k, m, out_rows):
@@ -267,19 +315,19 @@ def _aa_window_mask_device(valid, starts, total, k, m, out_rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_bins", "magic", "out_rows", "prefix")
+    jax.jit, static_argnames=("num_bins", "magic", "out_rows", "variant")
 )
 def aa_hash_bin_kernel_devmask(
     codes: jnp.ndarray,  # (N,) uint8 compact codes, invalid bytes == 20
     starts: jnp.ndarray,  # (out_rows,) int32 sample start offsets
     k: jnp.ndarray,  # () int32 k-mer length (traced: no recompile per k)
-    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated taps, or with
-    #   prefix=True the UNROTATED (32, 2) seed row (aa_seed_row_u32)
+    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated taps ("taps"), or the
+    #   UNROTATED (32, 2) seed row (aa_seed_row_u32) for "prefix"/"rotsel"
     total: jnp.ndarray,  # () int32 valid prefix length of the stream
     num_bins: int,
     magic: tuple[int, int],
     out_rows: int,
-    prefix: bool = False,
+    variant: str = "taps",
 ):
     """aa_hash_bin_kernel with the emission mask computed ON DEVICE from
     the code stream — no host oracle pass and no mask upload. Only valid
@@ -292,10 +340,7 @@ def aa_hash_bin_kernel_devmask(
     n0 = c.shape[0]
     m = n0 - MAX_K
     k = k.astype(_I32)
-    if prefix:
-        lo, hi = _windowed_hash_aa_prefix(c, k, taps)
-    else:
-        lo, hi = _windowed_hash_aa(c, k, taps)
+    lo, hi = _WINDOWED_HASH[variant](c, k, taps)
     lo, hi = _mod_mersenne61(lo, hi)
     ok, counts = _aa_window_mask_device(
         (c < 20).astype(_I32), starts, total.astype(_I32), k, m, out_rows
@@ -305,19 +350,19 @@ def aa_hash_bin_kernel_devmask(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_bins", "magic", "out_rows", "prefix")
+    jax.jit, static_argnames=("num_bins", "magic", "out_rows", "variant")
 )
 def aa_hash_bin_kernel(
     codes: jnp.ndarray,  # (N,) uint8 compact 5-bit aa codes, padded
     validbits: jnp.ndarray,  # (N/8,) uint8 bit-packed window emission flags
     starts: jnp.ndarray,  # (out_rows,) int32 sample start offsets
     k: jnp.ndarray,  # () int32 k-mer length (traced: no recompile per k)
-    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated taps, or with
-    #   prefix=True the UNROTATED (32, 2) seed row (aa_seed_row_u32)
+    taps: jnp.ndarray,  # (MAX_K, 32, 2) u32 rotated taps ("taps"), or the
+    #   UNROTATED (32, 2) seed row (aa_seed_row_u32) for "prefix"/"rotsel"
     num_bins: int,
     magic: tuple[int, int],
     out_rows: int,
-    prefix: bool = False,
+    variant: str = "taps",
 ):
     """Batched aaHash + mod + bin-min over a concatenated sample stream.
 
@@ -327,10 +372,7 @@ def aa_hash_bin_kernel(
     c = codes.astype(_I32)
     n0 = c.shape[0]
     m = n0 - MAX_K
-    if prefix:
-        lo, hi = _windowed_hash_aa_prefix(c, k.astype(_I32), taps)
-    else:
-        lo, hi = _windowed_hash_aa(c, k.astype(_I32), taps)
+    lo, hi = _WINDOWED_HASH[variant](c, k.astype(_I32), taps)
     lo, hi = _mod_mersenne61(lo, hi)
     ok = _unpack_bits(validbits)[:m] == 1
     return bin_min_sorted(lo, hi, ok, starts, n0, num_bins, magic, out_rows)

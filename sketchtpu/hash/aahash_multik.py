@@ -54,7 +54,7 @@ _I32 = jnp.int32
         "blk",
         "w",
         "device_mask",
-        "prefix",
+        "variant",
     ),
 )
 def multik_aa_hash_bin_kernel(
@@ -72,7 +72,7 @@ def multik_aa_hash_bin_kernel(
     w: int,
     total: jnp.ndarray | None = None,  # () int32; required if device_mask
     device_mask: bool = False,
-    prefix: bool = False,
+    variant: str = "taps",
 ):
     """Returns (min_hi, min_lo, found) each (nk, out_rows * num_bins) plus
     `overflow` () int32, with the same fallback contract as the DNA
@@ -118,7 +118,7 @@ def multik_aa_hash_bin_kernel(
     counts_all = []
     overflow = jnp.int32(0)
 
-    if prefix:
+    if variant == "prefix":
         # prefix-XOR hashing (aahash_jax._windowed_hash_aa_prefix): one
         # seed select + inverse srol + XOR-scan over the stream, then each
         # k costs only two slices + a final per-position rotation — the
@@ -134,9 +134,18 @@ def multik_aa_hash_bin_kernel(
         s_lo = _xor_prefix_scan(g_lo)
         s_hi = _xor_prefix_scan(g_hi)
         p_arange = jnp.arange(m, dtype=jnp.uint32)
+    elif variant == "rotsel":
+        # rotate-after-select (aahash_jax._windowed_hash_aa_rotsel): the
+        # incremental recurrence f_k = srol1(f_{k-1}) ^ seed[s_{p+k-1}]
+        # needs one UNROTATED seed per stream position, so hoist the
+        # 32-way select out of the step loop — each step then pays a
+        # slice of the pre-selected stream instead of a select tree.
+        # The barrier stops XLA re-fusing the tree into every consumer.
+        r_lo, r_hi = _tap_select32_dyn(c, seed_row)
+        r_lo, r_hi = jax.lax.optimization_barrier((r_lo, r_hi))
 
-    for step in ((kmers if prefix else range(1, kmax + 1))):
-        if prefix:
+    for step in ((kmers if variant == "prefix" else range(1, kmax + 1))):
+        if variant == "prefix":
             end_lo = jax.lax.slice(s_lo, (step - 1,), (step - 1 + m,))
             end_hi = jax.lax.slice(s_hi, (step - 1,), (step - 1 + m,))
             beg_lo = jnp.concatenate([jnp.zeros(1, _U32), s_lo[: m - 1]])
@@ -147,9 +156,13 @@ def multik_aa_hash_bin_kernel(
             )
         else:
             # extend every window by one residue: seq[p + step - 1]
-            cj = jax.lax.slice(c, (step - 1,), (step - 1 + m,))
             f_lo, f_hi = _srol1_pair(f_lo, f_hi)
-            sl, sh = _tap_select32_dyn(cj, seed_row)
+            if variant == "rotsel":
+                sl = jax.lax.slice(r_lo, (step - 1,), (step - 1 + m,))
+                sh = jax.lax.slice(r_hi, (step - 1,), (step - 1 + m,))
+            else:
+                cj = jax.lax.slice(c, (step - 1,), (step - 1 + m,))
+                sl, sh = _tap_select32_dyn(cj, seed_row)
             f_lo = f_lo ^ sl
             f_hi = f_hi ^ sh
             if step not in kmers:

@@ -28,8 +28,14 @@ from ..hash.aahash_np import aa_window_valid
 from ..hash.nthash_jax import MAX_K, combine_bin_minima
 
 
-def _aa_prefix_hash() -> bool:
-    """SKETCHTPU_AA_HASH=prefix selects the prefix-XOR aaHash (O(1) work
+def _aa_hash_variant() -> str:
+    """SKETCHTPU_AA_HASH selects the device aaHash formulation:
+    "taps" (default), "prefix", or "rotsel" (rotate-after-select — one
+    32-way seed select per position hoisted out of the tap loop, then
+    fixed srol1 rotations; see aahash_jax._windowed_hash_aa_rotsel).
+
+    Default "taps", by MEASUREMENT for prefix (round 4) — for the prefix
+    negative: SKETCHTPU_AA_HASH=prefix selects the prefix-XOR aaHash (O(1) work
     per position regardless of k, bit-exact vs the tap path — fuzz-tested
     on CPU across levels and k). Default is the per-tap select-tree
     kernels, now by MEASUREMENT, not caution (round 4, v5e,
@@ -49,7 +55,16 @@ def _aa_prefix_hash() -> bool:
     compiler that lowers associative_scan better."""
     import os
 
-    return os.environ.get("SKETCHTPU_AA_HASH", "taps") == "prefix"
+    v = os.environ.get("SKETCHTPU_AA_HASH", "taps")
+    if v not in ("taps", "prefix", "rotsel"):
+        import logging
+
+        logging.getLogger("sketchtpu").warning(
+            "SKETCHTPU_AA_HASH=%s unknown (taps|prefix|rotsel); using taps",
+            v,
+        )
+        return "taps"
+    return v
 from ..ingest.fastx import AaStream
 from .sketch import Sketch
 from .sketch_jax import (
@@ -200,13 +215,17 @@ class DeviceAaSketchBackend:
                 getattr(s, "_win_valid", None) is None for s in group
             )
             results = {}
-            prefix = _aa_prefix_hash()
-            if prefix:
+            variant = _aa_hash_variant()
+            if variant != "taps":
                 from ..hash.aahash_multik import aa_seed_row_u32
 
                 seed_row = aa_seed_row_u32(level)
             for kk in kmers:
-                tab = seed_row if prefix else aa_tap_tables_u32(kk, level)
+                tab = (
+                    aa_tap_tables_u32(kk, level)
+                    if variant == "taps"
+                    else seed_row
+                )
                 if devmask:
                     results[kk] = aa_hash_bin_kernel_devmask(
                         codes_d,
@@ -217,7 +236,7 @@ class DeviceAaSketchBackend:
                         num_bins=nbins,
                         magic=self._magic(nbins),
                         out_rows=rows,
-                        prefix=prefix,
+                        variant=variant,
                     )
                 else:
                     results[kk] = aa_hash_bin_kernel(
@@ -229,7 +248,7 @@ class DeviceAaSketchBackend:
                         num_bins=nbins,
                         magic=self._magic(nbins),
                         out_rows=rows,
-                        prefix=prefix,
+                        variant=variant,
                     )
             return results
 
@@ -278,7 +297,7 @@ class DeviceAaSketchBackend:
                 w=w,
                 total=np.int32(total) if devmask else None,
                 device_mask=devmask,
-                prefix=_aa_prefix_hash(),
+                variant=_aa_hash_variant(),
             )
             if devmask:
                 o_hi, o_lo, found, overflow, counts = res
