@@ -45,6 +45,59 @@ _BIG = jnp.int32(0x7FFFFFFF)
 _INVALID = jnp.uint32(0xFFFFFFFF)  # real sign hi < 2^29
 
 
+_SCAN_BLOCK = 65536
+
+
+def _blocked_scan(op, elems, reverse=False):
+    """jax.lax.associative_scan with a compile-bounded lowering for long
+    1-D inputs.
+
+    The flat odd/even scan graph over a multi-million-element vector
+    KILLS the tunneled remote compiler (round 5: the 16.7M-window
+    prefilter graph ran the tpu_compile_helper into SIGKILL after ~28
+    min; the round-3/4 prefix-aaHash compiles showed the same blow-up,
+    and a two-level reshape variant — which merely halves the stage
+    count while keeping every stage a full-width HLO op — still
+    exploded at 2^23). The fix is structural: an outer jax.lax.scan
+    over L-element rows whose body — one (L,) associative_scan plus a
+    carry combine — is compiled ONCE, so compile cost is O(log L)
+    regardless of n, and device cost adds only the sequential row loop
+    (n/L steps). Identical results for any associative op:
+    out[r] = op(agg_{r-1}, scan(row_r)), by associativity. Reverse
+    scans flip, scan forward, flip back — the exact definition of
+    associative_scan(reverse=True). Inputs pad to a row multiple; the
+    padded tail never feeds a real output in a forward inclusive
+    scan."""
+    if reverse:
+        flipped = jax.tree.map(lambda e: e[::-1], elems)
+        out = _blocked_scan(op, flipped)
+        return jax.tree.map(lambda e: e[::-1], out)
+    leaves = jax.tree_util.tree_leaves(elems)
+    n = leaves[0].shape[0]
+    L = _SCAN_BLOCK
+    if n <= L:
+        return jax.lax.associative_scan(op, elems)
+    pad = (-n) % L
+    if pad:
+        elems = jax.tree.map(lambda e: jnp.pad(e, (0, pad)), elems)
+    rows = (n + pad) // L
+    x2 = jax.tree.map(lambda e: e.reshape(rows, L), elems)
+
+    def body(carry, row):
+        first, agg = carry
+        local = jax.lax.associative_scan(op, row)
+        combined = op(jax.tree.map(lambda a: a[None], agg), local)
+        out = jax.tree.map(
+            lambda l, c: jnp.where(first, l, c), local, combined
+        )
+        agg2 = jax.tree.map(lambda e: e[L - 1], out)
+        return (jnp.bool_(False), agg2), out
+
+    init_agg = jax.tree.map(lambda e: e[0, 0], x2)
+    (_, _), out = jax.lax.scan(body, (jnp.bool_(True), init_agg), x2)
+    return jax.tree.map(lambda e: e.reshape(rows * L)[:n], out)
+
+
 def _seg_min_scan(flags, vals, reverse=False):
     """Inclusive segmented min-scan: running min of vals with reset where
     flags is True (segment starts; for reverse=True flags mark segment
@@ -55,9 +108,7 @@ def _seg_min_scan(flags, vals, reverse=False):
         fb, vb = b
         return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
 
-    _, out = jax.lax.associative_scan(
-        op, (flags, vals), reverse=reverse
-    )
+    _, out = _blocked_scan(op, (flags, vals), reverse=reverse)
     return out
 
 
@@ -96,7 +147,7 @@ def prefilter_signs_device(
         ]
     )
     iota = pos
-    start_idx = jax.lax.associative_scan(
+    start_idx = _blocked_scan(
         jnp.maximum, jnp.where(new_run, iota, -1)
     )
     rank = iota - start_idx

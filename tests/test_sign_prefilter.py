@@ -102,3 +102,74 @@ def test_prefilter_out_of_range_bins_dropped():
         min_count=2, num_bins=nbins, magic=bin_magic(nbins), cap=m,
     )
     assert int(count) == 3  # only the three in-range occurrences
+
+
+def test_blocked_scan_bit_exact_vs_flat():
+    """_blocked_scan (the two-level lowering that keeps the 16.7M-window
+    prefilter graph compilable on the tunneled remote compiler) must
+    reproduce jax.lax.associative_scan exactly for both this module's
+    ops, forward and reverse, at block-multiple AND ragged sizes."""
+    import jax
+
+    from sketchtpu.sketchcore.sign_prefilter import _SCAN_BLOCK, _blocked_scan
+
+    rng = np.random.default_rng(3)
+    for n in (_SCAN_BLOCK * 3, _SCAN_BLOCK * 2 + 4097, 300):
+        flags = jnp.asarray(rng.random(n) < 0.01)
+        vals = jnp.asarray(
+            rng.integers(0, 2**31 - 1, n).astype(np.int32)
+        )
+
+        def op(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
+
+        for rev in (False, True):
+            _, got = _blocked_scan(op, (flags, vals), reverse=rev)
+            _, want = jax.lax.associative_scan(
+                op, (flags, vals), reverse=rev
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        got = _blocked_scan(jnp.maximum, jnp.where(flags, vals, -1))
+        want = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(flags, vals, -1)
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_prefilter_replay_bit_exact_blocked_path():
+    """The full prefilter at a stream long enough to take the blocked
+    scan path (> _SCAN_BLOCK windows) must keep a superset whose replay
+    reproduces the full-stream bins exactly (high-collision stream so
+    the count filter and per-bin minima interact)."""
+    from sketchtpu.sketchcore.sign_prefilter import _SCAN_BLOCK
+    from sketchtpu.sketchcore.signs import bin_minima_filtered
+
+    rng = np.random.default_rng(11)
+    nbins, mc = 32, 3
+    m = _SCAN_BLOCK + 4321
+    # heavy collisions: draw from a small sign universe
+    signs = rng.integers(0, 5000, m).astype(np.uint64) * np.uint64(
+        int(bin_size(nbins)) // 4096
+    )
+    vmask = (rng.random(m) < 0.98).astype(np.uint8)
+    vbits = np.packbits(
+        np.pad(vmask, (0, (-m) % 8)), bitorder="little"
+    )
+    lo = (signs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (signs >> np.uint64(32)).astype(np.uint32)
+    c_lo, c_hi, count = prefilter_signs_device(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(vbits),
+        min_count=mc, num_bins=nbins, magic=bin_magic(nbins), cap=m,
+    )
+    count = int(count)
+    assert 0 < count < m
+    kept = (
+        np.asarray(c_hi[:count]).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(c_lo[:count]).astype(np.uint64)
+    full = signs[vmask.astype(bool)]
+    np.testing.assert_array_equal(
+        bin_minima_filtered(kept, nbins, mc),
+        bin_minima_filtered(full, nbins, mc),
+    )
