@@ -80,6 +80,24 @@ def _bucket_size(n: int) -> int:
     return b
 
 
+@functools.lru_cache(maxsize=1)
+def _slice_prefix_fn():
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("b",))
+    def sl(x, b):
+        return x[:b]
+
+    return sl
+
+
+def _slice_prefix(arr, b: int):
+    """First b elements of a device array as a device array — a jitted
+    slice so only b elements cross the link (np.asarray on the full
+    array would transfer the whole buffer)."""
+    return _slice_prefix_fn()(arr, b)
+
+
 def _segment_stream(stream: DnaStream, seg: int | None = None):
     """Split an oversized stream into window-covering segments.
 
@@ -596,24 +614,49 @@ class DeviceSketchBackend:
 
     def dispatch_signs_maybe_filtered(
         self, stream: DnaStream, k: int, rc: bool, nbins: int,
-        min_count: int, dev=None,
+        min_count: int, dev=None, n_starts: int | None = None,
     ):
         """Async dispatch for the FASTQ count-filter path with the device
         consult-superset prefilter (sign_prefilter.py) when eligible: only
         the subsequence the order-dependent filter could ever consult
         crosses the link (bit-identical replay; >= 4x transfer reduction
         by construction of the cap, far more on high-coverage streams).
-        Returns an opaque handle for collect_signs_maybe_filtered."""
+        Returns an opaque handle for collect_signs_maybe_filtered.
+
+        Oversized streams (> _SEG_BASES) prefilter PER SEGMENT (round 5;
+        previously they silently fell back to the full stream, so the
+        25 Mb bench samples never used the prefilter at all). Per-segment
+        filtering is still a provable consult superset: a sign's
+        min_count-th occurrence WITHIN a segment can only come at-or-
+        after its min_count-th occurrence globally, so a per-segment drop
+        (some smaller same-bin sign completed min_count occurrences
+        earlier in the same segment) is always globally justified; the
+        concatenated survivors replay bit-identically. n_starts restricts
+        the emitted windows to the segment's owned starts (overlap
+        windows belong to the next segment)."""
         import os
 
-        if k > MAX_K or stream.seq_len > _SEG_BASES + MAX_K:
-            return ("seg", stream, k, rc, None, None, None)
+        if k > MAX_K:
+            return ("seg", stream, k, rc, None, None, None, None)
+        if stream.seq_len > _SEG_BASES + MAX_K:
+            import jax
+
+            devices = jax.local_devices()
+            segs, spans = _segment_stream(stream)
+            subs = [
+                self.dispatch_signs_maybe_filtered(
+                    s, k, rc, nbins, min_count,
+                    devices[j % len(devices)], n_starts=p1 - p0,
+                )
+                for j, (s, (p0, p1)) in enumerate(zip(segs, spans))
+            ]
+            return ("multi", stream, k, rc, subs, None, None, None)
         h = self._dispatch_signs(stream, k, rc, dev)
         eligible = min_count >= 2 and os.environ.get(
             "SKETCHTPU_FASTQ_PREFILTER", "1"
         ) not in ("0", "off")
         if not eligible:
-            return ("plain", stream, k, rc, h, None, None)
+            return ("plain", stream, k, rc, h, None, None, n_starts)
         from ..hash.nthash_np import valid_window_mask
         from .sign_prefilter import prefilter_signs_device
 
@@ -621,6 +664,8 @@ class DeviceSketchBackend:
         m = int(lo.shape[0])
         n = stream.seq_len
         take = max(n - k + 1, 0)
+        if n_starts is not None:
+            take = min(take, n_starts)
         mask = np.zeros(m + (-m) % 8, dtype=np.uint8)
         mask[:take] = valid_window_mask(n, stream.breaks, k)[:take]
         vbits = np.packbits(mask, bitorder="little")
@@ -629,23 +674,39 @@ class DeviceSketchBackend:
             lo, _hi, vbits, min_count=min_count, num_bins=nbins,
             magic=self._magic(nbins), cap=cap,
         )
-        return ("pf", stream, k, rc, h, pf, cap)
+        return ("pf", stream, k, rc, h, pf, cap, n_starts)
 
     def collect_signs_maybe_filtered(self, handle) -> np.ndarray:
         """In-order valid signs for a dispatch_signs_maybe_filtered handle
         (the prefiltered subsequence when available — same bins after the
         host filter replay — else the full stream)."""
-        kind, stream, k, rc, h, pf, cap = handle
+        kind, stream, k, rc, h, pf, cap, ns = handle
         if kind == "seg":
             return self.signs_in_order(stream, k, rc)
+        if kind == "multi":
+            return np.concatenate(
+                [self.collect_signs_maybe_filtered(sub) for sub in h]
+            )
         if kind == "pf":
             c_lo, c_hi, count = pf
             count = int(count)
             if count <= cap:
-                lo = np.asarray(c_lo)[:count].astype(np.uint64)
-                hi = np.asarray(c_hi)[:count].astype(np.uint64)
-                return (hi << np.uint64(32)) | lo
-        return self._collect_signs(h, stream, k)
+                # ship only a power-of-two bucket >= count, not the whole
+                # m/4 cap: the survivor fraction is ~5-10% at real
+                # coverage (bench/artifacts/fastq_prefilter_window_r5:
+                # 7.5% kept), so bucketed fetches cut shipped bytes by
+                # the kept fraction (~13x) instead of the cap's 4x. One
+                # tiny slice program compiles per (cap, bucket) pair.
+                b = 4096
+                while b < count:
+                    b <<= 1
+                b = min(b, cap)
+                lo = np.asarray(_slice_prefix(c_lo, b))[:count]
+                hi = np.asarray(_slice_prefix(c_hi, b))[:count]
+                return (
+                    hi.astype(np.uint64) << np.uint64(32)
+                ) | lo.astype(np.uint64)
+        return self._collect_signs(h, stream, k, n_starts=ns)
 
     def signs_in_order(self, stream: DnaStream, k: int, rc: bool) -> np.ndarray:
         """Valid-window signs in sequence order (for the order-dependent

@@ -173,3 +173,44 @@ def test_prefilter_replay_bit_exact_blocked_path():
         bin_minima_filtered(kept, nbins, mc),
         bin_minima_filtered(full, nbins, mc),
     )
+
+
+def test_prefilter_segmented_oversized_stream_bit_exact(monkeypatch):
+    """Oversized reads streams (> _SEG_BASES) prefilter PER SEGMENT
+    (round 5; previously they silently skipped the prefilter). The
+    concatenated per-segment survivors must replay to the same bins as
+    the full in-order stream — the per-segment drop rule is a subset of
+    the globally-justified drops, so the kept set is still a consult
+    superset."""
+    import sketchtpu.sketchcore.sketch_jax as sj
+    from sketchtpu.ingest.fastx import DnaStream
+    from sketchtpu.sketchcore.signs import bin_minima_filtered
+
+    monkeypatch.setattr(sj, "_SEG_BASES", 16384)
+    rng = np.random.default_rng(23)
+    k, nbins, mc = 17, 64, 3
+    glen = 3000
+    genome = rng.integers(0, 4, glen).astype(np.uint8)
+    read_len, n_reads = 150, 400  # 60k bases @ ~20x over 4 segments
+    codes = np.empty(n_reads * read_len, dtype=np.uint8)
+    for i, s in enumerate(rng.integers(0, glen - read_len, n_reads)):
+        seg = genome[s : s + read_len]
+        if i % 2:
+            seg = 3 - seg[::-1]
+        codes[i * read_len : (i + 1) * read_len] = seg
+    breaks = np.arange(1, n_reads, dtype=np.int64) * read_len
+    stream = DnaStream(
+        codes=codes, breaks=breaks,
+        acgt=np.array([1, 1, 1, 1], dtype=np.int64), reads=True,
+    )
+    be = sj.DeviceSketchBackend()
+    h = be.dispatch_signs_maybe_filtered(stream, k, True, nbins, mc)
+    assert h[0] == "multi"
+    assert any(sub[0] == "pf" for sub in h[4])
+    surv = be.collect_signs_maybe_filtered(h)
+    full = be.signs_in_order(stream, k, True)
+    assert surv.size < full.size  # something was actually dropped
+    np.testing.assert_array_equal(
+        bin_minima_filtered(surv, nbins, mc),
+        bin_minima_filtered(full, nbins, mc),
+    )
