@@ -793,25 +793,13 @@ class DeviceSketchBackend:
                          ))
                     )
 
-                # oversized read streams go through the segmented in-order
-                # path (itself pipelined across its segments)
-                big = [
-                    j for j in read_idx
-                    if streams[j].seq_len > _SEG_BASES + MAX_K
-                ]
-                for i in big:
-                    for kk in kmers:
-                        filt_futs.append(
-                            (kk, i,
-                             filt_pool.submit(
-                                 bin_minima_filtered,
-                                 self.signs_in_order(streams[i], kk, rc),
-                                 nbins,
-                                 min_count,
-                             ))
-                        )
-                read_idx = [j for j in read_idx if j not in big]
-
+                # oversized read streams also go through
+                # dispatch_signs_maybe_filtered (round 5): it segments
+                # them internally, prefilters each segment, and
+                # dispatches every segment ahead — previously they
+                # bypassed the prefilter entirely via a blocking
+                # signs_in_order call here, so the 25 Mb bench samples
+                # never used it
                 order = [(kk, i) for kk in kmers for i in read_idx]
                 for j, (kk, i) in enumerate(order):
                     if kk > MAX_K:  # past the device tap-table width
