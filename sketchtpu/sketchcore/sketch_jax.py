@@ -651,10 +651,22 @@ class DeviceSketchBackend:
                 for j, (s, (p0, p1)) in enumerate(zip(segs, spans))
             ]
             return ("multi", stream, k, rc, subs, None, None, None)
+        # Default OFF as of round 5, by MEASUREMENT: the prefilter cuts
+        # shipped bytes ~13x (7.5% kept at 25x coverage,
+        # bench/artifacts/fastq_prefilter_window_r5.json) but its two
+        # full-stream device sorts cost more than the transfer they save
+        # on any reasonably fast link — warm e2e at 2 x 25 Mb @ 25x
+        # measured ON 24.5 s vs OFF 19.7 s with today's ~30 MB/s tunnel
+        # (fastq_prefilter_e2e_r5.json), and a PCIe host's transfer term
+        # is near zero, making ON strictly slower there. Opt in with
+        # SKETCHTPU_FASTQ_PREFILTER=1 on slow links (at this rig's bad
+        # tunnel windows, 0.3-3 MB/s, the OFF path pays 130-1300 s of
+        # transfer per 25 Mb sample and ON wins big). Output is
+        # bit-identical either way (consult-superset proof above).
         h = self._dispatch_signs(stream, k, rc, dev)
         eligible = min_count >= 2 and os.environ.get(
-            "SKETCHTPU_FASTQ_PREFILTER", "1"
-        ) not in ("0", "off")
+            "SKETCHTPU_FASTQ_PREFILTER", "0"
+        ) in ("1", "on")
         if not eligible:
             return ("plain", stream, k, rc, h, None, None, n_starts)
         from ..hash.nthash_np import valid_window_mask

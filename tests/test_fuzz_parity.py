@@ -249,12 +249,16 @@ def test_oversized_stream_segmented(monkeypatch):
         assert h.seq_length == d.seq_length
 
 
-def test_oversized_reads_stream_segmented(monkeypatch):
+@pytest.mark.parametrize("pf", ["0", "1"])
+def test_oversized_reads_stream_segmented(monkeypatch, pf):
     """The order-dependent FASTQ count-filter path over an oversized
     stream: segment-concatenated in-order signs must equal the whole
-    stream's, so the filtered sketch is bit-exact."""
+    stream's, so the filtered sketch is bit-exact — with the device
+    consult-superset prefilter both off (default) and on (opt-in;
+    per-segment as of round 5)."""
     from sketchtpu.sketchcore import sketch_jax
 
+    monkeypatch.setenv("SKETCHTPU_FASTQ_PREFILTER", pf)
     monkeypatch.setattr(sketch_jax, "_SEG_BASES", 40_000)
     rng = np.random.default_rng(13)
     # simulate concatenated reads re-covering one genome (so k-mers recur

@@ -186,6 +186,7 @@ def test_prefilter_segmented_oversized_stream_bit_exact(monkeypatch):
     from sketchtpu.ingest.fastx import DnaStream
     from sketchtpu.sketchcore.signs import bin_minima_filtered
 
+    monkeypatch.setenv("SKETCHTPU_FASTQ_PREFILTER", "1")
     monkeypatch.setattr(sj, "_SEG_BASES", 16384)
     rng = np.random.default_rng(23)
     k, nbins, mc = 17, 64, 3
