@@ -136,39 +136,30 @@ def _samebits_strip_pallas(
     tri: bool = False,
     interpret: bool = False,
 ):
-    """_samebits_strip with the VMEM-blocked Pallas outer-product samebits
-    tile (pallas_kernels.samebits_pallas_chunked): each operand block is
-    read from HBM once per (ti, tj) output block instead of re-streaming
-    per output element. Same int16 strip contract and tri skip."""
-    from .pallas_kernels import samebits_pallas_chunked
+    """_samebits_strip via ONE whole-strip pallas_call
+    (pallas_kernels.samebits_strip_fused): grid over row x column x
+    chunk-group blocks, int32 VMEM accumulator, int16 written once in
+    strip layout, tri skip at (512, 512) block granularity inside the
+    kernel. Same int16 strip contract as the XLA variant.
 
-    sw, n = mt_cm.shape
-    n_tiles = n // tc
-    blk = a_cm.shape[0]
+    Round-5 decomposition of the round-4 schedule (bench/
+    probe_dense_gap.py, artifacts/dense_gap_r5.json, n=102,400): the old
+    scan-of-2048-column-tiles body (per-tile int32 materialization +
+    int16 convert + a transposing reshape of the ~400 MB strip) cost
+    0.11 s of the 1.61 s full-schedule wall (3.31 G pair/s vs the
+    output-free kernel+scan ceiling of 3.57); this fused strip runs the
+    same schedule in 1.54 s (3.42 G pair/s on strictly fewer computed
+    pairs — the finer tri skip) while still materializing the strip the
+    host consumers read. The remaining distance to bench.py's 4.87
+    headline is the round-3 finding that the XLA reduce-only rate is
+    unreachable by ANY materializing producer (3.80 standalone was the
+    Pallas tile's best). tc is kept for API compatibility; column
+    blocking is fixed at the measured-best 512."""
+    from .pallas_kernels import samebits_strip_fused
 
-    def tile(j0):
-        bt = jax.lax.dynamic_slice(mt_cm, (0, j0), (sw, tc))
-        return samebits_pallas_chunked(
-            a_cm, bt, s64, interpret=interpret
-        ).astype(jnp.int16)
-
-    def body(_, t):
-        j0 = t * tc
-        if tri:
-            out = jax.lax.cond(
-                j0 + tc > i0,
-                tile,
-                lambda _: jnp.zeros((blk, tc), jnp.int16),
-                j0,
-            )
-        else:
-            out = tile(j0)
-        return None, out
-
-    _, tiles = jax.lax.scan(
-        body, None, jnp.arange(n_tiles, dtype=jnp.int32)
-    )  # (n_tiles, blk, tc)
-    return tiles.transpose(1, 0, 2).reshape(blk, n)
+    return samebits_strip_fused(
+        a_cm, mt_cm, s64, row0=i0, tri=tri, interpret=interpret
+    )
 
 
 def _use_pallas_samebits(s64: int, tile: int) -> bool:

@@ -57,6 +57,49 @@ def test_samebits_pallas_chunked_interpret():
     assert np.array_equal(got, want)
 
 
+def test_samebits_strip_fused_interpret():
+    """The whole-strip fused kernel (round 5, now the production
+    _samebits_strip_pallas body) must be bit-exact vs the XLA samebits
+    tile, write int16 in strip layout, and — with tri=True at any row0 —
+    preserve every upper-triangle (col > row) entry while zeroing blocks
+    wholly at-or-below the diagonal at (512, 512) granularity."""
+    from sketchtpu.dist.pallas_kernels import samebits_strip_fused
+
+    s64 = 4
+    w2 = s64 * 14 * 2
+    rng = np.random.default_rng(5)
+    n, blk = 1024, 512
+    mat = rng.integers(0, 2**32, (n, w2), dtype=np.uint32)
+    cm = chunk_group_major(jnp.asarray(mat), s64)
+    cm_t = jnp.transpose(cm)
+    want = samebits_matrix(
+        mat[:blk].view(np.uint64), mat.view(np.uint64)
+    ).astype(np.int16)
+    got = np.asarray(
+        samebits_strip_fused(cm[:blk], cm_t, s64, interpret=True)
+    )
+    assert got.dtype == np.int16
+    np.testing.assert_array_equal(got, want)
+    for row0 in (0, 512):
+        tri = np.asarray(
+            samebits_strip_fused(
+                cm[:blk], cm_t, s64, row0=jnp.int32(row0), tri=True,
+                interpret=True,
+            )
+        )
+        rows = row0 + np.arange(blk)[:, None]
+        cols = np.arange(n)[None, :]
+        upper = cols > rows
+        np.testing.assert_array_equal(tri[upper], want[upper])
+        for i in range(blk // 512):
+            for j in range(n // 512):
+                if (j + 1) * 512 - 1 <= row0 + i * 512:
+                    np.testing.assert_array_equal(
+                        tri[i * 512:(i + 1) * 512, j * 512:(j + 1) * 512],
+                        0,
+                    )
+
+
 def test_knn_scan_block_pallas_matches_xla_interpret():
     """The Pallas-tile kNN scan must select identically to the XLA scan
     (same valid-mask / group-shrink / top-k merge around the tile)."""
