@@ -169,10 +169,17 @@ def run_knn(results):
     cm.block_until_ready()
     del mat
 
+    # the full 324-block schedule is a single ~3 min device program,
+    # which crashed the TPU worker (watchdog/heartbeat) on the first
+    # attempt — dispatch the scan in CHUNK-block pieces (~30 s each)
+    # instead; the summed wall adds ~0.3 s of tunnel RTT per piece,
+    # <1% of the total, and stays conservative
+    CHUNK = int(os.environ.get("PROBE_KCHUNK", "32"))
+
     @functools.partial(jax.jit, static_argnames=("nblk",))
-    def schedule(salt, nblk, cm=None, cm_t=None, sig=None):
+    def schedule_from(salt, b0, nblk, cm=None, cm_t=None, sig=None):
         def body(carry, bi):
-            r0 = bi * KROWS
+            r0 = (b0 + bi) * KROWS
             a_blk = (
                 jax.lax.dynamic_slice(cm, (r0, 0), (KROWS, cm.shape[1]))
                 ^ salt
@@ -191,15 +198,29 @@ def run_knn(results):
         )
         return cs
 
-    int(schedule(jnp.uint32(0), 1, cm, cm_t, sig))
-    int(schedule(jnp.uint32(0), nrb, cm, cm_t, sig))
+    def run_full(salt):
+        total = 0
+        for b0 in range(0, nrb, CHUNK):
+            nb = min(CHUNK, nrb - b0)
+            total += int(
+                schedule_from(salt, jnp.int32(b0), nb, cm, cm_t, sig)
+            )
+        return total
+
+    int(schedule_from(jnp.uint32(0), jnp.int32(0), 1, cm, cm_t, sig))
+    for b0 in range(0, nrb, CHUNK):  # compile both chunk shapes
+        nb = min(CHUNK, nrb - b0)
+        if nb != CHUNK:
+            int(schedule_from(jnp.uint32(0), jnp.int32(b0), nb, cm, cm_t, sig))
+            break
+    run_full(jnp.uint32(0))
     pairs = nrb * KROWS * n_pad  # every block scans all padded columns
     best, trials = float("inf"), []
     for t in range(3):
         t0 = time.perf_counter()
-        int(schedule(jnp.uint32(1 + t), 1, cm, cm_t, sig))
+        int(schedule_from(jnp.uint32(1 + t), jnp.int32(0), 1, cm, cm_t, sig))
         t1 = time.perf_counter()
-        int(schedule(jnp.uint32(64 + t), nrb, cm, cm_t, sig))
+        run_full(jnp.uint32(64 + t))
         t2 = time.perf_counter()
         trials.append(round(t2 - t1, 3))
         print(
