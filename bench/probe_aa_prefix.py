@@ -25,6 +25,22 @@ Run one (mode, variant) per process under `timeout` — first compiles via
 the tunnel are slow and occasionally stall; the persistent cache makes
 re-runs fast.
 
+ROUND-5 RESULTS — rotate-after-select (rotsel) measured, same protocol,
+same session taps re-baseline; the AA-hash formulation question is now
+CLOSED with three measured variants:
+
+  kernel  8x100k-aa nk=3   taps 36.2  rotsel 36.2 Maa*k/s   (dead tie)
+  multik  4x250k-aa nk=3   taps 37.2  rotsel 35.0 Maa*k/s   (rotsel -6%)
+
+Why the ~3x op-count model fails AGAIN: the multik taps step's 32-way
+select tree is fixed-shift/XOR soup the VPU pipelines with slack, while
+rotsel's pre-selected r stream adds 8 B/position of real HBM traffic
+per step (vs the 4 B code read the select needs) — the chain is bound
+by the shared mod/mask/bin-min-sort stages, not the hash stage, so
+cutting hash ops buys nothing and the extra bandwidth costs. Default
+stays taps by measurement; rotsel remains a fuzz-pinned opt-in
+(SKETCHTPU_AA_HASH=rotsel) like prefix.
+
 ROUND-4 RESULTS (v5e, chip idle, this protocol) — prefix LOSES at every
 compilable shape and the default stays taps:
 

@@ -34,8 +34,14 @@ def _aa_hash_variant() -> str:
     32-way seed select per position hoisted out of the tap loop, then
     fixed srol1 rotations; see aahash_jax._windowed_hash_aa_rotsel).
 
-    Default "taps", by MEASUREMENT for prefix (round 4) — for the prefix
-    negative: SKETCHTPU_AA_HASH=prefix selects the prefix-XOR aaHash (O(1) work
+    Default "taps", by MEASUREMENT against both alternatives. rotsel
+    (round 5): dead tie on the exact-wide kernel (36.2 vs 36.2 Maa*k/s
+    at 8x100k-aa) and -6% on the fused multik (35.0 vs 37.2 at
+    4x250k-aa) — the pre-selected seed stream adds HBM traffic per step
+    where the select tree needed only the 4 B code read, and the chain
+    is bound by the shared mod/mask/bin-min-sort stages
+    (bench/probe_aa_prefix.py). For the prefix
+    negative (round 4): SKETCHTPU_AA_HASH=prefix selects the prefix-XOR aaHash (O(1) work
     per position regardless of k, bit-exact vs the tap path — fuzz-tested
     on CPU across levels and k). Default is the per-tap select-tree
     kernels, now by MEASUREMENT, not caution (round 4, v5e,
