@@ -27,6 +27,62 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnames=("tc", "nstrips"))
+def _match_count_schedule(
+    m: jnp.ndarray,  # (n_pad, S) i32 padded sign matrix
+    lo: jnp.ndarray,  # () int32 first global row of the range
+    hi: jnp.ndarray,  # () int32 end of the row range
+    n_real: jnp.ndarray,  # () int32 real rows/columns
+    tc: int,
+    nstrips: int,
+):
+    """The whole `precluster --count` pair enumeration as ONE device
+    program: an outer scan over `nstrips` row strips of `tc`, each
+    scanning every column tile (_match_count_strip semantics — eq-any +
+    i<j/bounds mask + per-tile count, tri skip), accumulating per-strip
+    subtotals in TWO int32 lanes (lo 16 bits / hi remainder — a strip's
+    subtotal can reach rows*n ~ 2.7e9 at 661k and overflow one int32;
+    per-tile counts are <= tc^2 so the split accumulation is exact).
+    Returns (nstrips, 2) int32; host total = sum(hi)<<16 + sum(lo) in
+    Python ints. One scalar-sized transfer replaces the per-strip
+    dispatches (162 tunnel round-trips at 661k; measured 24.4 s for the
+    fused schedule, bench/probe_inverted_full.py)."""
+    n_pad, s = m.shape
+    n_tiles = n_pad // tc
+
+    def strip(_, si):
+        r0 = lo + si * tc
+        a = jax.lax.dynamic_slice(m, (r0, 0), (tc, s))
+
+        def tile_count(j0):
+            b = jax.lax.dynamic_slice(m, (j0, 0), (tc, s))
+            eq = (a[:, None, :] == b[None, :, :]).any(axis=2)
+            ri = r0 + jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 0)
+            ci = j0 + jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 1)
+            keep = eq & (ri < hi) & (ci < n_real) & (ci > ri)
+            return jnp.sum(keep, dtype=jnp.int32)
+
+        def tbody(carry, t):
+            j0 = t * tc
+            add = jax.lax.cond(
+                j0 + tc > r0, tile_count, lambda _: jnp.int32(0) + r0 * 0,
+                j0,
+            )
+            c_lo, c_hi = carry
+            return (c_lo + (add & 0xFFFF), c_hi + (add >> 16)), None
+
+        (c_lo, c_hi), _ = jax.lax.scan(
+            tbody, (jnp.int32(0) + r0 * 0, jnp.int32(0) + r0 * 0),
+            jnp.arange(n_tiles, dtype=jnp.int32),
+        )
+        return None, jnp.stack([c_lo, c_hi])
+
+    _, subs = jax.lax.scan(
+        strip, None, jnp.arange(nstrips, dtype=jnp.int32)
+    )
+    return subs  # (nstrips, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("tc",))
 def _match_count_strip(
     a: jnp.ndarray,  # (ti, S) i32 row block
@@ -125,24 +181,36 @@ class DeviceInvertedEngine:
     def any_shared_bin_count(self, row_range: slice | None = None) -> int:
         """Total sample pairs (i < j) sharing >= 1 bin, with i restricted
         to row_range when given (multi-process: rank partials sum to the
-        full count since each pair is counted at its smaller index). Each
-        row strip scans every column tile on device and returns per-tile
-        int32 counts; strips are dispatched ahead (async) so device
-        compute and host collection overlap. The (tile x tile x S)
-        equality mask stays fused on the VPU and never touches HBM."""
+        full count since each pair is counted at its smaller index).
+
+        Round 5: the WHOLE row-strip schedule runs as one device program
+        (_match_count_schedule) — previously each strip was its own
+        dispatch, which cost 162 tunnel round-trips at 661k samples; the
+        fused schedule measured 24.4 s for the full 661k enumeration
+        (bench/artifacts/inverted_full_r5.json, ~224x the reference's
+        own 90-min figure, lib.rs:702-703). The (tile x tile x S)
+        equality mask stays fused on the VPU and never touches HBM;
+        per-strip subtotals come back as exact split-int32 pairs."""
         n, tile = self.n, self.tile
         lo, hi = (row_range.start, row_range.stop) if row_range else (0, n)
+        if hi <= lo:
+            return 0
+        nstrips = -(-(hi - lo) // tile)
+        # one extra tile of row padding so an un-aligned lo never makes
+        # the last strip's dynamic_slice clamp (clamping would mislabel
+        # the strip's global row indices); the extra rows are masked by
+        # ri < hi and ci < n_real
         m = self._padded_mat()
-        pending = []
-        for i0 in range(lo, hi, tile):
-            a, na = self._tile_of(i0)
-            na = min(na, hi - i0)  # clip the last strip at the range end
-            pending.append(
-                _match_count_strip(
-                    a, m, np.int32(i0), np.int32(na), np.int32(n), tc=tile
-                )
+        key = "_mat_pad_extra"
+        if key not in self.__dict__:
+            self.__dict__[key] = jnp.pad(m, ((0, tile), (0, 0)))
+        subs = np.asarray(
+            _match_count_schedule(
+                self.__dict__[key], np.int32(lo), np.int32(hi),
+                np.int32(n), tc=tile, nstrips=nstrips,
             )
-        return int(sum(int(np.asarray(x).astype(np.int64).sum()) for x in pending))
+        ).astype(np.int64)
+        return int((subs[:, 1].sum() << 16) + subs[:, 0].sum())
 
     def _padded_mat(self) -> jnp.ndarray:
         if "_mat_pad" not in self.__dict__:
