@@ -146,9 +146,10 @@ def main():
         total_100k = 100000 * 99999 / 2
         print(
             f"core/accessory tile ({len(kmers)} k): {ca_rate / 1e6:.0f} M pair/s "
-            f"(best of 3, spread {ca_spread:.0f}%) "
-            f"-> 100k-genome all-vs-all core/acc in ~{total_100k / ca_rate:.0f}s "
-            f"on one chip",
+            f"(best of 3, spread {ca_spread:.0f}%); tile-rate arithmetic "
+            f"would say ~{total_100k / ca_rate:.0f}s for the 100k triangle — "
+            f"the MEASURED full schedule is 12.1 s "
+            f"(bench/artifacts/coreacc_full_r4.json)",
             file=sys.stderr,
         )
     except Exception as exc:  # pragma: no cover
