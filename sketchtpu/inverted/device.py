@@ -9,9 +9,10 @@ tiles on the VPU:
 - precluster --count (inverted.rs:271-300): number of sample pairs sharing at
   least one bin — the reference's only published performance number is this
   operation ("~90m and 50Gb for 661k samples, 32 threads", lib.rs:702-703);
-  here it is an all-vs-all equality-any reduction where each row strip scans
-  the column tiles on device (per-tile int32 counts leave the chip): ~45 s
-  for 661k samples on one chip (~120x the reference's wall clock).
+  here it is an all-vs-all equality-any reduction fused into ONE device
+  program (scan over row strips x column tiles, exact split-int32
+  subtotals): MEASURED 24.4 s full-schedule for 661k samples on one chip
+  (~224x the reference's wall clock; bench/artifacts/inverted_full_r5.json).
 
 Signs are widened to i32 lanes (one bin per lane); the equality mask never
 materialises in HBM — XLA fuses the compare into the `any`/`sum` reduction.
