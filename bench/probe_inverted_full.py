@@ -14,6 +14,18 @@ chip idle.
          (inverted/device.py _match_count_strip semantics: eq-any +
          upper-triangle/i<j mask + per-tile int32 count), tri skip per
          tile, all strips driven by one lax.scan, one scalar out.
+MEASURED NEGATIVE (round 5, code deleted after measurement per house
+rule): a dedicated Pallas eq-any count kernel — grid over (512, 512)
+blocks, the eq-any accumulator entirely in vregs, per-row-block
+(8, 128) VMEM count accumulators, tri/range skip in-kernel — measured
+25.59/25.60/25.61 s best-of-3 for 0.219 T computed pairs (8.56 G
+pair/s) vs the XLA schedule's 24.39 s / 9.08 G pair/s: the XLA fusion
+never materializes the (tile x tile x S) equality intermediate either,
+and the opaque kernel loses the fusion of the count consumer. Same
+lesson as the samebits "4.87" and the kNN mask "15 G" figures: XLA
+reduce-fused rates are not beatable by re-implementing the same
+data flow in Mosaic.
+
   knn    the `precluster` masked kNN scan: the PRODUCTION
          _knn_scan_block_packed(masked=True, pallas=True) — 512x512
          Pallas samebits blocks inside 8192-column tiles, sign-equality
@@ -37,6 +49,7 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -256,6 +269,10 @@ def main():
         run_knn(results)
     art = pathlib.Path(__file__).resolve().parent / "artifacts"
     art.mkdir(exist_ok=True)
+    prev = art / "inverted_full_r5.json"
+    if prev.exists():  # merge partial runs into one artifact
+        with open(prev) as f:
+            results = {**json.load(f).get("results", {}), **results}
     payload = {
         "probe": "bench/probe_inverted_full.py",
         "shape": f"n={N_REAL}, S={S}, count tile {CTILE}, knn "
